@@ -1,0 +1,148 @@
+"""Device kinship construction (SURVEY.md A.1, L3).
+
+Reference equivalent: kinship.py calc_ibs_kinship / calc_ibd_kinship —
+a chunked Python loop of BLAS dgemms (SURVEY.md §3.4). TPU-native design:
+the same streaming-chunk contract (it is also the multi-host psum boundary,
+§2.3), but each chunk's contribution is ONE MXU matmul plus rank-1
+corrections:
+
+  IBS binary:  C'C + (1-C)'(1-C) = 2 C'C - s (x) 1 - 1 (x) s + m J
+               (s = per-sample chunk sums) — half the naive matmul flops.
+  VanRaden:    W = C - ploidy * p;  K += W'W;  denom += ploidy*sum p(1-p).
+
+Chunks are padded to a static shape (zero rows + the true row count as a
+scalar arg) so there is exactly one compile. Mean imputation of missing
+genotypes happens per chunk on host before transfer (the normative rule,
+shared with the oracle)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _ibs_binary_update(K_acc, C, m_eff):
+    """K_acc += 2 C'C - s(x)1 - 1(x)s + m_eff * J  (zero pad rows drop out
+    of C'C and s; m_eff counts only real rows)."""
+    CtC = jnp.dot(C.T, C, preferred_element_type=K_acc.dtype)
+    s = jnp.sum(C, axis=0).astype(K_acc.dtype)
+    return K_acc + 2.0 * CtC - s[:, None] - s[None, :] + m_eff
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _vanraden_update(K_acc, W):
+    """K_acc += W'W (pad rows are all-zero)."""
+    return K_acc + jnp.dot(W.T, W, preferred_element_type=K_acc.dtype)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _ibs_diploid_update(K_acc, C, W0, W2, m_eff):
+    """Diploid IBS sharing via |a-b| = (a-b)^2 - 2([a=0][b=2]+[a=2][b=0]):
+    accumulates sum over chunk of (2 - |a-b|)/2 (see oracle.kinship)."""
+    dt = K_acc.dtype
+    CtC = jnp.dot(C.T, C, preferred_element_type=dt)
+    a2 = jnp.sum(C * C, axis=0).astype(dt)
+    d2 = a2[:, None] + a2[None, :] - 2.0 * CtC
+    corr = jnp.dot(W0.T, W2, preferred_element_type=dt)
+    absd = d2 - 2.0 * (corr + corr.T)
+    return K_acc + (2.0 * m_eff - absd) / 2.0
+
+
+def _impute_chunk(chunk_i8: np.ndarray, dtype) -> np.ndarray:
+    """int8 (m, n) with -1 missing -> float chunk, per-SNP mean imputed."""
+    C = chunk_i8.astype(np.float64)
+    miss = chunk_i8 < 0
+    if miss.any():
+        C[miss] = np.nan
+        mu = np.nanmean(C, axis=1)
+        mu = np.where(np.isnan(mu), 0.0, mu)
+        idx = np.where(miss)
+        C[idx] = mu[idx[0]]
+    return C.astype(dtype)
+
+
+def kinship(data, method: str = "ibs", ploidy: Optional[int] = None,
+            chunk: int = 2048, dtype=jnp.float32,
+            use_device: bool = True) -> np.ndarray:
+    """Build a kinship matrix from a GenotypeData or an (M, n) dosage array.
+
+    method: 'ibs' (allele sharing) or 'vanraden' (a.k.a. 'ibd' in the
+    reference's naming). Returns an (n, n) float64 numpy array (the small
+    result lives host-side; downstream eigh is host by default too).
+    """
+    from mixmogam_tpu.data.genotype import GenotypeData
+
+    if isinstance(data, GenotypeData):
+        mat = data.matrix
+        ploidy = data.ploidy if ploidy is None else ploidy
+    else:
+        mat = np.asarray(data)
+        if ploidy is None:
+            ploidy = 2 if mat.max(initial=0) > 1 else 1
+    M, n = mat.shape
+    if method in ("vanraden", "ibd"):
+        return _vanraden(mat, ploidy, chunk, dtype, use_device)
+    if method != "ibs":
+        raise ValueError(f"unknown kinship method {method!r}")
+    if not use_device:
+        from mixmogam_tpu import oracle
+
+        Z = mat.astype(np.float64)
+        if mat.dtype == np.int8:
+            Z[mat < 0] = np.nan
+        return oracle.ibs_kinship(Z, ploidy=ploidy)
+
+    K = jnp.zeros((n, n), dtype=dtype)
+    for s in range(0, M, chunk):
+        e = min(s + chunk, M)
+        C = _impute_chunk(np.asarray(mat[s:e]), np.dtype(dtype).name) \
+            if mat.dtype == np.int8 else np.asarray(mat[s:e], dtype=np.dtype(dtype).name)
+        m = e - s
+        if m < chunk:
+            C = np.vstack([C, np.zeros((chunk - m, n), dtype=C.dtype)])
+        Cd = jnp.asarray(C)
+        if ploidy == 1:
+            K = _ibs_binary_update(K, Cd, float(m))
+        else:
+            W0 = jnp.clip(1.0 - jnp.abs(Cd - 0.0), 0.0, None)
+            W2 = jnp.clip(1.0 - jnp.abs(Cd - 2.0), 0.0, None)
+            # zero pad rows look like genotype 0 -> W0 pad rows are 1;
+            # mask them off
+            if m < chunk:
+                rowmask = jnp.asarray(
+                    (np.arange(chunk) < m).astype(C.dtype))[:, None]
+                W0 = W0 * rowmask
+                W2 = W2 * rowmask
+            K = _ibs_diploid_update(K, Cd, W0, W2, float(m))
+    return np.asarray(K, dtype=np.float64) / M
+
+
+def _vanraden(mat: np.ndarray, ploidy: int, chunk: int, dtype,
+              use_device: bool) -> np.ndarray:
+    from mixmogam_tpu import oracle
+
+    M, n = mat.shape
+    if not use_device:
+        Z = mat.astype(np.float64)
+        if mat.dtype == np.int8:
+            Z[mat < 0] = np.nan
+        return oracle.vanraden_kinship(Z, ploidy=ploidy)
+    K = jnp.zeros((n, n), dtype=dtype)
+    denom = 0.0
+    for s in range(0, M, chunk):
+        e = min(s + chunk, M)
+        C = _impute_chunk(np.asarray(mat[s:e]), np.dtype(dtype).name) \
+            if mat.dtype == np.int8 else np.asarray(mat[s:e], dtype=np.dtype(dtype).name)
+        p = C.mean(axis=1) / ploidy
+        denom += float(ploidy * np.sum(p * (1.0 - p)))
+        W = C - (ploidy * p)[:, None]
+        m = e - s
+        if m < chunk:
+            W = np.vstack([W, np.zeros((chunk - m, n), dtype=W.dtype)])
+        K = _vanraden_update(K, jnp.asarray(W))
+    return np.asarray(K, dtype=np.float64) / denom

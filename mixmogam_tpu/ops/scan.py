@@ -1,0 +1,116 @@
+"""The EMMAX scan core — fully vectorized rotated-GLS F-tests
+(SURVEY.md A.3; reference: linear_models.emmax_f_test's per-SNP Python
+loop of lstsq calls, here ONE fused tile computation with no marker loop).
+
+TPU-first design
+----------------
+Everything happens in the eigenbasis of K. With eigh(K) = (phi, U) and the
+null REML delta:
+
+  W  = U * (1/sqrt(phi+delta))      (n, n)  'rotate + whiten' operator
+  Xs = G_tile @ W                   (m, n)  whitened SNPs — ONE MXU matmul
+  c  = Xs @ Q0                      (m, q)  projections on null design
+  xy = Xs @ y_res                   (m,)
+  xx = row_sum(Xs^2) - row_sum(c^2)
+  F  = (xy^2/xx) * dof / (rss0 - xy^2/xx)
+
+Algebraically identical to the reference's per-SNP lstsq (A.3 step 4: the
+residualized-regressor identity), but the per-tile cost is one (m,n)x(n,n)
+matmul + elementwise — MXU for the rotation, VPU for the epilogue, and the
+tile streams HBM->VMEM once. Degenerate (monomorphic/collinear) SNPs are
+handled by mask-and-zero discipline instead of the reference's
+filter-then-loop (SURVEY.md §7).
+
+If genotype tiles are PRE-rotated (G_rot = G @ U stored once), pass
+pre_rotated=True: the scan drops to elementwise + (m,q) matmuls — pure
+HBM-bandwidth bound, which is what makes stepwise/multi-trait/EMMA scans
+(many scans over one rotation) cheap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mixmogam_tpu.ops.reml import NullModel
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RotatedNull:
+    """Scan-phase constants (replicated across chips in sharded runs)."""
+
+    W: jnp.ndarray        # (n, n) U * 1/sqrt(phi+delta) — rotate+whiten
+    sd: jnp.ndarray       # (n,) 1/sqrt(phi+delta) (for pre-rotated tiles)
+    Q0: jnp.ndarray       # (n, q) orthonormal basis of whitened null design
+    y_res: jnp.ndarray    # (n,) whitened phenotype residual
+    rss0: jnp.ndarray     # scalar null RSS
+    dof: int = dataclasses.field(metadata=dict(static=True))  # n - q - 1
+
+
+def build_rotated_null(null: NullModel) -> RotatedNull:
+    from mixmogam_tpu.ops.eigen import orthonormal_basis
+
+    phi, U, delta = null.phi, null.U, null.delta
+    sd = 1.0 / jnp.sqrt(phi + delta)
+    W = U * sd[None, :]
+    y_star = (null.y @ U) * sd
+    X0_star = (null.X0.T @ U).T * sd[:, None]
+    Q0 = orthonormal_basis(X0_star)
+    y_res = y_star - Q0 @ (Q0.T @ y_star)
+    rss0 = y_res @ y_res
+    n, q = X0_star.shape
+    return RotatedNull(W=W, sd=sd, Q0=Q0, y_res=y_res, rss0=rss0,
+                       dof=int(n - q - 1))
+
+
+@functools.partial(jax.jit, static_argnames=("pre_rotated",))
+def emmax_scan_stats(G_tile: jnp.ndarray, rot: RotatedNull,
+                     pre_rotated: bool = False) -> Dict[str, jnp.ndarray]:
+    """Per-SNP F statistics for one tile of SNP rows.
+
+    G_tile: (m, n) float dosages (mean-imputed), or rotated dosages
+    (rows of G @ U) when pre_rotated=True.
+    Returns f_stats, betas, var_perc, mask (False = degenerate SNP).
+    """
+    dt = rot.W.dtype
+    G_tile = G_tile.astype(dt)
+    if pre_rotated:
+        Xs = G_tile * rot.sd[None, :]
+    else:
+        Xs = G_tile @ rot.W
+    c = Xs @ rot.Q0                                    # (m, q)
+    xy = Xs @ rot.y_res                                # (m,)
+    ss = jnp.sum(Xs * Xs, axis=1)
+    xx = ss - jnp.sum(c * c, axis=1)
+    eps = 100.0 * jnp.finfo(dt).eps
+    mask = xx > eps * jnp.maximum(ss, jnp.finfo(dt).tiny)
+    xx_safe = jnp.where(mask, xx, 1.0)
+    expl = xy * xy / xx_safe                           # rss0 - rss1
+    expl = jnp.where(mask, jnp.minimum(expl, rot.rss0), 0.0)
+    rss1 = rot.rss0 - expl
+    rss1_safe = jnp.maximum(rss1, jnp.finfo(dt).tiny)
+    f = expl * rot.dof / rss1_safe
+    beta = jnp.where(mask, xy / xx_safe, 0.0)
+    var_perc = jnp.where(mask, expl / rot.rss0, 0.0)
+    return {"f_stats": jnp.where(mask, f, 0.0), "betas": beta,
+            "var_perc": var_perc, "mask": mask}
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "pre_rotated"))
+def emmax_scan_all(G: jnp.ndarray, rot: RotatedNull, tile: int = 8192,
+                   pre_rotated: bool = False) -> Dict[str, jnp.ndarray]:
+    """Whole-matrix scan: pads the SNP axis to a tile multiple and
+    lax.map's the tile kernel (bounded VMEM working set, single compile)."""
+    M, n = G.shape
+    T = -(-M // tile)
+    pad = T * tile - M
+    Gp = jnp.pad(G, ((0, pad), (0, 0)))
+    tiles = Gp.reshape(T, tile, n)
+    out = jax.lax.map(
+        lambda t: emmax_scan_stats(t, rot, pre_rotated=pre_rotated), tiles)
+    return {k: v.reshape(T * tile)[:M] for k, v in out.items()}

@@ -1,0 +1,154 @@
+"""Result container (reference: gwaResults.py Result class, SURVEY.md §2.1):
+scores/p-values + chr/pos/maf/mac arrays with -log10 transform, filtering,
+top-k extraction, ranked file output, and candidate-gene region queries."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Gene:
+    """Candidate gene (reference: gwaResults.Gene)."""
+
+    chromosome: int
+    start: int
+    stop: int
+    name: str = ""
+
+
+class Result:
+    """GWAS scan result, sortable/filterable, with the reference's
+    neg_log_trans / filter_attr / get_top_snps / write_to_file surface."""
+
+    def __init__(self, scores, chromosomes, positions,
+                 mafs: Optional[np.ndarray] = None,
+                 macs: Optional[np.ndarray] = None,
+                 additional: Optional[Dict[str, np.ndarray]] = None,
+                 score_type: str = "pvals"):
+        self.scores = np.asarray(scores, dtype=np.float64)
+        self.chromosomes = np.asarray(chromosomes)
+        self.positions = np.asarray(positions)
+        self.mafs = None if mafs is None else np.asarray(mafs)
+        self.macs = None if macs is None else np.asarray(macs)
+        self.additional = {k: np.asarray(v)
+                           for k, v in (additional or {}).items()}
+        self.score_type = score_type  # 'pvals' or 'neg_log_pvals' or 'scores'
+
+    def __len__(self) -> int:
+        return len(self.scores)
+
+    def _all_arrays(self):
+        out = {"scores": self.scores, "chromosomes": self.chromosomes,
+               "positions": self.positions}
+        if self.mafs is not None:
+            out["mafs"] = self.mafs
+        if self.macs is not None:
+            out["macs"] = self.macs
+        out.update(self.additional)
+        return out
+
+    def _subset(self, idx) -> "Result":
+        arrs = {k: v[idx] for k, v in self._all_arrays().items()}
+        add = {k: arrs[k] for k in self.additional}
+        return Result(arrs["scores"], arrs["chromosomes"], arrs["positions"],
+                      mafs=arrs.get("mafs"), macs=arrs.get("macs"),
+                      additional=add, score_type=self.score_type)
+
+    # ---- transforms (reference: neg_log_trans) ----
+    def neg_log_trans(self) -> "Result":
+        if self.score_type != "pvals":
+            raise ValueError("neg_log_trans needs p-value scores")
+        out = self._subset(slice(None))
+        out.scores = -np.log10(np.maximum(out.scores, 1e-323))
+        out.score_type = "neg_log_pvals"
+        return out
+
+    # ---- filters (reference: filter_attr) ----
+    def filter_attr(self, attr: str, min_val=None, max_val=None) -> "Result":
+        v = self._all_arrays()[attr]
+        mask = np.ones(len(v), dtype=bool)
+        if min_val is not None:
+            mask &= v >= min_val
+        if max_val is not None:
+            mask &= v <= max_val
+        return self._subset(mask)
+
+    def filter_percentile(self, percentile: float) -> "Result":
+        """Keep the best `percentile` fraction (reference:
+        filter_percentile)."""
+        k = max(1, int(len(self) * percentile))
+        return self.get_top_snps(k)
+
+    # ---- ranking (reference: get_top_snps / min_score) ----
+    def _order(self) -> np.ndarray:
+        if self.score_type == "pvals":
+            return np.argsort(self.scores, kind="stable")
+        return np.argsort(-self.scores, kind="stable")
+
+    def get_top_snps(self, n: int = 10) -> "Result":
+        return self._subset(self._order()[:n])
+
+    def arg_min_attr(self) -> int:
+        """Index of the most significant SNP."""
+        return int(self._order()[0])
+
+    # ---- region / gene queries (reference: get_region_result,
+    #      candidate-gene proximity) ----
+    def get_region_result(self, chromosome: int, start: int, stop: int
+                          ) -> "Result":
+        mask = ((self.chromosomes == chromosome)
+                & (self.positions >= start) & (self.positions <= stop))
+        return self._subset(mask)
+
+    def get_genes_within(self, genes: Sequence[Gene], radius: int = 0
+                         ) -> List[Gene]:
+        """Genes whose (extended) span contains at least one scanned SNP."""
+        hits = []
+        for g in genes:
+            mask = ((self.chromosomes == g.chromosome)
+                    & (self.positions >= g.start - radius)
+                    & (self.positions <= g.stop + radius))
+            if mask.any():
+                hits.append(g)
+        return hits
+
+    def min_distances_to_genes(self, genes: Sequence[Gene]) -> np.ndarray:
+        """Per-gene distance from the nearest scanned SNP (0 if inside)."""
+        out = np.full(len(genes), np.inf)
+        for i, g in enumerate(genes):
+            mask = self.chromosomes == g.chromosome
+            if not mask.any():
+                continue
+            pos = self.positions[mask]
+            d = np.where((pos >= g.start) & (pos <= g.stop), 0,
+                         np.minimum(np.abs(pos - g.start),
+                                    np.abs(pos - g.stop)))
+            out[i] = d.min()
+        return out
+
+    # ---- output (reference: write_to_file) ----
+    def write_to_file(self, path: str, only_pickled: bool = False) -> None:
+        cols = ["chromosomes", "positions", "scores"]
+        arrs = self._all_arrays()
+        extra = [k for k in ("mafs", "macs") if k in arrs]
+        extra += sorted(self.additional)
+        header = cols + extra
+        order = self._order()
+        with open(path, "w") as f:
+            f.write(",".join(header) + "\n")
+            for i in order:
+                f.write(",".join(str(arrs[k][i]) for k in header) + "\n")
+
+    @staticmethod
+    def from_scan(scan: Dict[str, np.ndarray], chromosomes, positions,
+                  mafs=None, macs=None) -> "Result":
+        add = {}
+        for k in ("betas", "var_perc", "f_stats"):
+            if k in scan:
+                add[k] = scan[k]
+        return Result(scan["ps"], chromosomes, positions, mafs=mafs,
+                      macs=macs, additional=add, score_type="pvals")

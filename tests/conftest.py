@@ -3,19 +3,26 @@
 Correctness tests run on CPU with 8 virtual devices (standard JAX practice
 for testing sharding without a pod — SURVEY.md §4.3) and float64 enabled so
 oracle parity can be checked to ~1e-10. The TPU fp32 path is exercised by
-passing float32 inputs explicitly in the tests that target it.
+explicit-float32 tests (same code path, dtype-parametric).
 
-Env vars MUST be set before jax is imported anywhere.
+IMPORTANT: this image's /root/.axon_site/sitecustomize.py imports jax at
+interpreter startup to register the TPU plugin, so env vars like
+JAX_PLATFORMS / JAX_ENABLE_X64 set here are TOO LATE. We must use
+jax.config.update() instead (works post-import, pre-backend-init), and
+XLA_FLAGS via os.environ (read lazily at CPU backend creation).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest
