@@ -1,0 +1,193 @@
+"""Facade API (reference: mixmogam.py — SURVEY.md L7: convenience functions
+gluing parse -> coordinate -> kinship -> scan -> results/plots).
+
+The reference's names are kept (emmax, emma, emmax_step_wise,
+calc_ibs_kinship, ...) so a mixmogam user finds everything in one place;
+each delegates to the TPU-native models layer."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from mixmogam_tpu.data.genotype import GenotypeData
+from mixmogam_tpu.data.parsers import parse_snp_data
+from mixmogam_tpu.data.phenotype import PhenotypeData
+from mixmogam_tpu.models.emmax import emmax, emmax_anova
+from mixmogam_tpu.models.emma import emma
+from mixmogam_tpu.models.linear import linear_model, anova, kruskal_wallis
+from mixmogam_tpu.models.stepwise import emmax_step_wise
+from mixmogam_tpu.models.multitrait import emmax_multi_trait
+from mixmogam_tpu.models.permutation import emmax_perm_test
+from mixmogam_tpu.models.twosnp import emmax_two_snps
+from mixmogam_tpu.results.result import Result
+from mixmogam_tpu.results.mtcorr import (
+    bonferroni_threshold, get_bh_thres, get_bhy_thres,
+)
+from mixmogam_tpu.utils.caching import (
+    cached_kinship, save_kinship_to_file, load_kinship_from_file,
+)
+
+__all__ = [
+    "parse_snp_data", "parse_phenotype_file", "calc_ibs_kinship",
+    "calc_ibd_kinship", "emmax", "emma", "emmax_step_wise", "emmax_anova",
+    "emmax_multi_trait", "emmax_perm_test", "emmax_two_snps",
+    "linear_model", "anova", "kruskal_wallis", "run_gwas",
+    "save_kinship_to_file", "load_kinship_from_file",
+]
+
+
+def parse_phenotype_file(path: str, delimiter: str = ",") -> PhenotypeData:
+    return PhenotypeData.parse_phenotype_file(path, delimiter=delimiter)
+
+
+def calc_ibs_kinship(gd_or_snps, use_device: bool = True,
+                     cache_dir: Optional[str] = None,
+                     scale: bool = True) -> np.ndarray:
+    """IBS kinship (reference: mixmogam.calculate_ibs_kinship)."""
+    if isinstance(gd_or_snps, GenotypeData):
+        return cached_kinship(gd_or_snps, "ibs", cache_dir=cache_dir,
+                              use_device=use_device, scale=scale)
+    from mixmogam_tpu.ops import kinship as dk
+    from mixmogam_tpu.oracle.kinship import scale_k
+
+    K = dk.kinship(np.asarray(gd_or_snps), method="ibs",
+                   use_device=use_device)
+    return scale_k(K) if scale else K
+
+
+def calc_ibd_kinship(gd_or_snps, use_device: bool = True,
+                     cache_dir: Optional[str] = None,
+                     scale: bool = True) -> np.ndarray:
+    """VanRaden/'IBD' kinship (reference: calc_ibd_kinship)."""
+    if isinstance(gd_or_snps, GenotypeData):
+        return cached_kinship(gd_or_snps, "vanraden", cache_dir=cache_dir,
+                              use_device=use_device, scale=scale)
+    from mixmogam_tpu.ops import kinship as dk
+    from mixmogam_tpu.oracle.kinship import scale_k
+
+    K = dk.kinship(np.asarray(gd_or_snps), method="vanraden",
+                   use_device=use_device)
+    return scale_k(K) if scale else K
+
+
+_METHODS = {
+    "emmax": emmax,
+    "emma": emma,
+    "lm": linear_model,
+    "anova": None,   # handled specially (no kinship)
+    "kw": None,      # handled specially (no kinship)
+    "emmax_stepwise": emmax_step_wise,
+}
+
+
+def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
+             method: str = "emmax", out_prefix: Optional[str] = None,
+             data_format: str = "binary", transform: Optional[str] = None,
+             min_mac: int = 15, kinship_method: str = "ibs",
+             kinship_file: Optional[str] = None,
+             cache_dir: Optional[str] = None, plots: bool = True,
+             num_steps: int = 10, dtype=None, **model_kw) -> Dict:
+    """End-to-end GWAS (reference: examples.py flow, SURVEY.md §3.1):
+    parse -> transform -> coordinate -> MAC filter -> kinship (cached) ->
+    scan -> ranked CSV + Manhattan/QQ plots + JSON run summary.
+
+    transform: None | 'log' | 'sqrt' | 'box_cox' | 'exp' | 'arcsin_sqrt'
+               | 'most_normal'.
+    Returns {'result': Result, 'scan': scan dict, 'files': {...}}.
+    """
+    t_all = time.time()
+    timings = {}
+    t0 = time.time()
+    gd = parse_snp_data(genotype_file, data_format=data_format)
+    phend = parse_phenotype_file(phenotype_file)
+    timings["parse"] = time.time() - t0
+
+    if transform == "most_normal":
+        phend.most_normal_transformation(pid)
+    elif transform:
+        phend.transform(pid, transform)
+
+    t0 = time.time()
+    gd2, y, _ = gd.coordinate_with_phenotype(phend, pid)
+    if min_mac:
+        gd2 = gd2.filter_mac_snps(min_mac)
+    timings["coordinate"] = time.time() - t0
+
+    scan: Dict = {}
+    K = None
+    if method in ("emmax", "emma", "emmax_stepwise"):
+        t0 = time.time()
+        if kinship_file and os.path.exists(kinship_file):
+            K, acc = load_kinship_from_file(kinship_file)
+            from mixmogam_tpu.oracle.kinship import prepare_k
+
+            K = prepare_k(K, acc, gd2.accessions)
+        else:
+            K = cached_kinship(gd2, kinship_method, cache_dir=cache_dir)
+        timings["kinship"] = time.time() - t0
+
+    t0 = time.time()
+    if method == "emmax":
+        scan = emmax(gd2, y, K=K, dtype=dtype, **model_kw)
+    elif method == "emma":
+        scan = emma(gd2, y, K=K, dtype=dtype, **model_kw)
+    elif method == "lm":
+        scan = linear_model(gd2, y, dtype=dtype, **model_kw)
+    elif method == "anova":
+        scan = anova(gd2, y, **model_kw)
+    elif method == "kw":
+        scan = kruskal_wallis(gd2, y, **model_kw)
+    elif method == "emmax_stepwise":
+        sw = emmax_step_wise(gd2, y, K=K, max_steps=num_steps, dtype=dtype,
+                             save_scans=False, **model_kw)
+        scan = {"stepwise": sw, "ps": None}
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    timings["scan"] = time.time() - t0
+
+    files = {}
+    result = None
+    if scan.get("ps") is not None:
+        result = Result.from_scan(scan, gd2.chromosomes, gd2.positions,
+                                  mafs=gd2.get_mafs(), macs=gd2.get_macs())
+        if out_prefix:
+            csv = f"{out_prefix}.pvals.csv"
+            result.write_to_file(csv)
+            files["pvals"] = csv
+            if plots:
+                from mixmogam_tpu.plotting import manhattan_plot, qq_plot
+
+                man = f"{out_prefix}.manhattan.png"
+                qq = f"{out_prefix}.qq.png"
+                manhattan_plot(result, man,
+                               threshold=bonferroni_threshold(len(result)))
+                qq_plot(scan["ps"], qq)
+                files.update(manhattan=man, qq=qq)
+    timings["total"] = time.time() - t_all
+
+    if out_prefix:
+        summary = {
+            "method": method, "pid": pid,
+            "n_samples": gd2.num_samples, "n_snps": gd2.num_snps,
+            "timings_s": {k: round(v, 3) for k, v in timings.items()},
+        }
+        for k in ("pseudo_heritability", "delta", "sigma_g2", "sigma_e2"):
+            if k in scan:
+                summary[k] = scan[k]
+        if scan.get("ps") is not None:
+            summary["min_p"] = float(np.min(scan["ps"]))
+            summary["bonferroni"] = bonferroni_threshold(gd2.num_snps)
+            summary["bh_thres"] = get_bh_thres(scan["ps"])
+            summary["bhy_thres"] = get_bhy_thres(scan["ps"])
+        sj = f"{out_prefix}.summary.json"
+        with open(sj, "w") as f:
+            json.dump(summary, f, indent=2, default=float)
+        files["summary"] = sj
+
+    return {"result": result, "scan": scan, "genotype": gd2, "y": y,
+            "files": files, "timings": timings}

@@ -1,0 +1,143 @@
+"""Command-line interface (the reference has none — examples.py is its
+'CLI', SURVEY.md L8; this is the build's L8 deliverable).
+
+    mixmogam-tpu run      genotype.csv phenotype.csv --method emmax ...
+    mixmogam-tpu kinship  genotype.csv -o K.npz --method ibs
+    mixmogam-tpu simulate -n 500 -m 10000 -o prefix
+    mixmogam-tpu info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_run(sub):
+    p = sub.add_parser("run", help="end-to-end GWAS scan")
+    p.add_argument("genotype")
+    p.add_argument("phenotype")
+    p.add_argument("--pid", type=int, default=1,
+                   help="phenotype id (column) to analyze")
+    p.add_argument("--method", default="emmax",
+                   choices=["emmax", "emma", "lm", "anova", "kw",
+                            "emmax_stepwise"])
+    p.add_argument("-o", "--out-prefix", default="gwas_out")
+    p.add_argument("--data-format", default="binary",
+                   choices=["binary", "nucleotides"])
+    p.add_argument("--transform", default=None,
+                   choices=["log", "sqrt", "box_cox", "exp", "arcsin_sqrt",
+                            "most_normal"])
+    p.add_argument("--min-mac", type=int, default=15)
+    p.add_argument("--kinship-method", default="ibs",
+                   choices=["ibs", "vanraden"])
+    p.add_argument("--kinship-file", default=None)
+    p.add_argument("--cache-dir", default=None)
+    p.add_argument("--num-steps", type=int, default=10,
+                   help="stepwise forward steps")
+    p.add_argument("--no-plots", action="store_true")
+
+
+def _add_kinship(sub):
+    p = sub.add_parser("kinship", help="build + save a kinship matrix")
+    p.add_argument("genotype")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--method", default="ibs", choices=["ibs", "vanraden"])
+    p.add_argument("--data-format", default="binary")
+
+
+def _add_simulate(sub):
+    p = sub.add_parser("simulate", help="write a simulated dataset")
+    p.add_argument("-n", "--samples", type=int, default=200)
+    p.add_argument("-m", "--snps", type=int, default=10000)
+    p.add_argument("--h2", type=float, default=0.5)
+    p.add_argument("--n-causal", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-o", "--out-prefix", required=True)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="mixmogam-tpu",
+        description="TPU-native mixed-model GWAS (EMMA/EMMAX/MLMM)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _add_run(sub)
+    _add_kinship(sub)
+    _add_simulate(sub)
+    sub.add_parser("info", help="backend/device info")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "info":
+        import jax
+
+        import mixmogam_tpu
+
+        print(f"mixmogam-tpu {mixmogam_tpu.__version__}")
+        print(f"jax {jax.__version__}, backend={jax.default_backend()}, "
+              f"devices={jax.devices()}")
+        return 0
+
+    if args.cmd == "run":
+        from mixmogam_tpu.api import run_gwas
+
+        out = run_gwas(
+            args.genotype, args.phenotype, pid=args.pid, method=args.method,
+            out_prefix=args.out_prefix, data_format=args.data_format,
+            transform=args.transform, min_mac=args.min_mac,
+            kinship_method=args.kinship_method,
+            kinship_file=args.kinship_file, cache_dir=args.cache_dir,
+            plots=not args.no_plots, num_steps=args.num_steps)
+        if args.method == "emmax_stepwise":
+            sw = out["scan"]["stepwise"]
+            sel = {k: v["cofactors"] for k, v in sw["selected"].items()}
+            print(json.dumps({"selected": sel}, indent=2))
+        else:
+            import numpy as np
+
+            ps = out["scan"]["ps"]
+            print(f"scanned {len(ps)} SNPs; min p = {np.min(ps):.3e}; "
+                  f"files: {out['files']}")
+        return 0
+
+    if args.cmd == "kinship":
+        from mixmogam_tpu.api import (calc_ibd_kinship, calc_ibs_kinship,
+                                      parse_snp_data,
+                                      save_kinship_to_file)
+
+        gd = parse_snp_data(args.genotype, data_format=args.data_format)
+        fn = calc_ibs_kinship if args.method == "ibs" else calc_ibd_kinship
+        K = fn(gd)
+        save_kinship_to_file(args.out, K, gd.accessions)
+        print(f"wrote {args.out} ({K.shape[0]}x{K.shape[1]})")
+        return 0
+
+    if args.cmd == "simulate":
+        import numpy as np
+
+        from mixmogam_tpu.data.genotype import GenotypeData
+        from mixmogam_tpu.data.phenotype import PhenotypeData
+        from mixmogam_tpu.data.simulate import (simulate_genotypes,
+                                                simulate_phenotype)
+
+        G, ch, po = simulate_genotypes(args.samples, args.snps,
+                                       seed=args.seed)
+        gd = GenotypeData(G, ch, po,
+                          [f"acc{i}" for i in range(args.samples)])
+        y, causal = simulate_phenotype(G, h2=args.h2,
+                                       n_causal=args.n_causal,
+                                       seed=args.seed)
+        gfile = f"{args.out_prefix}.genotypes.csv"
+        pfile = f"{args.out_prefix}.phenotypes.csv"
+        gd.write_csv(gfile)
+        PhenotypeData.from_arrays(1, "sim_trait", gd.accessions,
+                                  y).write_to_file(pfile)
+        np.savetxt(f"{args.out_prefix}.causal.txt", causal, fmt="%d")
+        print(f"wrote {gfile}, {pfile} "
+              f"({args.samples} samples x {args.snps} SNPs)")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

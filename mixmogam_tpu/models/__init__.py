@@ -4,6 +4,13 @@ drivers emma / emmax / emmax_step_wise / linear_model / anova — SURVEY.md
 layer wraps them into Result objects."""
 
 from mixmogam_tpu.models.emmax import emmax, emmax_anova
+from mixmogam_tpu.models.emma import emma
 from mixmogam_tpu.models.linear import linear_model, anova, kruskal_wallis
+from mixmogam_tpu.models.stepwise import emmax_step_wise
+from mixmogam_tpu.models.multitrait import emmax_multi_trait
+from mixmogam_tpu.models.permutation import emmax_perm_test
+from mixmogam_tpu.models.twosnp import emmax_two_snps
 
-__all__ = ["emmax", "emmax_anova", "linear_model", "anova", "kruskal_wallis"]
+__all__ = ["emmax", "emmax_anova", "emma", "linear_model", "anova",
+           "kruskal_wallis", "emmax_step_wise", "emmax_multi_trait",
+           "emmax_perm_test", "emmax_two_snps"]

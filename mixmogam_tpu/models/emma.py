@@ -1,0 +1,128 @@
+"""EMMA exact scan: per-SNP variance-component re-estimation
+(SURVEY.md A.4, §3.3; reference: linear_models.emma — the per-SNP
+eigh+REML Python loop, here a batched grid/bisection over SNP tiles with
+NO per-SNP eigendecomposition; see ops.xreml for the algebra).
+
+Per SNP j the model is y = [X0, g_j] b + u + e with its OWN delta_j:
+  1. delta_j by REML (grid + refine, reference defaults),
+  2. F-test of g_j at delta_j: F = (rss0_j - rss1_j)/(rss1_j/(n-q-1))
+     with both RSS evaluated by GLS at delta_j,
+  3. optionally an LRT against the null ML fit (test='lrt').
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixmogam_tpu.models.emmax import _as_dosage
+from mixmogam_tpu.ops.eigen import eigen_k
+from mixmogam_tpu.ops.reml import fit_null_model
+from mixmogam_tpu.ops.stats import f_sf_host, chi2_sf_host
+from mixmogam_tpu.ops.xreml import (
+    chol_small, chol_solve_small, chol_logdet_small, emma_delta_scan,
+    _snp_moments, _assemble,
+)
+
+
+@jax.jit
+def _logdet_xtx_tile(Gt, X0_rot):
+    """ln|[X0 g]'[X0 g]| per SNP (U orthogonal => computable rotated)."""
+    q = X0_rot.shape[1]
+    A00 = X0_rot.T @ X0_rot
+    a01 = Gt @ X0_rot
+    a11 = jnp.sum(Gt * Gt, axis=1)
+    A, _, _ = _assemble(A00, jnp.zeros(q, Gt.dtype), jnp.zeros((), Gt.dtype),
+                        a01, a11, jnp.zeros_like(a11))
+    return chol_logdet_small(chol_small(A))
+
+
+@jax.jit
+def _f_stats_at_delta(Gt, X0_rot, y_rot, phi, log_delta, ypy):
+    """rss0 at the per-SNP delta (null GLS) + collinearity mask."""
+    d = jnp.exp(log_delta)[:, None]
+    w = 1.0 / (phi[None, :] + d)
+    A00, b0, c, a01, a11, b1 = _snp_moments(Gt, X0_rot, y_rot, w)
+    L0 = chol_small(A00)
+    t = chol_solve_small(L0, b0)
+    rss0 = c - jnp.sum(b0 * t, axis=-1)
+    s = chol_solve_small(L0, a01)
+    xx = a11 - jnp.sum(a01 * s, axis=-1)
+    eps = 100.0 * jnp.finfo(Gt.dtype).eps
+    mask = xx > eps * jnp.maximum(a11, jnp.finfo(Gt.dtype).tiny)
+    return rss0, mask
+
+
+def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
+         eig_k: Optional[Tuple] = None, ngrids: int = 100,
+         llim: float = -10.0, ulim: float = 10.0, esp: float = 1e-6,
+         tile: int = 2048, dtype=None, test: str = "f",
+         ) -> Dict[str, np.ndarray]:
+    """EMMA exact scan. Same signature family as emmax(); additionally
+    returns per-SNP 'deltas' and 'pseudo_heritabilities'."""
+    del esp
+    y = np.asarray(y, dtype=np.float64).ravel()
+    n = y.shape[0]
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    Gf = _as_dosage(G, dtype)
+    M = Gf.shape[0]
+    if X0 is None:
+        X0 = np.ones((n, 1))
+    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    q = X0.shape[1]
+    if eig_k is None:
+        phi, U = eigen_k(K, host=True)
+    else:
+        phi, U = eig_k
+    phi = jnp.asarray(phi, dtype=dtype)
+    U = jnp.asarray(U, dtype=dtype)
+    y_rot = U.T @ jnp.asarray(y, dtype=dtype)
+    X0_rot = U.T @ jnp.asarray(X0, dtype=dtype)
+    reml = test != "lrt"
+    if test == "lrt":
+        null = fit_null_model(y.astype(np.dtype(dtype).name), X0, eig_k=(phi, U),
+                              ngrids=ngrids, llim=llim, ulim=ulim, ml=True)
+        ll_null = float(null.ll)
+
+    deltas = np.empty(M)
+    lls = np.empty(M)
+    fstats = np.empty(M)
+    betas = np.empty(M)
+    masks = np.empty(M, dtype=bool)
+    Gd = jnp.asarray(Gf)
+    for s in range(0, M, tile):
+        e = min(s + tile, M)
+        Gt_raw = Gd[s:e]
+        if e - s < tile:  # pad to the static tile shape (single compile)
+            Gt_raw = jnp.pad(Gt_raw, ((0, tile - (e - s)), (0, 0)))
+        Gt = Gt_raw @ U
+        ld_xtx = _logdet_xtx_tile(Gt, X0_rot)
+        r = emma_delta_scan(Gt, X0_rot, y_rot, phi, ld_xtx, ngrids=ngrids,
+                            llim=llim, ulim=ulim, reml=reml)
+        rss0, mask = _f_stats_at_delta(Gt, X0_rot, y_rot, phi,
+                                       r["log_delta"], r["ypy"])
+        rss1 = r["ypy"]
+        dof = n - q - 1
+        f = (rss0 - rss1) * dof / jnp.maximum(rss1, jnp.finfo(Gt.dtype).tiny)
+        f = jnp.where(mask, jnp.maximum(f, 0.0), 0.0)
+        m = e - s
+        deltas[s:e] = np.asarray(r["delta"])[:m]
+        lls[s:e] = np.asarray(r["ll"])[:m]
+        fstats[s:e] = np.asarray(f)[:m]
+        betas[s:e] = np.asarray(r["beta"])[:m, -1]
+        masks[s:e] = np.asarray(mask)[:m]
+
+    out = {"f_stats": fstats, "deltas": deltas, "betas": betas,
+           "mask": masks, "lls": lls,
+           "pseudo_heritabilities": 1.0 / (1.0 + deltas)}
+    if test == "lrt":
+        lrt = np.maximum(2.0 * (lls - ll_null), 0.0)
+        out["ps"] = np.where(masks, chi2_sf_host(lrt, 1.0), 1.0)
+        out["lrt_stats"] = lrt
+    else:
+        out["ps"] = np.where(masks, f_sf_host(fstats, 1.0, n - q - 1), 1.0)
+    return out

@@ -67,13 +67,14 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     rot = build_rotated_null(null)
     d = emmax_scan_all(jnp.asarray(Gf), rot, tile=tile)
     f_stats = np.asarray(d["f_stats"], dtype=np.float64)
-    ps = f_sf_host(f_stats, 1.0, rot.dof)
+    dof = int(rot.dof)
+    ps = f_sf_host(f_stats, 1.0, dof)
     ps = np.where(np.asarray(d["mask"]), ps, 1.0)
     out = {
         "ps": ps, "f_stats": f_stats, "mask": np.asarray(d["mask"]),
         "pseudo_heritability": float(null.pseudo_heritability),
         "delta": float(null.delta), "sigma_g2": float(null.sigma_g2),
-        "sigma_e2": float(null.sigma_e2), "dof": rot.dof,
+        "sigma_e2": float(null.sigma_e2), "dof": dof,
         "ll_null": float(null.ll),
     }
     if with_betas:

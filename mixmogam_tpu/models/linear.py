@@ -30,7 +30,8 @@ def _identity_rot(y: np.ndarray, X0: np.ndarray, dtype) -> RotatedNull:
     rss0 = y_res @ y_res
     ones = jnp.ones(n, dtype=dtype)
     return RotatedNull(W=jnp.eye(n, dtype=dtype), sd=ones, Q0=Q0,
-                       y_res=y_res, rss0=rss0, dof=int(n - q - 1))
+                       y_res=y_res, rss0=rss0,
+                       dof=jnp.asarray(n - q - 1, dtype=dtype))
 
 
 def linear_model(G, y, X0: Optional[np.ndarray] = None, dtype=None,
@@ -49,9 +50,10 @@ def linear_model(G, y, X0: Optional[np.ndarray] = None, dtype=None,
     rot = _identity_rot(y, X0, dtype)
     d = emmax_scan_all(jnp.asarray(Gf), rot, tile=tile, pre_rotated=True)
     f_stats = np.asarray(d["f_stats"], dtype=np.float64)
-    ps = np.where(np.asarray(d["mask"]), f_sf_host(f_stats, 1.0, rot.dof), 1.0)
+    dof = int(rot.dof)
+    ps = np.where(np.asarray(d["mask"]), f_sf_host(f_stats, 1.0, dof), 1.0)
     out = {"ps": ps, "f_stats": f_stats, "mask": np.asarray(d["mask"]),
-           "dof": rot.dof}
+           "dof": dof}
     if with_betas:
         out["betas"] = np.asarray(d["betas"], dtype=np.float64)
         out["var_perc"] = np.asarray(d["var_perc"], dtype=np.float64)

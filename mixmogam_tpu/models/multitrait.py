@@ -1,0 +1,133 @@
+"""Multi-trait batched EMMAX (BASELINE config #4; SURVEY.md §2.3 maps the
+reference's absent 'expert parallelism' to the TRAIT axis).
+
+All traits share eigh(K) and the projected spectrum (same null design);
+REML is vmapped over traits (one fused grid+bisection for all T);
+the scan shares each rotated genotype tile across traits — the rotation
+matmul is paid once, the per-trait work is elementwise + (m,q) matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixmogam_tpu.models.emmax import _as_dosage
+from mixmogam_tpu.ops.eigen import eigen_k, projected_spectrum
+from mixmogam_tpu.ops.reml import reml_from_spectrum
+from mixmogam_tpu.ops.stats import f_sf_host
+from mixmogam_tpu.ops.xreml import chol_small, chol_solve_small
+
+
+@jax.jit
+def _trait_nulls(Y_rot, X0_rot, phi, deltas):
+    """Per-trait whitened null quantities, batched: sd (T,n), P0-applied
+    residual y_res (T,n), rss0 (T,), and the GLS projector pieces."""
+    sd = 1.0 / jnp.sqrt(phi[None, :] + deltas[:, None])          # (T, n)
+    Ys = Y_rot * sd                                               # (T, n)
+    X0s = X0_rot[None, :, :] * sd[:, :, None]                     # (T, n, q)
+    A = jnp.einsum("tnp,tnq->tpq", X0s, X0s)                      # (T, q, q)
+    L = chol_small(A)
+    b = jnp.einsum("tnp,tn->tp", X0s, Ys)
+    coef = chol_solve_small(L, b)                                 # (T, q)
+    y_res = Ys - jnp.einsum("tnp,tp->tn", X0s, coef)
+    rss0 = jnp.sum(y_res * y_res, axis=1)
+    return sd, X0s, L, y_res, rss0
+
+
+@jax.jit
+def _scan_tile_multitrait(G_rot_tile, sd, X0s, L, y_res, rss0, dof):
+    """F stats for one rotated tile across all traits.
+    G_rot_tile: (m, n); returns (T, m) f_stats + mask."""
+    def per_trait(sd_t, X0s_t, L_t, y_res_t, rss0_t):
+        Xs = G_rot_tile * sd_t[None, :]                           # (m, n)
+        c = Xs @ X0s_t                                            # (m, q)
+        # xx = ||Xs||^2 - c' A^-1 c   (A = X0s'X0s, non-orthonormal basis)
+        s = chol_solve_small(L_t, c)                              # (m, q)
+        ss = jnp.sum(Xs * Xs, axis=1)
+        xx = ss - jnp.sum(c * s, axis=1)
+        xy = Xs @ y_res_t
+        eps = 100.0 * jnp.finfo(Xs.dtype).eps
+        mask = xx > eps * jnp.maximum(ss, jnp.finfo(Xs.dtype).tiny)
+        xx_safe = jnp.where(mask, xx, 1.0)
+        expl = jnp.where(mask, jnp.minimum(xy * xy / xx_safe, rss0_t), 0.0)
+        rss1 = jnp.maximum(rss0_t - expl, jnp.finfo(Xs.dtype).tiny)
+        f = expl * dof / rss1
+        beta = jnp.where(mask, xy / xx_safe, 0.0)
+        return f, beta, mask
+
+    return jax.vmap(per_trait)(sd, X0s, L, y_res, rss0)
+
+
+def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
+                      eig_k: Optional[Tuple] = None, ngrids: int = 100,
+                      llim: float = -10.0, ulim: float = 10.0,
+                      dtype=None, tile: Optional[int] = None,
+                      tile_budget: int = 1 << 27) -> Dict[str, np.ndarray]:
+    """EMMAX over T phenotypes sharing one kinship/eigenbasis.
+
+    Y: (T, n) trait matrix (rows = traits, aligned to G's samples).
+    Returns ps/f_stats/betas of shape (T, M) + per-trait deltas and h2.
+    """
+    Y = np.atleast_2d(np.asarray(Y, dtype=np.float64))
+    T, n = Y.shape
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    Gf = _as_dosage(G, dtype)
+    M = Gf.shape[0]
+    if X0 is None:
+        X0 = np.ones((n, 1))
+    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    q = X0.shape[1]
+    if eig_k is None:
+        phi, U = eigen_k(K, host=True)
+    else:
+        phi, U = eig_k
+    phi = jnp.asarray(phi, dtype=dtype)
+    U = jnp.asarray(U, dtype=dtype)
+    xi, V = projected_spectrum(
+        K if K is not None else np.asarray((U * phi) @ U.T), X0, host=True)
+    xi = jnp.asarray(xi, dtype=dtype)
+    V = jnp.asarray(V, dtype=dtype)
+    Yd = jnp.asarray(Y, dtype=dtype)
+    eta2 = (Yd @ V) ** 2                                          # (T, n-q)
+    remls = jax.vmap(
+        lambda e: reml_from_spectrum(e, xi, ngrids=ngrids, llim=llim,
+                                     ulim=ulim))(eta2)
+    deltas = remls["delta"]
+    Y_rot = Yd @ U
+    X0_rot = U.T @ jnp.asarray(X0, dtype=dtype)
+    sd, X0s, L, y_res, rss0 = _trait_nulls(Y_rot, X0_rot, phi, deltas)
+    dof = n - q - 1
+
+    if tile is None:
+        tile = max(64, min(8192, tile_budget // max(T * n, 1)))
+    Gd = jnp.asarray(Gf)
+    fs = np.empty((T, M))
+    betas = np.empty((T, M))
+    masks = np.empty((T, M), dtype=bool)
+    for s in range(0, M, tile):
+        e = min(s + tile, M)
+        Gt = Gd[s:e]
+        if e - s < tile:
+            Gt = jnp.pad(Gt, ((0, tile - (e - s)), (0, 0)))
+        G_rot_tile = Gt @ U
+        f, b, mk = _scan_tile_multitrait(G_rot_tile, sd, X0s, L, y_res,
+                                         rss0, float(dof))
+        m = e - s
+        fs[:, s:e] = np.asarray(f)[:, :m]
+        betas[:, s:e] = np.asarray(b)[:, :m]
+        masks[:, s:e] = np.asarray(mk)[:, :m]
+
+    ps = np.where(masks, f_sf_host(fs, 1.0, dof), 1.0)
+    return {
+        "ps": ps, "f_stats": fs, "betas": betas, "mask": masks,
+        "deltas": np.asarray(remls["delta"], dtype=np.float64),
+        "pseudo_heritabilities": np.asarray(
+            remls["pseudo_heritability"], dtype=np.float64),
+        "dof": dof,
+    }

@@ -1,0 +1,90 @@
+"""Permutation tests for empirical significance thresholds
+(SURVEY.md A.6; reference: linear_models.emmax_perm_test).
+
+Semantics (matching the reference's approximation): the null-model
+variance components are fit ONCE on the unpermuted data; each permutation
+shuffles the phenotype, re-whitens with the SAME H^(-1/2), and rescans.
+All P permutations are batched: per genotype tile, the P F-statistic
+columns come from ONE (m,n)x(n,P) matmul; only the per-permutation max-F
+(= min-p) survives, so memory is O(m*P) per tile."""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixmogam_tpu.models.emmax import _as_dosage
+from mixmogam_tpu.ops.eigen import eigen_k, orthonormal_basis
+from mixmogam_tpu.ops.reml import fit_null_model
+from mixmogam_tpu.ops.stats import f_sf_host
+
+
+@jax.jit
+def _perm_tile_max_f(G_rot_tile, sd, Q0, Y_res, rss0, dof, running_max):
+    """Max-over-SNPs F per permutation for one rotated tile.
+    Y_res: (P, n) whitened permuted residuals; rss0: (P,)."""
+    Xs = G_rot_tile * sd[None, :]                  # (m, n)
+    c = Xs @ Q0                                    # (m, q)
+    ss = jnp.sum(Xs * Xs, axis=1)
+    xx = ss - jnp.sum(c * c, axis=1)
+    eps = 100.0 * jnp.finfo(Xs.dtype).eps
+    mask = xx > eps * jnp.maximum(ss, jnp.finfo(Xs.dtype).tiny)
+    xy = Xs @ Y_res.T                              # (m, P)
+    expl = jnp.where(mask[:, None],
+                     jnp.minimum(xy * xy / jnp.where(mask, xx, 1.0)[:, None],
+                                 rss0[None, :]), 0.0)
+    rss1 = jnp.maximum(rss0[None, :] - expl, jnp.finfo(Xs.dtype).tiny)
+    f = expl * dof / rss1                          # (m, P)
+    return jnp.maximum(running_max, jnp.max(f, axis=0))
+
+
+def emmax_perm_test(G, y, K=None, num_perm: int = 100,
+                    X0: Optional[np.ndarray] = None, seed: int = 0,
+                    alpha: float = 0.05, dtype=None, tile: int = 4096,
+                    eig_k=None) -> Dict[str, np.ndarray]:
+    """Returns the empirical min-p distribution and the alpha-quantile
+    genome-wide threshold."""
+    y = np.asarray(y, dtype=np.float64).ravel()
+    n = y.shape[0]
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    Gf = _as_dosage(G, dtype)
+    M = Gf.shape[0]
+    if X0 is None:
+        X0 = np.ones((n, 1))
+    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    q = X0.shape[1]
+    null = fit_null_model(y.astype(np.dtype(dtype).name), X0, K=K,
+                          eig_k=eig_k)
+    phi, U, delta = null.phi, null.U, null.delta
+    sd = 1.0 / jnp.sqrt(phi + delta)
+    rng = np.random.default_rng(seed)
+    perms = np.stack([rng.permutation(n) for _ in range(num_perm)])
+    Yp = y[perms]                                   # (P, n)
+    Yp_rot = jnp.asarray(Yp, dtype=dtype) @ U       # rotate all perms
+    Ys = Yp_rot * sd[None, :]
+    X0_rot_star = (null.X0.T @ U).T * sd[:, None]
+    Q0 = orthonormal_basis(X0_rot_star)
+    Y_res = Ys - (Ys @ Q0) @ Q0.T
+    rss0 = jnp.sum(Y_res * Y_res, axis=1)
+    dof = n - q - 1
+
+    Gd = jnp.asarray(Gf)
+    max_f = jnp.zeros(num_perm, dtype=Ys.dtype)
+    for s in range(0, M, tile):
+        e = min(s + tile, M)
+        Gt = Gd[s:e]
+        if e - s < tile:
+            Gt = jnp.pad(Gt, ((0, tile - (e - s)), (0, 0)))
+        G_rot_tile = Gt @ U
+        max_f = _perm_tile_max_f(G_rot_tile, sd, Q0, Y_res, rss0,
+                                 float(dof), max_f)
+    min_ps = f_sf_host(np.asarray(max_f), 1.0, dof)
+    thr = float(np.quantile(min_ps, alpha))
+    return {"min_ps": np.sort(min_ps), "threshold": thr,
+            "alpha": alpha, "num_perm": num_perm,
+            "delta": float(delta)}

@@ -1,0 +1,178 @@
+"""Stepwise MLMM — forward/backward multi-locus mixed model
+(SURVEY.md A.5, §3.2; reference: linear_models.emmax_step_wise;
+Segura et al. 2012).
+
+Host-orchestrated loop over device scans (the step count is tiny and data-
+dependent — exactly the control flow that should NOT live inside jit):
+
+  per forward step:
+    re-REML with current cofactors   [ops.xreml.explicit_reml — reuses
+                                      eigh(K); no per-step eigendecomp,
+                                      unlike the reference's eig_R re-eigh]
+    full EMMAX scan                  [ops.scan on PRE-ROTATED genotypes —
+                                      elementwise only, the rotation matmul
+                                      is paid once for all steps]
+    add argmin-p SNP as cofactor; record h2, ML criteria (BIC/eBIC/mBIC),
+    cofactor re-test p-values, mbonf.
+  backward: drop the least significant cofactor per step.
+  selection: optimum per criterion over the whole path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.special
+
+from mixmogam_tpu.models.emmax import _as_dosage
+from mixmogam_tpu.ops.eigen import eigen_k, orthonormal_basis
+from mixmogam_tpu.ops.reml import NullModel
+from mixmogam_tpu.ops.scan import RotatedNull, emmax_scan_all, emmax_scan_stats
+from mixmogam_tpu.ops.stats import f_sf_host
+from mixmogam_tpu.ops.xreml import explicit_reml
+
+
+def _log_binom(m: int, k: int) -> float:
+    return float(scipy.special.gammaln(m + 1) - scipy.special.gammaln(k + 1)
+                 - scipy.special.gammaln(m - k + 1))
+
+
+def _rot_null_from_delta(phi, delta, y_rot, X0_rot, dtype, pad_to: int = 0):
+    """RotatedNull for PRE-ROTATED scans, built directly in the eigenbasis.
+
+    pad_to: zero-pad Q0's column count so scans at every stepwise step
+    share ONE compiled shape (zero columns contribute nothing to the
+    projection; dof stays the TRUE n-q-1 as a dynamic scalar)."""
+    sd = 1.0 / jnp.sqrt(phi + delta)
+    y_star = y_rot * sd
+    X0_star = X0_rot * sd[:, None]
+    Q0 = orthonormal_basis(X0_star)
+    y_res = y_star - Q0 @ (Q0.T @ y_star)
+    rss0 = y_res @ y_res
+    n, q = X0_star.shape
+    if pad_to > q:
+        Q0 = jnp.pad(Q0, ((0, 0), (0, pad_to - q)))
+    return RotatedNull(W=jnp.zeros((0, 0), dtype=dtype), sd=sd, Q0=Q0,
+                       y_res=y_res, rss0=rss0,
+                       dof=jnp.asarray(n - q - 1, dtype=dtype))
+
+
+def emmax_step_wise(G, y, K=None, max_steps: int = 10,
+                    X0: Optional[np.ndarray] = None, alpha: float = 0.05,
+                    ngrids: int = 100, llim: float = -10.0,
+                    ulim: float = 10.0, esp: float = 1e-6,
+                    dtype=None, tile: int = 8192, eig_k=None,
+                    save_scans: bool = False) -> Dict:
+    """Returns {'steps': [...], 'selected': {criterion: {...}},
+    'bonf_threshold': float} — same schema as the oracle
+    (oracle.mlmm_step_wise), parity-tested."""
+    del esp
+    y = np.asarray(y, dtype=np.float64).ravel()
+    n = y.shape[0]
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    Gf = _as_dosage(G, dtype)
+    M = Gf.shape[0]
+    if X0 is None:
+        X0 = np.ones((n, 1))
+    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    if eig_k is None:
+        phi, U = eigen_k(K, host=True)
+    else:
+        phi, U = eig_k
+    phi = jnp.asarray(phi, dtype=dtype)
+    U = jnp.asarray(U, dtype=dtype)
+    y_rot = U.T @ jnp.asarray(y, dtype=dtype)
+    X0_rot = U.T @ jnp.asarray(X0, dtype=dtype)
+    # rotate genotypes ONCE; every scan afterwards is elementwise
+    G_rot = jnp.asarray(Gf) @ U
+    bonf = alpha / M
+    q0 = X0.shape[1]
+    pad_to = q0 + max_steps  # one scan compile across all steps
+
+    steps: List[Dict] = []
+    cof: List[int] = []
+
+    def model_stats(cof_now: List[int]):
+        X_rot = (X0_rot if not cof_now
+                 else jnp.concatenate([X0_rot] + [G_rot[c][:, None]
+                                                  for c in cof_now], axis=1))
+        r = explicit_reml(phi, y_rot, X_rot, ngrids=ngrids, llim=llim,
+                          ulim=ulim, reml=True)
+        m = explicit_reml(phi, y_rot, X_rot, ngrids=ngrids, llim=llim,
+                          ulim=ulim, reml=False)
+        k = len(cof_now)
+        bic = -2.0 * float(m["ll"]) + k * np.log(n)
+        ebic = bic + 2.0 * _log_binom(M, k)
+        mbic = (-2.0 * float(m["ll"]) + k * np.log(n)
+                + 2.0 * k * np.log(max(M / 2.2 - 1.0, 1.0)))
+        # re-test each cofactor by dropping it (GLS F at this step's delta)
+        cof_ps = np.ones(k)
+        for i, c in enumerate(cof_now):
+            others = [cc for cc in cof_now if cc != c]
+            Xm = (X0_rot if not others
+                  else jnp.concatenate([X0_rot] + [G_rot[o][:, None]
+                                                   for o in others], axis=1))
+            rotm = _rot_null_from_delta(phi, r["delta"], y_rot, Xm, dtype,
+                                        pad_to=pad_to)
+            st = emmax_scan_stats(G_rot[c][None, :], rotm, pre_rotated=True)
+            fval = float(np.asarray(st["f_stats"])[0])
+            cof_ps[i] = float(f_sf_host(np.array([fval]), 1.0,
+                                        float(rotm.dof))[0]) \
+                if bool(np.asarray(st["mask"])[0]) else 1.0
+        return r, X_rot, {
+            "cofactor_ps": cof_ps, "bic": bic, "ebic": ebic, "mbic": mbic,
+            "ll_ml": float(m["ll"]),
+            "mbonf_ok": bool(np.all(cof_ps < bonf)) if cof_now else True,
+        }
+
+    def record(cof_now: List[int], phase: str):
+        r, X_rot, stats = model_stats(cof_now)
+        step = {"phase": phase, "cofactors": list(cof_now),
+                "delta": float(r["delta"]),
+                "pseudo_heritability": float(r["pseudo_heritability"]),
+                **stats}
+        return step, r, X_rot
+
+    for _ in range(max_steps):
+        step, r, X_rot = record(cof, "forward")
+        rot = _rot_null_from_delta(phi, r["delta"], y_rot, X_rot, dtype,
+                                   pad_to=pad_to)
+        d = emmax_scan_all(G_rot, rot, tile=tile, pre_rotated=True)
+        f_stats = np.asarray(d["f_stats"], dtype=np.float64)
+        ps = np.where(np.asarray(d["mask"]),
+                      f_sf_host(f_stats, 1.0, float(rot.dof)), 1.0)
+        if cof:
+            ps[np.asarray(cof, dtype=int)] = 1.1  # never re-select
+        jmin = int(np.argmin(ps))
+        step["min_p"] = float(ps[jmin])
+        step["min_p_snp"] = jmin
+        if save_scans:
+            step["scan_ps"] = ps
+        steps.append(step)
+        cof = cof + [jmin]
+
+    step, _, _ = record(cof, "forward")
+    step["min_p"] = np.nan
+    step["min_p_snp"] = -1
+    steps.append(step)
+
+    while cof:
+        last = steps[-1]
+        worst = int(np.argmax(last["cofactor_ps"]))
+        cof = [c for i, c in enumerate(cof) if i != worst]
+        step, _, _ = record(cof, "backward")
+        step["min_p"] = np.nan
+        step["min_p_snp"] = -1
+        steps.append(step)
+
+    sel = {}
+    for c in ("bic", "ebic", "mbic"):
+        j = int(np.argmin([s[c] for s in steps]))
+        sel[c] = {"step": j, "cofactors": steps[j]["cofactors"]}
+    ok = [i for i, s in enumerate(steps) if s["mbonf_ok"]]
+    jm = max(ok, key=lambda i: (len(steps[i]["cofactors"]), -i)) if ok else 0
+    sel["mbonf"] = {"step": jm, "cofactors": steps[jm]["cofactors"]}
+    return {"steps": steps, "selected": sel, "bonf_threshold": bonf}

@@ -1,0 +1,160 @@
+"""Two-SNP / epistasis scans (SURVEY.md §0 'Two-SNP / interaction scans';
+reference: linear_models.emmax_two_snps).
+
+For a focal SNP set A and a partner set B (defaults: A = B = all SNPs is
+O(|A||B|) — the reference restricts A to top hits/regions, and so should
+callers), each pair (a, b) gets:
+
+  - 'cond' p: g_b tested with g_a as a cofactor  ([X0, g_a] vs + g_b)
+  - 'inter' p: the product term g_a*g_b tested on top of [X0, g_a, g_b]
+
+Vectorization: for each focal a (host loop, |A| is small), the partner axis
+is one standard vectorized scan — conditional scans reuse pre-rotated
+genotypes; interaction columns are formed in sample space and rotated with
+one extra matmul per focal SNP."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from mixmogam_tpu.models.emmax import _as_dosage
+from mixmogam_tpu.ops.eigen import eigen_k
+from mixmogam_tpu.ops.reml import fit_null_model
+from mixmogam_tpu.ops.scan import emmax_scan_all
+from mixmogam_tpu.ops.stats import f_sf_host
+from mixmogam_tpu.models.stepwise import _rot_null_from_delta
+
+
+def emmax_two_snps(G, y, K=None, focal_idx: Optional[Sequence[int]] = None,
+                   X0: Optional[np.ndarray] = None, eig_k=None,
+                   ngrids: int = 100, llim: float = -10.0, ulim: float = 10.0,
+                   dtype=None, tile: int = 8192,
+                   refit_delta_per_focal: bool = False) -> Dict[str, np.ndarray]:
+    """Pairwise scan of each focal SNP against all M partners.
+
+    Returns dict with 'cond_ps' and 'inter_ps' of shape (|A|, M), plus
+    'focal_idx'. delta is fit once on the global null (EMMAX convention);
+    refit_delta_per_focal=True re-fits REML with each focal cofactor
+    (slower, closer to a per-pair mixed model)."""
+    y = np.asarray(y, dtype=np.float64).ravel()
+    n = y.shape[0]
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    Gf = _as_dosage(G, dtype)
+    M = Gf.shape[0]
+    if focal_idx is None:
+        focal_idx = np.arange(min(M, 32))  # safety default, not all-pairs
+    focal_idx = np.asarray(list(focal_idx), dtype=np.int64)
+    if X0 is None:
+        X0 = np.ones((n, 1))
+    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    q = X0.shape[1]
+    if eig_k is None:
+        phi, U = eigen_k(K, host=True)
+    else:
+        phi, U = eig_k
+    phi = jnp.asarray(phi, dtype=dtype)
+    U = jnp.asarray(U, dtype=dtype)
+    null = fit_null_model(y.astype(np.dtype(dtype).name), X0,
+                          eig_k=(phi, U), ngrids=ngrids, llim=llim,
+                          ulim=ulim)
+    y_rot = U.T @ jnp.asarray(y, dtype=dtype)
+    X0_rot = U.T @ jnp.asarray(X0, dtype=dtype)
+    Gd = jnp.asarray(Gf)
+    G_rot = Gd @ U
+
+    A = len(focal_idx)
+    cond_ps = np.ones((A, M))
+    inter_ps = np.ones((A, M))
+    for i, a in enumerate(focal_idx):
+        ga_rot = G_rot[a][:, None]
+        Xa_rot = jnp.concatenate([X0_rot, ga_rot], axis=1)
+        if refit_delta_per_focal:
+            from mixmogam_tpu.ops.xreml import explicit_reml
+
+            delta = explicit_reml(phi, y_rot, Xa_rot, ngrids=ngrids,
+                                  llim=llim, ulim=ulim)["delta"]
+        else:
+            delta = null.delta
+        # conditional scan: partner SNPs against [X0, g_a]
+        rot_a = _rot_null_from_delta(phi, delta, y_rot, Xa_rot, dtype)
+        d = emmax_scan_all(G_rot, rot_a, tile=tile, pre_rotated=True)
+        f = np.asarray(d["f_stats"], dtype=np.float64)
+        cond_ps[i] = np.where(np.asarray(d["mask"]),
+                              f_sf_host(f, 1.0, rot_a.dof), 1.0)
+        # interaction: product columns, null = [X0, g_a, g_b] per pair.
+        # The null design differs per PAIR; testing the product on top of
+        # [X0, g_a] + g_b as cofactor-of-the-pair is handled by scanning
+        # the product against [X0, g_a] jointly with g_b:
+        # build products in sample space, rotate once for this focal SNP
+        ga = Gd[a]
+        prod_rot = (Gd * ga[None, :]) @ U
+        # residualize the product against [X0, g_a, g_b]: approximate the
+        # per-pair null by conditioning on g_a (shared) and projecting g_b
+        # per pair inside the scan via the 2-column trick: scan the product
+        # with cofactors [X0, g_a] and partner g_b appended pairwise.
+        # Implemented exactly: for the F-test of the product with per-pair
+        # null, use the identity rss(pair null) = rss([X0,g_a]) - expl(g_b),
+        # and test the product's residual against BOTH bases:
+        dpair = _pairwise_interaction(G_rot, prod_rot, rot_a)
+        inter_f = np.asarray(dpair["f_stats"], dtype=np.float64)
+        inter_ps[i] = np.where(np.asarray(dpair["mask"]),
+                               f_sf_host(inter_f, 1.0,
+                                         float(rot_a.dof) - 1.0), 1.0)
+    return {"cond_ps": cond_ps, "inter_ps": inter_ps,
+            "focal_idx": focal_idx, "delta": float(null.delta),
+            "pseudo_heritability": float(null.pseudo_heritability)}
+
+
+def _pairwise_interaction(G_rot, prod_rot, rot_a):
+    """Exact per-pair interaction F-test in the whitened basis.
+
+    For each pair: null = span(Q0a, b*), test column = p* (the whitened
+    product). Gram-Schmidt the pair against the shared orthonormal Q0a,
+    then against each other — all elementwise over the partner axis.
+    rot_a is passed as a pytree ARGUMENT (closing over it would bake its
+    arrays into the executable and recompile per focal SNP)."""
+    import jax
+
+    @jax.jit
+    def run(G_rot, prod_rot, rot_a):
+        sd = rot_a.sd
+        Q0 = rot_a.Q0
+        y_res = rot_a.y_res
+        rss0 = rot_a.rss0
+        B = G_rot * sd[None, :]                     # whitened partners
+        P = prod_rot * sd[None, :]                  # whitened products
+        dt = B.dtype
+        eps = 100.0 * jnp.finfo(dt).eps
+
+        def orth(X):  # residualize rows of X against Q0
+            return X - (X @ Q0) @ Q0.T
+
+        Br = orth(B)
+        Pr = orth(P)
+        bb = jnp.sum(Br * Br, axis=1)
+        maskb = bb > eps * jnp.maximum(jnp.sum(B * B, axis=1),
+                                       jnp.finfo(dt).tiny)
+        bb_safe = jnp.where(maskb, bb, 1.0)
+        # residualize product against the partner direction
+        pb = jnp.sum(Pr * Br, axis=1)
+        Pr2 = Pr - (pb / bb_safe)[:, None] * Br
+        pp = jnp.sum(Pr2 * Pr2, axis=1)
+        maskp = pp > eps * jnp.maximum(jnp.sum(P * P, axis=1),
+                                       jnp.finfo(dt).tiny)
+        pp_safe = jnp.where(maskp, pp, 1.0)
+        # rss of pair null = rss0 - (b'y)^2/bb
+        by = Br @ y_res
+        rss_pair = rss0 - jnp.where(maskb, by * by / bb_safe, 0.0)
+        py = Pr2 @ y_res
+        expl = jnp.where(maskp, jnp.minimum(py * py / pp_safe, rss_pair), 0.0)
+        rss1 = jnp.maximum(rss_pair - expl, jnp.finfo(dt).tiny)
+        dof = jnp.asarray(rot_a.dof, dt) - 1.0  # one more pair-null column
+        f = expl * dof / rss1
+        mask = maskb & maskp
+        return {"f_stats": jnp.where(mask, f, 0.0), "mask": mask}
+
+    return run(G_rot, prod_rot, rot_a)

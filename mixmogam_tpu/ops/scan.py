@@ -47,9 +47,12 @@ class RotatedNull:
     W: jnp.ndarray        # (n, n) U * 1/sqrt(phi+delta) — rotate+whiten
     sd: jnp.ndarray       # (n,) 1/sqrt(phi+delta) (for pre-rotated tiles)
     Q0: jnp.ndarray       # (n, q) orthonormal basis of whitened null design
+                          #   (zero-padded columns allowed: they contribute
+                          #    nothing, letting stepwise keep ONE scan
+                          #    compile across steps of growing q)
     y_res: jnp.ndarray    # (n,) whitened phenotype residual
     rss0: jnp.ndarray     # scalar null RSS
-    dof: int = dataclasses.field(metadata=dict(static=True))  # n - q - 1
+    dof: jnp.ndarray      # n - q - 1 as a DATA leaf (dynamic across steps)
 
 
 def build_rotated_null(null: NullModel) -> RotatedNull:
@@ -65,7 +68,7 @@ def build_rotated_null(null: NullModel) -> RotatedNull:
     rss0 = y_res @ y_res
     n, q = X0_star.shape
     return RotatedNull(W=W, sd=sd, Q0=Q0, y_res=y_res, rss0=rss0,
-                       dof=int(n - q - 1))
+                       dof=jnp.asarray(n - q - 1, dtype=W.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("pre_rotated",))
@@ -94,7 +97,7 @@ def emmax_scan_stats(G_tile: jnp.ndarray, rot: RotatedNull,
     expl = jnp.where(mask, jnp.minimum(expl, rot.rss0), 0.0)
     rss1 = rot.rss0 - expl
     rss1_safe = jnp.maximum(rss1, jnp.finfo(dt).tiny)
-    f = expl * rot.dof / rss1_safe
+    f = expl * jnp.asarray(rot.dof, dt) / rss1_safe
     beta = jnp.where(mask, xy / xx_safe, 0.0)
     var_perc = jnp.where(mask, expl / rot.rss0, 0.0)
     return {"f_stats": jnp.where(mask, f, 0.0), "betas": beta,
