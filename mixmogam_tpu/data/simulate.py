@@ -21,14 +21,25 @@ def simulate_genotypes(n_samples: int, n_snps: int, ploidy: int = 1,
     p_anc = rng.uniform(maf_low, maf_high, size=n_snps)
     a = p_anc * (1.0 - fst) / fst
     b = (1.0 - p_anc) * (1.0 - fst) / fst
-    pop_freqs = rng.beta(a, b, size=(n_pops, n_snps))
+    pop_freqs = rng.beta(a, b, size=(n_pops, n_snps)).astype(np.float32)
     pop = rng.integers(0, n_pops, size=n_samples)
-    pf = pop_freqs[pop, :]  # (n, M)
-    draws = rng.random((ploidy, n_samples, n_snps))
-    G = (draws < pf[None, :, :]).sum(axis=0).T.astype(np.int8)  # (M, n)
-    if missing_rate > 0:
-        miss = rng.random(G.shape) < missing_rate
-        G[miss] = -1
+    # chunk over SNPs: float32 draws, bounded temporaries (a naive
+    # all-at-once version allocates multiple (n x M) float64 arrays,
+    # minutes-slow at benchmark scale)
+    G = np.empty((n_snps, n_samples), dtype=np.int8)
+    chunk = max(1, (1 << 24) // max(n_samples, 1))
+    for s in range(0, n_snps, chunk):
+        e = min(s + chunk, n_snps)
+        pf = pop_freqs[:, s:e][pop, :].T           # (mchunk, n) f32
+        acc = np.zeros((e - s, n_samples), dtype=np.int8)
+        for _ in range(ploidy):
+            acc += (rng.random((e - s, n_samples), dtype=np.float32)
+                    < pf).astype(np.int8)
+        if missing_rate > 0:
+            miss = rng.random((e - s, n_samples),
+                              dtype=np.float32) < missing_rate
+            acc[miss] = -1
+        G[s:e] = acc
     n_chrom = 5
     chromosomes = (np.arange(n_snps) * n_chrom // n_snps + 1).astype(np.int32)
     positions = np.zeros(n_snps, dtype=np.int64)
@@ -47,23 +58,34 @@ def simulate_phenotype(G: np.ndarray, h2: float = 0.5, n_causal: int = 10,
     is ~h2. Returns (y, causal_idx)."""
     rng = np.random.default_rng(seed + 1)
     M, n = G.shape
-    Gf = np.where(G < 0, np.nan, G).astype(np.float64)
-    mu = np.nanmean(Gf, axis=1)
-    idx = np.where(np.isnan(Gf))
-    Gf[idx] = mu[idx[0]]
+
+    def dosage_rows(idx):
+        Z = G[idx].astype(np.float64)
+        miss = G[idx] < 0
+        if miss.any():
+            Z[miss] = np.nan
+            mu = np.nanmean(Z, axis=1)
+            w = np.where(np.isnan(Z))
+            Z[w] = mu[w[0]]
+        return Z
 
     causal = rng.choice(M, size=min(n_causal, M), replace=False)
     beta = rng.normal(0, 1.0, size=len(causal))
     if causal_effect:
         beta = np.sign(beta) * causal_effect
-    fixed = Gf[causal].T @ beta if len(causal) else np.zeros(n)
+    fixed = dosage_rows(causal).T @ beta if len(causal) else np.zeros(n)
 
     if K is not None:
         L = np.linalg.cholesky(K + 1e-6 * np.eye(n))
         u = L @ rng.normal(size=n)
     else:
+        # polygenic term accumulated in SNP chunks (memory-bounded)
         w = rng.normal(size=M) / np.sqrt(M)
-        u = Gf.T @ w
+        u = np.zeros(n)
+        chunk = max(1, (1 << 24) // max(n, 1))
+        for s in range(0, M, chunk):
+            e = min(s + chunk, M)
+            u += dosage_rows(np.arange(s, e)).T @ w[s:e]
     u = (u - u.mean())
     su = u.std() or 1.0
     e = rng.normal(size=n)

@@ -25,6 +25,38 @@ def _setup_compilation_cache() -> None:
 
 _setup_compilation_cache()
 
+
+def _warm_device_transfers() -> None:
+    """Fire a tiny device->host transfer on a background thread.
+
+    On this image the FIRST D2H per process pays a slow, variable tunnel
+    dial (measured 140-225s for 4 BYTES; later transfers run at >500MB/s).
+    Warming it concurrently with host-side setup (parsing, simulation,
+    host eigh) hides most of that latency. No-op on CPU backends; disable
+    with MIXMOGAM_NO_WARMUP=1."""
+    if _os.environ.get("MIXMOGAM_NO_WARMUP"):
+        return
+
+    def _w():
+        try:
+            import jax
+            import numpy as _np
+
+            if jax.default_backend() != "tpu":
+                return
+            import jax.numpy as jnp
+
+            _np.asarray(jnp.zeros(8))
+        except Exception:
+            pass
+
+    import threading
+
+    threading.Thread(target=_w, daemon=True, name="mixmogam-d2h-warmup").start()
+
+
+_warm_device_transfers()
+
 from mixmogam_tpu.ops.eigen import eigen_k, projected_spectrum
 from mixmogam_tpu.ops.reml import reml_from_spectrum, NullModel, fit_null_model
 from mixmogam_tpu.ops.scan import emmax_scan_stats, RotatedNull, build_rotated_null

@@ -74,6 +74,17 @@ def chol_solve_small(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(x, axis=-1)
 
 
+def inv_small(A: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of small SPD (..., p, p) matrices via the unrolled Cholesky
+    (no LAPACK)."""
+    p = A.shape[-1]
+    L = chol_small(A)
+    eye = jnp.eye(p, dtype=A.dtype)
+    cols = [chol_solve_small(
+        L, jnp.broadcast_to(eye[i], A.shape[:-2] + (p,))) for i in range(p)]
+    return jnp.stack(cols, axis=-1)
+
+
 def chol_logdet_small(L: jnp.ndarray) -> jnp.ndarray:
     p = L.shape[-1]
     out = jnp.zeros_like(L[..., 0, 0])

@@ -1,0 +1,237 @@
+"""Multi-chip / multi-host GWAS (SURVEY.md §2.3, §5 'distributed comm
+backend'; BASELINE north star):
+
+- genotypes sharded SNP-wise: NamedSharding(mesh, P('snp', 'sample'))
+- kinship accumulated across SNP shards with ONE psum of the (n, n)
+  partial Gram matrix per run (~400 MB at n=10k over ICI — fine)
+- the eigendecomposed null model (phi, U, delta, whitened residuals) is
+  REPLICATED to every chip
+- the scan phase needs ZERO cross-chip communication: each chip tests its
+  own SNP shard against the replicated null; results are all_gather'ed
+  once at the end — this is the scaling-efficiency story.
+
+Everything is expressed as jit + sharding annotations (GSPMD): XLA inserts
+the psum/all_gather collectives; there is no hand-written NCCL analog.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mixmogam_tpu.ops.reml import fit_null_model
+from mixmogam_tpu.ops.scan import RotatedNull, build_rotated_null
+from mixmogam_tpu.parallel.mesh import (make_mesh, pad_to_multiple,
+                                        replicated, snp_sharding)
+
+
+# ---------------------------------------------------------------------------
+# kinship: psum over SNP shards
+# ---------------------------------------------------------------------------
+
+def _ibs_partial(Gs: jnp.ndarray) -> jnp.ndarray:
+    """Local IBS contribution 2 C'C - s(x)1 - 1(x)s + m J of a SNP shard
+    (binary coding; see ops.kinship)."""
+    dt = Gs.dtype
+    CtC = jnp.dot(Gs.T, Gs, preferred_element_type=dt)
+    s = jnp.sum(Gs, axis=0)
+    m = jnp.asarray(Gs.shape[0], dt)
+    return 2.0 * CtC - s[:, None] - s[None, :] + m
+
+
+def distributed_kinship(G, mesh: Optional[Mesh] = None,
+                        method: str = "ibs") -> np.ndarray:
+    """Kinship over a SNP-sharded genotype matrix. The partial Gram matrix
+    reduces across the 'snp' axis — expressed by asking for a REPLICATED
+    output, which makes GSPMD emit the psum."""
+    if mesh is None:
+        mesh = make_mesh()
+    G = np.asarray(G)
+    M = G.shape[0]
+    nshard = mesh.shape["snp"]
+    Gp, M0 = pad_to_multiple(G, nshard, axis=0)
+    Gd = jax.device_put(Gp, snp_sharding(mesh))
+
+    if method == "ibs":
+        # zero pad rows contribute C'C=0, s=0 but DO count in the +m J
+        # term; subtract the pad count explicitly
+        pad = Gp.shape[0] - M0
+
+        @functools.partial(jax.jit,
+                           out_shardings=replicated(mesh))
+        def compute(Gd):
+            return _ibs_partial(Gd) - jnp.asarray(pad, Gd.dtype)
+
+        K = compute(Gd)
+        return np.asarray(K, dtype=np.float64) / M0
+    elif method in ("vanraden", "ibd"):
+        p = Gp.mean(axis=1)  # host: per-SNP allele frequency (pad rows: 0)
+        ploidy = 2 if G.max(initial=0) > 1 else 1
+        pf = p / ploidy
+        denom = float(ploidy * np.sum(pf[:M0] * (1.0 - pf[:M0])))
+        Wp = Gp - (ploidy * pf)[:, None]
+        Wp[M0:] = 0.0
+        Wd = jax.device_put(Wp, snp_sharding(mesh))
+
+        @functools.partial(jax.jit, out_shardings=replicated(mesh))
+        def compute(Wd):
+            return jnp.dot(Wd.T, Wd, preferred_element_type=Wd.dtype)
+
+        return np.asarray(compute(Wd), dtype=np.float64) / denom
+    raise ValueError(f"unknown method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# scan: embarrassingly parallel over SNP shards, one gather at the end
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("pre_rotated",),
+                   donate_argnums=())
+def _scan_sharded(Gd, rot: RotatedNull, pre_rotated: bool = False):
+    """Whole-matrix scan; with Gd SNP-sharded and rot replicated, XLA
+    partitions every op row-wise — zero communication until outputs."""
+    from mixmogam_tpu.ops.scan import emmax_scan_stats
+
+    return emmax_scan_stats(Gd, rot, pre_rotated=pre_rotated)
+
+
+def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
+                      mesh: Optional[Mesh] = None, eig_k=None,
+                      ngrids: int = 100, llim: float = -10.0,
+                      ulim: float = 10.0, dtype=None
+                      ) -> Dict[str, np.ndarray]:
+    """EMMAX over a device mesh. Same numerics as models.emmax (parity
+    tested mesh-shape-invariant); G may exceed single-chip HBM by the
+    mesh 'snp' factor."""
+    from mixmogam_tpu.ops.stats import f_sf_host
+
+    if mesh is None:
+        mesh = make_mesh()
+    y = np.asarray(y, dtype=np.float64).ravel()
+    n = y.shape[0]
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    from mixmogam_tpu.models.emmax import _as_dosage
+
+    Gf = _as_dosage(G, dtype)
+    M = Gf.shape[0]
+    if X0 is None:
+        X0 = np.ones((n, 1))
+    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    null = fit_null_model(y.astype(np.dtype(dtype).name), X0, K=K,
+                          eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim)
+    rot = build_rotated_null(null)
+    # replicate the null model; shard the genotypes
+    rot = jax.device_put(rot, replicated(mesh))
+    nshard = mesh.shape["snp"]
+    Gp, M0 = pad_to_multiple(Gf, nshard, axis=0)
+    Gd = jax.device_put(Gp, snp_sharding(mesh))
+    d = _scan_sharded(Gd, rot)
+    f_stats = np.asarray(d["f_stats"], dtype=np.float64)[:M0]
+    mask = np.asarray(d["mask"])[:M0]
+    dof = int(null.y.shape[0] - X0.shape[1] - 1)
+    ps = np.where(mask, f_sf_host(f_stats, 1.0, dof), 1.0)
+    return {"ps": ps, "f_stats": f_stats, "mask": mask,
+            "betas": np.asarray(d["betas"], dtype=np.float64)[:M0],
+            "var_perc": np.asarray(d["var_perc"], dtype=np.float64)[:M0],
+            "pseudo_heritability": float(null.pseudo_heritability),
+            "delta": float(null.delta), "dof": dof}
+
+
+# ---------------------------------------------------------------------------
+# the full multi-chip 'training step' (graft dryrun entry): kinship psum +
+# REML + multi-trait sharded scan + device-side top-k gather
+# ---------------------------------------------------------------------------
+
+def distributed_train_step(mesh: Mesh, G: np.ndarray, Y: np.ndarray,
+                           top_k: int = 8) -> Dict[str, np.ndarray]:
+    """One end-to-end GWAS 'step' jitted over the mesh with the real
+    shardings: dp ('snp') for genotypes, tp ('sample') available on the
+    second axis, multi-trait batch as the EP-analog axis (replicated),
+    kinship psum, replicated null, per-shard scan, device top-k + gather.
+
+    Tiny-shape dry runs of THIS function validate the multi-chip program
+    (driver: __graft_entry__.dryrun_multichip)."""
+    from mixmogam_tpu.ops.eigen import eigen_k, projected_spectrum
+    from mixmogam_tpu.ops.reml import reml_from_spectrum
+
+    G = np.asarray(G, dtype=np.float32)
+    Y = np.atleast_2d(np.asarray(Y, dtype=np.float32))   # (T, n)
+    T, n = Y.shape
+    nshard = mesh.shape["snp"]
+    Gp, M0 = pad_to_multiple(G, nshard, axis=0)
+    Gd = jax.device_put(Gp, snp_sharding(mesh))
+    Yd = jax.device_put(Y, replicated(mesh))
+    pad = Gp.shape[0] - M0
+
+    # K via psum (on-device, sharded in / replicated out)
+    @functools.partial(jax.jit, out_shardings=replicated(mesh))
+    def kin(Gd):
+        return (_ibs_partial(Gd) - jnp.asarray(pad, Gd.dtype)) / M0
+
+    K = kin(Gd)
+    # one-time eigendecompositions (host, SURVEY §7), then replicated
+    phi, U = eigen_k(np.asarray(K, dtype=np.float64), host=True)
+    X0 = np.ones((n, 1), dtype=np.float32)
+    xi, V = projected_spectrum(np.asarray(K, np.float64), X0, host=True)
+    phi = jax.device_put(jnp.asarray(phi, jnp.float32), replicated(mesh))
+    U = jax.device_put(jnp.asarray(U, jnp.float32), replicated(mesh))
+    xi = jax.device_put(jnp.asarray(xi, jnp.float32), replicated(mesh))
+    V = jax.device_put(jnp.asarray(V, jnp.float32), replicated(mesh))
+    X0d = jax.device_put(jnp.asarray(X0), replicated(mesh))
+
+    @functools.partial(
+        jax.jit,
+        out_shardings=(replicated(mesh), replicated(mesh),
+                       replicated(mesh)))
+    def step(Gd, Yd, phi, U, xi, V, X0d):
+        # per-trait REML (vmapped over the trait axis — the 'EP' analog)
+        eta2 = (Yd @ V) ** 2
+        remls = jax.vmap(lambda e: reml_from_spectrum(e, xi))(eta2)
+        deltas = remls["delta"]                       # (T,)
+
+        # per-trait whitened nulls in the eigenbasis
+        sd = 1.0 / jnp.sqrt(phi[None, :] + deltas[:, None])     # (T, n)
+        Y_rot = Yd @ U
+        X0_rot = U.T @ X0d
+        Ys = Y_rot * sd
+        X0s = X0_rot[None] * sd[:, :, None]                      # (T, n, q)
+        from mixmogam_tpu.ops.xreml import inv_small
+
+        A = jnp.einsum("tnp,tnq->tpq", X0s, X0s)
+        binv = inv_small(A)                   # q tiny; unrolled, no LAPACK
+        coef = jnp.einsum("tpq,tq->tp", binv,
+                          jnp.einsum("tnp,tn->tp", X0s, Ys))
+        y_res = Ys - jnp.einsum("tnp,tp->tn", X0s, coef)
+        rss0 = jnp.sum(y_res * y_res, axis=1)
+
+        # sharded scan: rotate each chip's SNP shard, test all traits
+        G_rot = Gd @ U                                           # sharded
+        def per_trait(sd_t, y_res_t, rss0_t, X0s_t, binv_t):
+            Xs = G_rot * sd_t[None, :]
+            c = Xs @ X0s_t
+            ss = jnp.sum(Xs * Xs, axis=1)
+            xx = ss - jnp.einsum("mq,qp,mp->m", c, binv_t, c)
+            xy = Xs @ y_res_t
+            eps = 100.0 * jnp.finfo(Xs.dtype).eps
+            mk = xx > eps * jnp.maximum(ss, jnp.finfo(Xs.dtype).tiny)
+            expl = jnp.where(mk, jnp.minimum(
+                xy * xy / jnp.where(mk, xx, 1.0), rss0_t), 0.0)
+            f = expl * (n - 2) / jnp.maximum(rss0_t - expl,
+                                             jnp.finfo(Xs.dtype).tiny)
+            return jnp.where(mk, f, 0.0)
+
+        F = jax.vmap(per_trait)(sd, y_res, rss0, X0s, binv)      # (T, Mp)
+        # device-side top-k per trait; the gather to replicated output is
+        # the run's single all_gather
+        topv, topi = jax.lax.top_k(F, top_k)
+        return topv, topi, deltas
+
+    topv, topi, deltas = step(Gd, Yd, phi, U, xi, V, X0d)
+    return {"top_f": np.asarray(topv), "top_idx": np.asarray(topi),
+            "deltas": np.asarray(deltas), "K": np.asarray(K)}

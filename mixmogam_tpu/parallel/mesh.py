@@ -1,0 +1,55 @@
+"""Device mesh construction (SURVEY.md §2.3 — the normative parallelism
+table).
+
+Axes:
+  'snp'    — data-parallel over markers (the reference's only scaling axis
+             analog: SNP chunking; here it shards across chips/hosts).
+  'sample' — tensor-parallel fallback for very large n (kinship/eigenvector
+             matmuls); size 1 until n outgrows per-chip HBM.
+
+Multi-host: call jax.distributed.initialize() before make_mesh() and the
+same code runs over ICI+DCN; no code here is host-count-aware (XLA emits
+the collectives from the sharding annotations)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Tuple[int, int]] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh with ('snp', 'sample') axes; default (n_devices, 1)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices), 1)
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, ("snp", "sample"))
+
+
+def snp_sharding(mesh: Mesh) -> NamedSharding:
+    """Genotype rows (SNPs) split across the 'snp' axis; samples along
+    'sample' (usually unsharded)."""
+    return NamedSharding(mesh, P("snp", "sample"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0
+                    ) -> Tuple[np.ndarray, int]:
+    """Pad axis to a multiple (sharding needs even splits); returns
+    (padded, original_size)."""
+    size = x.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return x, size
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, target - size)
+    return np.pad(x, widths), size
