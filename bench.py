@@ -1,16 +1,17 @@
 """Benchmark driver hook: prints ONE JSON line
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Headline metric (BASELINE.json): SNP-tests/sec/chip for the EMMAX scan.
-The baseline is the reference's estimated Python-loop throughput of
-~1e4 SNP-tests/s on one CPU core (BASELINE.md 'estimated reference
-throughput' — the repo publishes no numbers).
+Headline metric (BASELINE.json): SNP-tests/sec/chip for the EMMAX scan,
+measured STEADY-STATE (pipelined dispatches). The baseline is the
+reference's estimated Python-loop throughput of ~1e4 SNP-tests/s on one
+CPU core (BASELINE.md; the repo publishes no numbers).
 
-Measured phase: the per-SNP rotated-GLS F-test kernel (rotation matmul +
-epilogue) on the real chip, steady-state (compile excluded via warmup;
-cache makes warmup cheap). Sub-metrics (phase timings, REML eigh wall
-time, parity vs oracle) go to stderr for humans; the driver parses stdout.
-"""
+Environment note (this image): the TPU is claimed from a pool through a
+TCP relay; the first device synchronization pays a highly variable claim
+latency (measured 12s-500s) and EVERY blocking dispatch pays a ~27ms
+round-trip to the remote device. Work is therefore timed (a) per blocking
+dispatch and (b) pipelined/amortized — (b) reflects the hardware and is
+the headline; phase logs go to stderr, the driver parses stdout."""
 
 import json
 import sys
@@ -29,20 +30,16 @@ def main():
 
     from mixmogam_tpu.data.simulate import simulate_genotypes, simulate_phenotype
     from mixmogam_tpu.ops import kinship as dk
+    from mixmogam_tpu.ops.kinship import _ibs_int8_update
     from mixmogam_tpu.ops.reml import fit_null_model
-    from mixmogam_tpu.ops.scan import build_rotated_null, emmax_scan_all
+    from mixmogam_tpu.ops.scan import build_rotated_null, emmax_scan_all, emmax_scan_stats
     from mixmogam_tpu.oracle.kinship import scale_k
 
     backend = jax.default_backend()
     log(f"backend={backend} devices={jax.devices()}")
 
-    # Arabidopsis-scale-ish single-chip config (BASELINE config #2 shape):
-    # n=1024 samples, M=256k SNPs, fp32.
     n, M = 1024, 262_144
-    tile = 16_384
     t0 = time.time()
-    # disk-cache the simulated dataset: the 2-vCPU host makes repeated
-    # simulation slow and noisy
     import os
 
     cache = os.path.expanduser(f"~/.cache/mixmogam_bench/sim_{n}x{M}.npz")
@@ -58,45 +55,59 @@ def main():
         log(f"simulate: {time.time()-t0:.1f}s ({M} SNPs x {n} samples)")
     Gf = G.astype(np.float32)
 
+    # pay the pool-claim latency explicitly (started async at import)
     t0 = time.time()
-    K = scale_k(dk.kinship(Gf[:65536], method="ibs", chunk=8192))
+    np.asarray(jnp.zeros(8))
+    log(f"device claim + tunnel dial: {time.time()-t0:.1f}s")
+
+    # ---- kinship: int8 MXU path, device-phase timing (post-claim) ----
+    t0 = time.time()
+    S = jnp.zeros((n, n), dtype=jnp.int32)
+    chunk = 65_536
+    for s in range(0, M, chunk):
+        S = _ibs_int8_update(S, jnp.asarray(G[s:s + chunk]), chunk)
+    S.block_until_ready()
     t_kin = time.time() - t0
-    log(f"kinship (64k SNPs, device): {t_kin:.2f}s "
-        f"= {65536 / t_kin:,.0f} SNPs/s")
+    K = scale_k(np.asarray(S).astype(np.float64) / M)
+    log(f"kinship ({M} SNPs, int8 MXU): {t_kin:.2f}s "
+        f"= {M/t_kin:,.0f} SNPs/s device-phase")
 
     t0 = time.time()
     null = fit_null_model(y.astype(np.float32),
                           np.ones((n, 1), np.float32),
                           K=K.astype(np.float32))
-    t_fit = time.time() - t0
-    log(f"eigh+REML (host eigh, n={n}): {t_fit:.2f}s "
-        f"delta={float(null.delta):.4g} h2={float(null.pseudo_heritability):.3f}")
+    log(f"eigh+REML (host eigh, n={n}): {time.time()-t0:.2f}s "
+        f"delta={float(null.delta):.4g} "
+        f"h2={float(null.pseudo_heritability):.3f}")
 
     rot = build_rotated_null(null)
     Gd = jax.device_put(jnp.asarray(Gf))
     jax.block_until_ready(Gd)
 
-    # warmup/compile
-    t0 = time.time()
-    out = emmax_scan_all(Gd, rot, tile=tile)
+    # (a) single blocking dispatch (includes ~27ms tunnel RTT)
+    out = emmax_scan_all(Gd, rot, tile=65_536)
     jax.block_until_ready(out)
-    log(f"scan warmup (compile+run): {time.time()-t0:.2f}s")
-
-    # steady state, best of 3
     times = []
     for _ in range(3):
         t0 = time.time()
-        out = emmax_scan_all(Gd, rot, tile=tile)
+        out = emmax_scan_all(Gd, rot, tile=65_536)
         jax.block_until_ready(out)
         times.append(time.time() - t0)
-    dt = min(times)
-    rate = M / dt
-    log(f"scan: {dt*1e3:.1f} ms -> {rate:,.0f} SNP-tests/s/chip "
-        f"(runs: {[f'{t*1e3:.1f}ms' for t in times]})")
+    dt_single = min(times)
+    log(f"scan single-dispatch: {dt_single*1e3:.1f} ms "
+        f"-> {M/dt_single:,.0f} SNP-tests/s (RTT-bound)")
 
-    # HBM roofline context: bytes touched ~ M*n*4 (genotype read) per scan
+    # (b) pipelined: R async dispatches in flight amortize the RTT
+    R = 16
+    t0 = time.time()
+    outs = [emmax_scan_all(Gd, rot, tile=65_536) for _ in range(R)]
+    jax.block_until_ready(outs)
+    dt_pipe = (time.time() - t0) / R
+    rate = M / dt_pipe
+    log(f"scan pipelined x{R}: {dt_pipe*1e3:.2f} ms/scan "
+        f"-> {rate:,.0f} SNP-tests/s/chip steady-state")
     gb = M * n * 4 / 1e9
-    log(f"genotype traffic {gb:.1f} GB -> effective {gb/dt:.0f} GB/s")
+    log(f"genotype traffic {gb:.1f} GB/scan -> effective {gb/dt_pipe:.0f} GB/s")
 
     baseline = 1.0e4  # reference's estimated CPU throughput (BASELINE.md)
     print(json.dumps({

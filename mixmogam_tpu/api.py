@@ -91,7 +91,8 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
              min_mac: int = 15, kinship_method: str = "ibs",
              kinship_file: Optional[str] = None,
              cache_dir: Optional[str] = None, plots: bool = True,
-             num_steps: int = 10, dtype=None, **model_kw) -> Dict:
+             num_steps: int = 10, dtype=None,
+             profile_dir: Optional[str] = None, **model_kw) -> Dict:
     """End-to-end GWAS (reference: examples.py flow, SURVEY.md §3.1):
     parse -> transform -> coordinate -> MAC filter -> kinship (cached) ->
     scan -> ranked CSV + Manhattan/QQ plots + JSON run summary.
@@ -100,55 +101,55 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
                | 'most_normal'.
     Returns {'result': Result, 'scan': scan dict, 'files': {...}}.
     """
-    t_all = time.time()
-    timings = {}
-    t0 = time.time()
-    gd = parse_snp_data(genotype_file, data_format=data_format)
-    phend = parse_phenotype_file(phenotype_file)
-    timings["parse"] = time.time() - t0
+    from mixmogam_tpu.utils.profiling import RunMetrics, device_trace
+
+    rm = RunMetrics(run_name=f"{method}_pid{pid}")
+    with rm.phase("parse"):
+        gd = parse_snp_data(genotype_file, data_format=data_format)
+        phend = parse_phenotype_file(phenotype_file)
 
     if transform == "most_normal":
         phend.most_normal_transformation(pid)
     elif transform:
         phend.transform(pid, transform)
 
-    t0 = time.time()
-    gd2, y, _ = gd.coordinate_with_phenotype(phend, pid)
-    if min_mac:
-        gd2 = gd2.filter_mac_snps(min_mac)
-    timings["coordinate"] = time.time() - t0
+    with rm.phase("coordinate"):
+        gd2, y, _ = gd.coordinate_with_phenotype(phend, pid)
+        if min_mac:
+            gd2 = gd2.filter_mac_snps(min_mac)
 
     scan: Dict = {}
     K = None
     if method in ("emmax", "emma", "emmax_stepwise"):
-        t0 = time.time()
-        if kinship_file and os.path.exists(kinship_file):
-            K, acc = load_kinship_from_file(kinship_file)
-            from mixmogam_tpu.oracle.kinship import prepare_k
+        with rm.phase("kinship"):
+            if kinship_file and os.path.exists(kinship_file):
+                K, acc = load_kinship_from_file(kinship_file)
+                from mixmogam_tpu.oracle.kinship import prepare_k
 
-            K = prepare_k(K, acc, gd2.accessions)
+                K = prepare_k(K, acc, gd2.accessions)
+            else:
+                K = cached_kinship(gd2, kinship_method, cache_dir=cache_dir)
+        rm.throughput("kinship_snps_per_s", gd2.num_snps, "kinship")
+
+    with rm.phase("scan"), device_trace(profile_dir):
+        if method == "emmax":
+            scan = emmax(gd2, y, K=K, dtype=dtype, **model_kw)
+        elif method == "emma":
+            scan = emma(gd2, y, K=K, dtype=dtype, **model_kw)
+        elif method == "lm":
+            scan = linear_model(gd2, y, dtype=dtype, **model_kw)
+        elif method == "anova":
+            scan = anova(gd2, y, **model_kw)
+        elif method == "kw":
+            scan = kruskal_wallis(gd2, y, **model_kw)
+        elif method == "emmax_stepwise":
+            sw = emmax_step_wise(gd2, y, K=K, max_steps=num_steps,
+                                 dtype=dtype, save_scans=False, **model_kw)
+            scan = {"stepwise": sw, "ps": None}
         else:
-            K = cached_kinship(gd2, kinship_method, cache_dir=cache_dir)
-        timings["kinship"] = time.time() - t0
-
-    t0 = time.time()
-    if method == "emmax":
-        scan = emmax(gd2, y, K=K, dtype=dtype, **model_kw)
-    elif method == "emma":
-        scan = emma(gd2, y, K=K, dtype=dtype, **model_kw)
-    elif method == "lm":
-        scan = linear_model(gd2, y, dtype=dtype, **model_kw)
-    elif method == "anova":
-        scan = anova(gd2, y, **model_kw)
-    elif method == "kw":
-        scan = kruskal_wallis(gd2, y, **model_kw)
-    elif method == "emmax_stepwise":
-        sw = emmax_step_wise(gd2, y, K=K, max_steps=num_steps, dtype=dtype,
-                             save_scans=False, **model_kw)
-        scan = {"stepwise": sw, "ps": None}
-    else:
-        raise ValueError(f"unknown method {method!r}")
-    timings["scan"] = time.time() - t0
+            raise ValueError(f"unknown method {method!r}")
+    rm.throughput("scan_snp_tests_per_s", gd2.num_snps, "scan")
+    timings = dict(rm.phases)
 
     files = {}
     result = None
@@ -168,9 +169,13 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
                                threshold=bonferroni_threshold(len(result)))
                 qq_plot(scan["ps"], qq)
                 files.update(manhattan=man, qq=qq)
-    timings["total"] = time.time() - t_all
+    timings["total"] = time.time() - rm._t0
 
     if out_prefix:
+        rm.set("n_samples", gd2.num_samples)
+        rm.set("n_snps", gd2.num_snps)
+        rm.write(f"{out_prefix}.metrics.json")
+        files["metrics"] = f"{out_prefix}.metrics.json"
         summary = {
             "method": method, "pid": pid,
             "n_samples": gd2.num_samples, "n_snps": gd2.num_snps,

@@ -187,6 +187,34 @@ class GenotypeData:
                 data=np.array(self.accessions, dtype=h5py.string_dtype()))
             f.attrs["ploidy"] = self.ploidy
 
+    def write_packed(self, path: str) -> None:
+        """Native compact container: 2-bit genotypes (4 samples/byte;
+        see native/fast_parse.cpp pack_2bit) + metadata in one npz.
+        ~4x smaller than int8, ~16x smaller than fp32 tiles."""
+        from mixmogam_tpu import native
+
+        np.savez_compressed(
+            path,
+            packed=native.pack_2bit(self.matrix),
+            n_samples=np.int64(self.num_samples),
+            chromosomes=self.chromosomes,
+            positions=self.positions,
+            accessions=np.array(self.accessions, dtype="U"),
+            ploidy=np.int64(self.ploidy))
+
+    @staticmethod
+    def read_packed(path: str) -> "GenotypeData":
+        from mixmogam_tpu import native
+
+        with np.load(path, allow_pickle=False) as z:
+            n = int(z["n_samples"])
+            return GenotypeData(
+                matrix=native.unpack_2bit(z["packed"], n),
+                chromosomes=z["chromosomes"],
+                positions=z["positions"],
+                accessions=[str(a) for a in z["accessions"]],
+                ploidy=int(z["ploidy"]))
+
     @staticmethod
     def read_hdf5(path: str) -> "GenotypeData":
         import h5py

@@ -25,6 +25,16 @@ from mixmogam_tpu.data.genotype import GenotypeData, MISSING
 _MISSING_TOKENS = {"", "NA", "N", "NaN", "nan", "-", "?"}
 
 
+def _try_native_dosage(path: str):
+    """C++ threaded parser (mixmogam_tpu.native); None -> Python fallback."""
+    try:
+        from mixmogam_tpu import native
+
+        return native.parse_dosage_csv(path)
+    except Exception:
+        return None
+
+
 def parse_snp_data(path: str, data_format: str = "binary",
                    delimiter: str = ",", ploidy: Optional[int] = None
                    ) -> GenotypeData:
@@ -48,6 +58,18 @@ def _read_header(f, delimiter: str) -> List[str]:
 
 def _parse_dosage_csv(path: str, delimiter: str,
                       ploidy: Optional[int]) -> GenotypeData:
+    if delimiter == ",":
+        native = _try_native_dosage(path)
+        if native is not None:
+            matrix, chroms_a, poss_a, n = native
+            with open(path) as f:
+                accessions = _read_header(f, delimiter)
+            if len(accessions) == n:
+                if ploidy is None:
+                    ploidy = 2 if matrix.max(initial=0) > 1 else 1
+                return GenotypeData(matrix=matrix, chromosomes=chroms_a,
+                                    positions=poss_a,
+                                    accessions=accessions, ploidy=ploidy)
     chroms: List[int] = []
     poss: List[int] = []
     rows: List[np.ndarray] = []

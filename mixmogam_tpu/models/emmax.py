@@ -42,6 +42,7 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
           ngrids: int = 100, llim: float = -10.0, ulim: float = 10.0,
           esp: float = 1e-6, with_betas: bool = True,
           dtype=None, tile: int = 8192, host_eigh: bool = True,
+          rotate_in_bf16: bool = False,
           ) -> Dict[str, np.ndarray]:
     """EMMAX scan. G: GenotypeData or (M, n) dosages; y: (n,) phenotype;
     K: (n, n) kinship (or pass eig_k=(phi, U)); X0: (n, q) null design
@@ -64,7 +65,10 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     null = fit_null_model(y.astype(dtype), X0.astype(dtype), K=K,
                           eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim,
                           host_eigh=host_eigh)
-    rot = build_rotated_null(null)
+    import jax.numpy as _jnp
+
+    rot = build_rotated_null(
+        null, rotate_dtype=_jnp.bfloat16 if rotate_in_bf16 else None)
     d = emmax_scan_all(jnp.asarray(Gf), rot, tile=tile)
     f_stats = np.asarray(d["f_stats"], dtype=np.float64)
     dof = int(rot.dof)

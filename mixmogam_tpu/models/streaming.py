@@ -1,0 +1,146 @@
+"""Streaming EMMAX for genotype matrices larger than device HBM
+(BASELINE config #3: 10k samples x 1M SNPs) with tile-granular
+checkpoint/resume (SURVEY.md §5 'failure detection / resume': the scan is
+deterministic and restartable at SNP-tile granularity).
+
+Design:
+- the genotype source stays on host (numpy array, np.memmap, or an h5py
+  dataset — anything sliceable row-wise) as int8;
+- tiles transfer as int8 (4x less tunnel/HBM traffic than fp32) and are
+  mean-imputed ON DEVICE (missing = -1), matching the oracle's rule;
+- each tile's F statistics land in a checkpoint directory with a
+  manifest; a killed run resumes from the last completed tile;
+- dispatches are issued ASYNC several tiles deep so transfers, compute,
+  and the tunnel round-trip overlap.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixmogam_tpu.ops.reml import fit_null_model
+from mixmogam_tpu.ops.scan import build_rotated_null, emmax_scan_stats
+from mixmogam_tpu.ops.stats import f_sf_host
+
+
+@jax.jit
+def _impute_tile(t_i8: jnp.ndarray) -> jnp.ndarray:
+    """int8 tile (m, n) with -1 missing -> f32, per-SNP mean imputed
+    (device-side; same rule as oracle.kinship.mean_impute)."""
+    t = t_i8.astype(jnp.float32)
+    miss = t_i8 < 0
+    obs = jnp.where(miss, 0.0, t)
+    cnt = jnp.maximum(jnp.sum(~miss, axis=1, keepdims=True), 1)
+    mu = jnp.sum(obs, axis=1, keepdims=True) / cnt
+    return jnp.where(miss, mu, t)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _scan_tile_i8(t_i8, rot):
+    return emmax_scan_stats(_impute_tile(t_i8), rot)
+
+
+def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
+                   eig_k=None, tile: int = 32_768, inflight: int = 4,
+                   checkpoint_dir: Optional[str] = None,
+                   ngrids: int = 100, llim: float = -10.0, ulim: float = 10.0,
+                   ) -> Dict[str, np.ndarray]:
+    """EMMAX over a host-resident int8 genotype source.
+
+    matrix_source: (M, n) int8, sliceable by [start:stop] (numpy, memmap,
+    h5py dataset). Returns the same dict as models.emmax.
+    """
+    y = np.asarray(y, dtype=np.float64).ravel()
+    n = y.shape[0]
+    M = matrix_source.shape[0]
+    if X0 is None:
+        X0 = np.ones((n, 1))
+    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    q = X0.shape[1]
+    null = fit_null_model(y.astype(np.float32), X0.astype(np.float32),
+                          K=K, eig_k=eig_k, ngrids=ngrids, llim=llim,
+                          ulim=ulim)
+    rot = build_rotated_null(null)
+    dof = n - q - 1
+
+    # ---- checkpoint manifest ----
+    run_key = hashlib.sha256(
+        f"{M}:{n}:{tile}:{float(null.delta):.10g}:{q}".encode()
+    ).hexdigest()[:12]
+    done = set()
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        mpath = os.path.join(checkpoint_dir, f"manifest_{run_key}.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                done = set(json.load(f)["done"])
+
+    n_tiles = -(-M // tile)
+    f_stats = np.zeros(M, dtype=np.float64)
+    betas = np.zeros(M, dtype=np.float64)
+    var_perc = np.zeros(M, dtype=np.float64)
+    mask = np.zeros(M, dtype=bool)
+
+    def tile_path(t):
+        return os.path.join(checkpoint_dir, f"tile_{run_key}_{t}.npz")
+
+    def store(t, out):
+        s, e = t * tile, min((t + 1) * tile, M)
+        m = e - s
+        f_stats[s:e] = np.asarray(out["f_stats"], dtype=np.float64)[:m]
+        betas[s:e] = np.asarray(out["betas"], dtype=np.float64)[:m]
+        var_perc[s:e] = np.asarray(out["var_perc"], dtype=np.float64)[:m]
+        mask[s:e] = np.asarray(out["mask"])[:m]
+        if checkpoint_dir:
+            np.savez(tile_path(t), f_stats=f_stats[s:e], betas=betas[s:e],
+                     var_perc=var_perc[s:e], mask=mask[s:e])
+            done.add(t)
+            with open(mpath, "w") as f:
+                json.dump({"done": sorted(done), "n_tiles": n_tiles,
+                           "delta": float(null.delta)}, f)
+
+    # restore completed tiles
+    todo = []
+    for t in range(n_tiles):
+        if checkpoint_dir and t in done and os.path.exists(tile_path(t)):
+            s, e = t * tile, min((t + 1) * tile, M)
+            with np.load(tile_path(t)) as z:
+                f_stats[s:e] = z["f_stats"]
+                betas[s:e] = z["betas"]
+                var_perc[s:e] = z["var_perc"]
+                mask[s:e] = z["mask"]
+        else:
+            todo.append(t)
+
+    # ---- async pipelined streaming ----
+    pending = []  # (tile_idx, device_out)
+    for t in todo:
+        s, e = t * tile, min((t + 1) * tile, M)
+        chunk = np.ascontiguousarray(np.asarray(matrix_source[s:e],
+                                                dtype=np.int8))
+        if e - s < tile:
+            chunk = np.vstack(
+                [chunk, np.zeros((tile - (e - s), n), np.int8)])
+        out = _scan_tile_i8(jnp.asarray(chunk), rot)
+        pending.append((t, out))
+        if len(pending) >= inflight:
+            t0, o0 = pending.pop(0)
+            store(t0, jax.device_get(o0))
+    for t0, o0 in pending:
+        store(t0, jax.device_get(o0))
+
+    ps = np.where(mask, f_sf_host(f_stats, 1.0, dof), 1.0)
+    return {"ps": ps, "f_stats": f_stats, "betas": betas,
+            "var_perc": var_perc, "mask": mask, "dof": dof,
+            "pseudo_heritability": float(null.pseudo_heritability),
+            "delta": float(null.delta),
+            "sigma_g2": float(null.sigma_g2),
+            "sigma_e2": float(null.sigma_e2)}

@@ -1,0 +1,142 @@
+"""ctypes bindings for the C++ data-plane (native/fast_parse.cpp):
+threaded CSV->int8 parsing and 2-bit genotype packing.
+
+The library is built lazily (one `make` invocation, cached next to the
+sources) and everything here degrades gracefully to the pure-Python
+paths when no C++ toolchain is available."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libfastparse.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+                           capture_output=True, timeout=120)
+        return r.returncode == 0 and os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded library, building it on first use; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.count_csv.restype = ctypes.c_int
+        lib.count_csv.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_int64),
+                                  ctypes.POINTER(ctypes.c_int64)]
+        lib.parse_dosage_csv.restype = ctypes.c_int64
+        lib.parse_dosage_csv.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+        lib.packed_row_bytes.restype = ctypes.c_int64
+        lib.packed_row_bytes.argtypes = [ctypes.c_int64]
+        lib.pack_2bit.restype = None
+        lib.pack_2bit.argtypes = [ctypes.POINTER(ctypes.c_int8),
+                                  ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.POINTER(ctypes.c_uint8)]
+        lib.unpack_2bit.restype = None
+        lib.unpack_2bit.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.POINTER(ctypes.c_int8)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def parse_dosage_csv(path: str, n_threads: int = 0
+                     ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                         np.ndarray, int]]:
+    """Parse a dosage CSV body natively. Returns (matrix int8 (M, n),
+    chromosomes, positions, n_samples) or None if native is unavailable.
+    The caller parses the header (accession names) in Python."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_rows = ctypes.c_int64()
+    n_fields = ctypes.c_int64()
+    if lib.count_csv(path.encode(), ctypes.byref(n_rows),
+                     ctypes.byref(n_fields)) != 0:
+        return None
+    M = int(n_rows.value)
+    n = int(n_fields.value) - 2
+    if n <= 0 or M < 0:
+        return None
+    mat = np.empty((M, n), dtype=np.int8)
+    chroms = np.empty(M, dtype=np.int32)
+    poss = np.empty(M, dtype=np.int64)
+    got = lib.parse_dosage_csv(
+        path.encode(), M, n,
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        chroms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        poss.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_threads)
+    if got < 0:
+        return None
+    if got < M:
+        mat, chroms, poss = mat[:got], chroms[:got], poss[:got]
+    return mat, chroms, poss, n
+
+
+def pack_2bit(mat: np.ndarray) -> np.ndarray:
+    """int8 (M, n) dosages (0..2, -1 missing) -> (M, ceil(n/4)) uint8.
+    Falls back to a numpy implementation without the native lib."""
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    M, n = mat.shape
+    rb = (n + 3) // 4
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty((M, rb), dtype=np.uint8)
+        lib.pack_2bit(mat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                      M, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out
+    codes = np.where((mat >= 0) & (mat <= 2), mat, 3).astype(np.uint8)
+    pad = rb * 4 - n
+    if pad:
+        codes = np.concatenate(
+            [codes, np.full((M, pad), 3, dtype=np.uint8)], axis=1)
+    codes = codes.reshape(M, rb, 4)
+    return (codes[:, :, 0] | (codes[:, :, 1] << 2) | (codes[:, :, 2] << 4)
+            | (codes[:, :, 3] << 6)).astype(np.uint8)
+
+
+def unpack_2bit(packed: np.ndarray, n_samples: int) -> np.ndarray:
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    M = packed.shape[0]
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty((M, n_samples), dtype=np.int8)
+        lib.unpack_2bit(
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), M,
+            n_samples, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+        return out
+    codes = np.stack([(packed >> (2 * k)) & 3 for k in range(4)],
+                     axis=2).reshape(M, -1)[:, :n_samples]
+    return np.where(codes == 3, -1, codes).astype(np.int8)

@@ -26,6 +26,30 @@ import numpy as np
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def _ibs_int8_update(S_acc, C, m_eff):
+    """Integer-exact IBS sharing-count accumulation on the MXU:
+    S += 2 C'C - s(x)1 - 1(x)s + m J with int8 inputs, int32 accumulate.
+    Zero floating-point error; ~4x less HBM traffic than fp32 tiles."""
+    d = jax.lax.dot_general(C, C, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    s = jnp.sum(C.astype(jnp.int32), axis=0)
+    return S_acc + 2 * d - s[:, None] - s[None, :] + m_eff
+
+
+def _ibs_int8_streamed(mat: np.ndarray, chunk: int) -> np.ndarray:
+    """Streaming int8 IBS for fully-observed binary genotypes."""
+    M, n = mat.shape
+    S = jnp.zeros((n, n), dtype=jnp.int32)
+    for s in range(0, M, chunk):
+        e = min(s + chunk, M)
+        C = np.ascontiguousarray(mat[s:e])
+        if e - s < chunk:
+            C = np.vstack([C, np.zeros((chunk - (e - s), n), np.int8)])
+        S = _ibs_int8_update(S, jnp.asarray(C), int(e - s))
+    return np.asarray(S).astype(np.float64) / M
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _ibs_binary_update(K_acc, C, m_eff):
     """K_acc += 2 C'C - s(x)1 - 1(x)s + m_eff * J  (zero pad rows drop out
     of C'C and s; m_eff counts only real rows)."""
@@ -96,6 +120,11 @@ def kinship(data, method: str = "ibs", ploidy: Optional[int] = None,
         if mat.dtype == np.int8:
             Z[mat < 0] = np.nan
         return oracle.ibs_kinship(Z, ploidy=ploidy)
+
+    # int8 MXU fast path: binary coding, fully observed -> integer-exact
+    # sharing counts (see _ibs_int8_update / ops.pallas_kinship)
+    if ploidy == 1 and mat.dtype == np.int8 and not (mat < 0).any():
+        return _ibs_int8_streamed(mat, chunk)
 
     K = jnp.zeros((n, n), dtype=dtype)
     for s in range(0, M, chunk):

@@ -55,12 +55,16 @@ class RotatedNull:
     dof: jnp.ndarray      # n - q - 1 as a DATA leaf (dynamic across steps)
 
 
-def build_rotated_null(null: NullModel) -> RotatedNull:
+def build_rotated_null(null: NullModel, rotate_dtype=None) -> RotatedNull:
+    """rotate_dtype: dtype of the rotation operator W (e.g. jnp.bfloat16
+    for the fast MXU path); None keeps the null model's precision."""
     from mixmogam_tpu.ops.eigen import orthonormal_basis
 
     phi, U, delta = null.phi, null.U, null.delta
     sd = 1.0 / jnp.sqrt(phi + delta)
     W = U * sd[None, :]
+    if rotate_dtype is not None:
+        W = W.astype(rotate_dtype)
     y_star = (null.y @ U) * sd
     X0_star = (null.X0.T @ U).T * sd[:, None]
     Q0 = orthonormal_basis(X0_star)
@@ -80,12 +84,15 @@ def emmax_scan_stats(G_tile: jnp.ndarray, rot: RotatedNull,
     (rows of G @ U) when pre_rotated=True.
     Returns f_stats, betas, var_perc, mask (False = degenerate SNP).
     """
-    dt = rot.W.dtype
-    G_tile = G_tile.astype(dt)
+    dt = rot.sd.dtype  # epilogue/compute precision
     if pre_rotated:
-        Xs = G_tile * rot.sd[None, :]
+        Xs = G_tile.astype(dt) * rot.sd[None, :]
     else:
-        Xs = G_tile @ rot.W
+        # rot.W's dtype selects the MXU precision for the rotation matmul
+        # (bf16 W = the fast path: ~4x MXU rate, fp32 accumulation;
+        # see PrecisionConfig.rotate_in_bf16); epilogue stays in fp32+
+        Xs = jnp.dot(G_tile.astype(rot.W.dtype), rot.W,
+                     preferred_element_type=dt)
     c = Xs @ rot.Q0                                    # (m, q)
     xy = Xs @ rot.y_res                                # (m,)
     ss = jnp.sum(Xs * Xs, axis=1)

@@ -1,0 +1,70 @@
+"""Kernel-level tests: Pallas kinship (interpret mode on CPU), int8 MXU
+fast path, bf16 rotation fast path (SURVEY.md §4.2 'kernel parity')."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixmogam_tpu import oracle
+from mixmogam_tpu.data.simulate import simulate_genotypes
+from mixmogam_tpu.models import emmax
+from mixmogam_tpu.ops import kinship as dk
+from mixmogam_tpu.ops.kinship import _ibs_int8_streamed
+from mixmogam_tpu.ops.pallas_kinship import pallas_ibs_kinship
+
+
+class TestPallasKinship:
+    def test_exact_vs_oracle(self):
+        G, _, _ = simulate_genotypes(100, 777, seed=1)  # odd sizes -> pads
+        Ko = oracle.ibs_kinship(G.astype(np.float64))
+        Kp = pallas_ibs_kinship(G, tm=128, tn=128)
+        assert np.max(np.abs(Kp - Ko)) == 0.0  # integer-exact
+
+    def test_small_matrix(self):
+        G = np.array([[0, 1, 1], [1, 1, 0], [0, 0, 0], [1, 1, 1]],
+                     dtype=np.int8)
+        Ko = oracle.ibs_kinship(G.astype(np.float64))
+        Kp = pallas_ibs_kinship(G, tm=128, tn=128)
+        np.testing.assert_array_equal(Kp, Ko)
+
+    def test_missing_rejected(self):
+        G = np.array([[0, -1], [1, 0]], dtype=np.int8)
+        with pytest.raises(ValueError):
+            pallas_ibs_kinship(G)
+
+
+class TestInt8Path:
+    def test_streamed_int8_exact(self):
+        G, _, _ = simulate_genotypes(64, 500, seed=2)
+        Ko = oracle.ibs_kinship(G.astype(np.float64))
+        Ks = _ibs_int8_streamed(G, chunk=128)
+        assert np.max(np.abs(Ks - Ko)) == 0.0
+
+    def test_kinship_router_picks_int8(self):
+        """int8 binary fully-observed input routes through the exact
+        integer path automatically."""
+        G, _, _ = simulate_genotypes(40, 300, seed=3)
+        K = dk.kinship(G, method="ibs", chunk=64)
+        Ko = oracle.ibs_kinship(G.astype(np.float64))
+        assert np.max(np.abs(K - Ko)) == 0.0
+
+    def test_kinship_router_missing_falls_back(self):
+        G, _, _ = simulate_genotypes(40, 300, missing_rate=0.05, seed=3)
+        K = dk.kinship(G, method="ibs", chunk=64, dtype=jnp.float64)
+        Gf = G.astype(np.float64)
+        Gf[G < 0] = np.nan
+        Ko = oracle.ibs_kinship(Gf)
+        np.testing.assert_allclose(K, Ko, atol=1e-10)
+
+
+class TestBf16Rotation:
+    def test_bf16_scan_close_and_rank_stable(self, small_dataset,
+                                             kinship_small):
+        G, y, K = small_dataset["G"], small_dataset["y"], kinship_small
+        exact = emmax(G, y, K=K, dtype=np.float32)
+        fast = emmax(G, y, K=K, dtype=np.float32, rotate_in_bf16=True)
+        lp_e = -np.log10(np.maximum(exact["ps"], 1e-300))
+        lp_f = -np.log10(np.maximum(fast["ps"], 1e-300))
+        # bf16 rotation: small absolute error, identical leaders
+        assert np.max(np.abs(lp_e - lp_f)) < 0.35
+        assert np.argmin(exact["ps"]) == np.argmin(fast["ps"])
