@@ -1,0 +1,149 @@
+"""Runnable end-to-end examples (reference: examples.py, SURVEY.md L8).
+
+The reference ships Arabidopsis data we cannot redistribute; these examples
+simulate a structured cohort of the same shape and drive every major
+analysis through the facade API. Run:
+
+    PYTHONPATH=.. python examples.py [example_name ...]
+
+Examples write outputs under ./example_out/.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+OUT = os.path.join(os.path.dirname(__file__), "example_out")
+os.makedirs(OUT, exist_ok=True)
+
+
+def _simulate_files(n=300, m=5000, h2=0.6, n_causal=5, seed=17):
+    """Write a simulated genotype/phenotype pair (like the bundled
+    at_data/ of the reference)."""
+    from mixmogam_tpu.data.genotype import GenotypeData
+    from mixmogam_tpu.data.phenotype import PhenotypeData
+    from mixmogam_tpu.data.simulate import (simulate_genotypes,
+                                            simulate_phenotype)
+
+    gfile = os.path.join(OUT, "sim.genotypes.csv")
+    pfile = os.path.join(OUT, "sim.phenotypes.csv")
+    if not (os.path.exists(gfile) and os.path.exists(pfile)):
+        G, ch, po = simulate_genotypes(n, m, missing_rate=0.01, seed=seed)
+        gd = GenotypeData(G, ch, po, [f"acc{i}" for i in range(n)])
+        y, causal = simulate_phenotype(G, h2=h2, n_causal=n_causal,
+                                       causal_effect=1.0, seed=seed)
+        gd.write_csv(gfile)
+        PhenotypeData.from_arrays(1, "flowering_time", gd.accessions,
+                                  y).write_to_file(pfile)
+        np.savetxt(os.path.join(OUT, "sim.causal.txt"), causal, fmt="%d")
+    return gfile, pfile
+
+
+def example_emmax():
+    """Standard single-trait EMMAX mixed-model GWAS with plots."""
+    from mixmogam_tpu.api import run_gwas
+
+    g, p = _simulate_files()
+    out = run_gwas(g, p, method="emmax", min_mac=5,
+                   out_prefix=os.path.join(OUT, "emmax"),
+                   cache_dir=os.path.join(OUT, "cache"))
+    top = out["result"].get_top_snps(5)
+    print("EMMAX pseudo-heritability:",
+          round(out["scan"]["pseudo_heritability"], 3))
+    print("top-5 positions:", list(top.positions))
+    print("files:", out["files"])
+
+
+def example_linear_model():
+    """OLS scan (no kinship) — shows population-structure inflation on the
+    QQ plot compared to EMMAX."""
+    from mixmogam_tpu.api import run_gwas
+
+    g, p = _simulate_files()
+    out = run_gwas(g, p, method="lm", min_mac=5,
+                   out_prefix=os.path.join(OUT, "lm"))
+    print("LM min p:", out["scan"]["ps"].min())
+
+
+def example_transformations():
+    """Phenotype transformations incl. Shapiro-driven most-normal pick."""
+    from mixmogam_tpu.api import parse_phenotype_file
+
+    _, p = _simulate_files()
+    phend = parse_phenotype_file(p)
+    phend.convert_to_averages()
+    best = phend.most_normal_transformation(1)
+    print("most-normal transformation:", best,
+          "W =", round(phend.shapiro_wilk(1), 4))
+    phend.plot_histogram(1, os.path.join(OUT, "phen_hist.png"))
+
+
+def example_stepwise():
+    """Stepwise MLMM (forward/backward, eBIC/mBIC/mbonf selection)."""
+    from mixmogam_tpu.api import (calc_ibs_kinship, emmax_step_wise,
+                                  parse_phenotype_file, parse_snp_data)
+
+    g, p = _simulate_files()
+    gd = parse_snp_data(g)
+    phend = parse_phenotype_file(p)
+    gd2, y, _ = gd.coordinate_with_phenotype(phend, 1)
+    gd2 = gd2.filter_mac_snps(5)
+    K = calc_ibs_kinship(gd2)
+    sw = emmax_step_wise(gd2, y, K=K, max_steps=4)
+    for s in sw["steps"]:
+        print(f"  {s['phase']:8s} cof={s['cofactors']} "
+              f"h2={s['pseudo_heritability']:.3f} ebic={s['ebic']:.1f}")
+    print("selected:", {k: v["cofactors"]
+                        for k, v in sw["selected"].items()})
+
+
+def example_multi_trait():
+    """50 phenotypes sharing one eigenbasis (BASELINE config #4 shape)."""
+    from mixmogam_tpu.api import calc_ibs_kinship, emmax_multi_trait, parse_snp_data
+
+    g, _ = _simulate_files()
+    gd = parse_snp_data(g).filter_mac_snps(5)
+    rng = np.random.default_rng(0)
+    Y = rng.normal(size=(50, gd.num_samples))
+    K = calc_ibs_kinship(gd)
+    mt = emmax_multi_trait(gd, Y, K=K)
+    print("per-trait h2 range:",
+          round(mt["pseudo_heritabilities"].min(), 3), "-",
+          round(mt["pseudo_heritabilities"].max(), 3))
+    print("ps shape:", mt["ps"].shape)
+
+
+def example_permutation():
+    """Empirical genome-wide threshold via permutation."""
+    from mixmogam_tpu.api import (calc_ibs_kinship, emmax_perm_test,
+                                  parse_phenotype_file, parse_snp_data)
+
+    g, p = _simulate_files()
+    gd = parse_snp_data(g)
+    phend = parse_phenotype_file(p)
+    gd2, y, _ = gd.coordinate_with_phenotype(phend, 1)
+    gd2 = gd2.filter_mac_snps(5)
+    K = calc_ibs_kinship(gd2)
+    r = emmax_perm_test(gd2, y, K=K, num_perm=50)
+    print(f"5% empirical threshold over {r['num_perm']} perms:",
+          f"{r['threshold']:.2e}")
+
+
+EXAMPLES = {
+    "emmax": example_emmax,
+    "lm": example_linear_model,
+    "transforms": example_transformations,
+    "stepwise": example_stepwise,
+    "multitrait": example_multi_trait,
+    "permutation": example_permutation,
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(EXAMPLES)
+    for name in names:
+        print(f"=== {name} ===")
+        EXAMPLES[name]()

@@ -20,6 +20,25 @@ class Gene:
     name: str = ""
 
 
+def load_gene_list(path: str, delimiter: str = ",") -> List["Gene"]:
+    """Candidate-gene list CSV: 'chromosome,start,stop[,name]' with an
+    optional header (reference: gwaResults candidate-gene loading)."""
+    genes: List[Gene] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split(delimiter)
+            try:
+                chrom = int(parts[0])
+            except ValueError:
+                continue  # header
+            genes.append(Gene(chrom, int(parts[1]), int(parts[2]),
+                              parts[3].strip() if len(parts) > 3 else ""))
+    return genes
+
+
 class Result:
     """GWAS scan result, sortable/filterable, with the reference's
     neg_log_trans / filter_attr / get_top_snps / write_to_file surface."""
