@@ -92,7 +92,8 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
              kinship_file: Optional[str] = None,
              cache_dir: Optional[str] = None, plots: bool = True,
              num_steps: int = 10, dtype=None,
-             profile_dir: Optional[str] = None, **model_kw) -> Dict:
+             profile_dir: Optional[str] = None,
+             config: Optional["GwasConfig"] = None, **model_kw) -> Dict:
     """End-to-end GWAS (reference: examples.py flow, SURVEY.md §3.1):
     parse -> transform -> coordinate -> MAC filter -> kinship (cached) ->
     scan -> ranked CSV + Manhattan/QQ plots + JSON run summary.
@@ -101,7 +102,18 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
                | 'most_normal'.
     Returns {'result': Result, 'scan': scan dict, 'files': {...}}.
     """
+    from mixmogam_tpu.config import GwasConfig, DEFAULT
     from mixmogam_tpu.utils.profiling import RunMetrics, device_trace
+
+    cfg = config or DEFAULT
+    if method in ("emmax", "emma", "emmax_stepwise"):
+        # REML defaults from config (mirror the reference's numeric
+        # defaults; explicit model_kw wins)
+        for k, v in (("ngrids", cfg.reml.ngrids), ("llim", cfg.reml.llim),
+                     ("ulim", cfg.reml.ulim)):
+            model_kw.setdefault(k, v)
+    if method in ("emmax", "emma", "emmax_stepwise", "lm"):
+        model_kw.setdefault("tile", cfg.tiles.scan_snp_tile)
 
     rm = RunMetrics(run_name=f"{method}_pid{pid}")
     with rm.phase("parse"):

@@ -39,12 +39,15 @@ def _log_binom(m: int, k: int) -> float:
                  - scipy.special.gammaln(m - k + 1))
 
 
-def _rot_null_from_delta(phi, delta, y_rot, X0_rot, dtype, pad_to: int = 0):
-    """RotatedNull for PRE-ROTATED scans, built directly in the eigenbasis.
+def _rot_null_from_delta(phi, delta, y_rot, X0_rot, dtype, pad_to: int = 0,
+                         U=None):
+    """RotatedNull built directly in the eigenbasis.
 
     pad_to: zero-pad Q0's column count so scans at every stepwise step
     share ONE compiled shape (zero columns contribute nothing to the
-    projection; dof stays the TRUE n-q-1 as a dynamic scalar)."""
+    projection; dof stays the TRUE n-q-1 as a dynamic scalar).
+    U: pass eigh(K)'s eigenvectors to also build the rotate+whiten W for
+    NON-pre-rotated (streamed) scans; otherwise W is left empty."""
     sd = 1.0 / jnp.sqrt(phi + delta)
     y_star = y_rot * sd
     X0_star = X0_rot * sd[:, None]
@@ -54,8 +57,9 @@ def _rot_null_from_delta(phi, delta, y_rot, X0_rot, dtype, pad_to: int = 0):
     n, q = X0_star.shape
     if pad_to > q:
         Q0 = jnp.pad(Q0, ((0, 0), (0, pad_to - q)))
-    return RotatedNull(W=jnp.zeros((0, 0), dtype=dtype), sd=sd, Q0=Q0,
-                       y_res=y_res, rss0=rss0,
+    W = (U * sd[None, :]) if U is not None else jnp.zeros((0, 0),
+                                                          dtype=dtype)
+    return RotatedNull(W=W, sd=sd, Q0=Q0, y_res=y_res, rss0=rss0,
                        dof=jnp.asarray(n - q - 1, dtype=dtype))
 
 
@@ -64,17 +68,25 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
                     ngrids: int = 100, llim: float = -10.0,
                     ulim: float = 10.0, esp: float = 1e-6,
                     dtype=None, tile: int = 8192, eig_k=None,
-                    save_scans: bool = False) -> Dict:
+                    save_scans: bool = False,
+                    rot_budget_bytes: int = 8 << 30) -> Dict:
     """Returns {'steps': [...], 'selected': {criterion: {...}},
     'bonf_threshold': float} — same schema as the oracle
-    (oracle.mlmm_step_wise), parity-tested."""
+    (oracle.mlmm_step_wise), parity-tested.
+
+    Memory strategy: when the rotated genotype matrix fits in
+    rot_budget_bytes of HBM it is stored once (per-step scans are then
+    pure elementwise); otherwise scans STREAM int8 tiles from host,
+    imputing on device and paying the rotation matmul per step
+    (BASELINE config #5: 1M SNPs x 10k samples)."""
     del esp
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
     if dtype is None:
         dtype = jnp.zeros(0).dtype
-    Gf = _as_dosage(G, dtype)
-    M = Gf.shape[0]
+    M = np.asarray(G.matrix if hasattr(G, "matrix") else G).shape[0]
+    itemsize = np.dtype(np.dtype(dtype).name).itemsize
+    use_stored = M * n * itemsize <= rot_budget_bytes
     if X0 is None:
         X0 = np.ones((n, 1))
     X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
@@ -86,8 +98,26 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
     U = jnp.asarray(U, dtype=dtype)
     y_rot = U.T @ jnp.asarray(y, dtype=dtype)
     X0_rot = U.T @ jnp.asarray(X0, dtype=dtype)
-    # rotate genotypes ONCE; every scan afterwards is elementwise
-    G_rot = jnp.asarray(Gf) @ U
+    if use_stored:
+        # rotate genotypes ONCE; every scan afterwards is elementwise
+        Gf = _as_dosage(G, dtype)
+        G_rot = jnp.asarray(Gf) @ U
+        G_i8 = None
+    else:
+        G_rot = None
+        G_i8 = np.ascontiguousarray(
+            np.asarray(G.matrix if hasattr(G, "matrix") else G,
+                       dtype=np.int8))
+
+    def rot_col(c: int) -> jnp.ndarray:
+        """Rotated column of SNP c (from storage or a single matvec)."""
+        if G_rot is not None:
+            return G_rot[c]
+        from mixmogam_tpu.models.streaming import _impute_tile
+
+        col = _impute_tile(jnp.asarray(G_i8[c][None, :]))[0]
+        return U.T @ col.astype(dtype)
+
     bonf = alpha / M
     q0 = X0.shape[1]
     pad_to = q0 + max_steps  # one scan compile across all steps
@@ -97,7 +127,7 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
 
     def model_stats(cof_now: List[int]):
         X_rot = (X0_rot if not cof_now
-                 else jnp.concatenate([X0_rot] + [G_rot[c][:, None]
+                 else jnp.concatenate([X0_rot] + [rot_col(c)[:, None]
                                                   for c in cof_now], axis=1))
         r = explicit_reml(phi, y_rot, X_rot, ngrids=ngrids, llim=llim,
                           ulim=ulim, reml=True)
@@ -113,11 +143,12 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
         for i, c in enumerate(cof_now):
             others = [cc for cc in cof_now if cc != c]
             Xm = (X0_rot if not others
-                  else jnp.concatenate([X0_rot] + [G_rot[o][:, None]
+                  else jnp.concatenate([X0_rot] + [rot_col(o)[:, None]
                                                    for o in others], axis=1))
             rotm = _rot_null_from_delta(phi, r["delta"], y_rot, Xm, dtype,
                                         pad_to=pad_to)
-            st = emmax_scan_stats(G_rot[c][None, :], rotm, pre_rotated=True)
+            st = emmax_scan_stats(rot_col(c)[None, :], rotm,
+                                  pre_rotated=True)
             fval = float(np.asarray(st["f_stats"])[0])
             cof_ps[i] = float(f_sf_host(np.array([fval]), 1.0,
                                         float(rotm.dof))[0]) \
@@ -136,11 +167,47 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
                 **stats}
         return step, r, X_rot
 
+    def full_scan(r, X_rot):
+        if G_rot is not None:
+            rot = _rot_null_from_delta(phi, r["delta"], y_rot, X_rot,
+                                       dtype, pad_to=pad_to)
+            return rot, emmax_scan_all(G_rot, rot, tile=tile,
+                                       pre_rotated=True)
+        # streamed: int8 tiles, device impute, rotation matmul per tile
+        from mixmogam_tpu.models.streaming import _impute_tile
+
+        rot = _rot_null_from_delta(phi, r["delta"], y_rot, X_rot, dtype,
+                                   pad_to=pad_to, U=U)
+        outs = {"f_stats": np.empty(M), "mask": np.empty(M, dtype=bool),
+                "betas": np.empty(M), "var_perc": np.empty(M)}
+        pend = []
+
+        def drain(t, o):
+            s, e = t * tile, min((t + 1) * tile, M)
+            o = jax.device_get(o)
+            for kk in outs:
+                outs[kk][s:e] = np.asarray(o[kk])[: e - s]
+
+        import jax
+
+        for t in range(-(-M // tile)):
+            s, e = t * tile, min((t + 1) * tile, M)
+            chunk = G_i8[s:e]
+            if e - s < tile:
+                chunk = np.vstack(
+                    [chunk, np.zeros((tile - (e - s), n), np.int8)])
+            o = emmax_scan_stats(
+                _impute_tile(jnp.asarray(chunk)).astype(dtype), rot)
+            pend.append((t, o))
+            if len(pend) >= 4:
+                drain(*pend.pop(0))
+        for t, o in pend:
+            drain(t, o)
+        return rot, outs
+
     for _ in range(max_steps):
         step, r, X_rot = record(cof, "forward")
-        rot = _rot_null_from_delta(phi, r["delta"], y_rot, X_rot, dtype,
-                                   pad_to=pad_to)
-        d = emmax_scan_all(G_rot, rot, tile=tile, pre_rotated=True)
+        rot, d = full_scan(r, X_rot)
         f_stats = np.asarray(d["f_stats"], dtype=np.float64)
         ps = np.where(np.asarray(d["mask"]),
                       f_sf_host(f_stats, 1.0, float(rot.dof)), 1.0)

@@ -64,6 +64,21 @@ class TestStepwiseDevice:
         assert ({k: v["cofactors"] for k, v in o["selected"].items()}
                 == {k: v["cofactors"] for k, v in d["selected"].items()})
 
+    def test_streamed_stepwise_matches_stored(self, tiny_dataset,
+                                              kinship_tiny):
+        """rot_budget_bytes=0 forces the streaming path (int8 tiles,
+        per-step rotation) — must reproduce the stored-G_rot path."""
+        G_int = tiny_dataset["G_int"]
+        y, K = tiny_dataset["y"], kinship_tiny
+        a = emmax_step_wise(G_int, y, K=K, max_steps=2, tile=32)
+        b = emmax_step_wise(G_int, y, K=K, max_steps=2, tile=32,
+                            rot_budget_bytes=0)
+        for sa, sb in zip(a["steps"], b["steps"]):
+            assert sa["cofactors"] == sb["cofactors"]
+            assert abs(sa["delta"] - sb["delta"]) < 1e-8
+        assert ({k: v["cofactors"] for k, v in a["selected"].items()}
+                == {k: v["cofactors"] for k, v in b["selected"].items()})
+
     def test_per_step_h2_trace(self, tiny_dataset, kinship_tiny):
         G, y, K = tiny_dataset["G"], tiny_dataset["y"], kinship_tiny
         d = emmax_step_wise(G, y, K=K, max_steps=2, tile=64)
