@@ -32,9 +32,11 @@ def __getattr__(name):
     # Lazy facade: keep `import mixmogam_tpu` cheap (no jax import) so the
     # oracle and data layers can be used standalone.
     if name in {
-        "emmax", "emma", "emmax_step_wise", "linear_model", "anova",
-        "kruskal_wallis", "calc_ibs_kinship", "calc_ibd_kinship",
-        "parse_snp_data", "parse_phenotype_file", "run_gwas",
+        "emmax", "emma", "emmax_step_wise", "emmax_anova",
+        "emmax_multi_trait", "emmax_perm_test", "emmax_two_snps",
+        "linear_model", "anova", "kruskal_wallis", "calc_ibs_kinship",
+        "calc_ibd_kinship", "parse_snp_data", "parse_phenotype_file",
+        "run_gwas", "save_kinship_to_file", "load_kinship_from_file",
     }:
         from mixmogam_tpu import api
 

@@ -1,0 +1,129 @@
+"""Pallas TPU kernel: fused rotated-GLS F-test scan over PRE-ROTATED
+genotype tiles (the BASELINE north star's 'fully vectorized rotated-GLS +
+F-test kernel with no Python loop over markers').
+
+Fuses whiten (elementwise) + null-design projections (MXU) + row
+reductions + the F epilogue into ONE kernel, with n-axis blocking so the
+(TM, n) working set never leaves VMEM and partial sums accumulate in
+scratch: per SNP row the kernel touches HBM exactly once (read its
+rotated genotypes) and writes 4 floats. Grid (M-tiles, n-blocks), n-block
+innermost.
+
+Layout notes: Q0 is zero-padded to QPAD lanes (zero columns contribute
+nothing); sd / y_res ride as (1, n) rows; rss0 and dof are SMEM scalars;
+outputs are a (4, M) matrix [f, beta, var_perc, mask].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QPAD = 128  # padded null-design width (lane-aligned)
+
+
+def _scan_kernel(scal_ref, g_ref, sd_ref, yres_ref, q0_ref, out_ref,
+                 ss_acc, xy_acc, cc_acc):
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        ss_acc[:] = jnp.zeros_like(ss_acc)
+        xy_acc[:] = jnp.zeros_like(xy_acc)
+        cc_acc[:] = jnp.zeros_like(cc_acc)
+
+    xs = g_ref[:] * sd_ref[:]                       # (TM, TN) whiten
+    ss_acc[:] += jnp.sum(xs * xs, axis=1, keepdims=True)
+    xy_acc[:] += jnp.sum(xs * yres_ref[:], axis=1, keepdims=True)
+    cc_acc[:] += jnp.dot(xs, q0_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        rss0 = scal_ref[0]
+        dof = scal_ref[1]
+        ss = ss_acc[:][:, 0]
+        xy = xy_acc[:][:, 0]
+        cc = cc_acc[:]
+        xx = ss - jnp.sum(cc * cc, axis=1)
+        eps = 100.0 * jnp.finfo(jnp.float32).eps
+        tiny = jnp.finfo(jnp.float32).tiny
+        mask = xx > eps * jnp.maximum(ss, tiny)
+        xx_safe = jnp.where(mask, xx, 1.0)
+        expl = jnp.where(mask, jnp.minimum(xy * xy / xx_safe, rss0), 0.0)
+        rss1 = jnp.maximum(rss0 - expl, tiny)
+        out_ref[0, :] = jnp.where(mask, expl * dof / rss1, 0.0)
+        out_ref[1, :] = jnp.where(mask, xy / xx_safe, 0.0)
+        out_ref[2, :] = jnp.where(mask, expl / rss0, 0.0)
+        out_ref[3, :] = mask.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def _scan_padded(G_rot, sd_row, yres_row, Q0p, scalars, tm: int, tn: int,
+                 interpret: bool = False):
+    Mp, np_ = G_rot.shape
+    grid = (Mp // tm, np_ // tn)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tn), lambda i, k, s: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, k, s: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, k, s: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, QPAD), lambda i, k, s: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, tm), lambda i, k, s: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tm, 1), jnp.float32),
+            pltpu.VMEM((tm, 1), jnp.float32),
+            pltpu.VMEM((tm, QPAD), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _scan_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, Mp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * np_ * (QPAD + 3),
+            bytes_accessed=4 * Mp * np_ + 16 * Mp, transcendentals=0),
+        interpret=interpret,
+    )(scalars, G_rot, sd_row, yres_row, Q0p)
+
+
+def pallas_scan_stats(G_rot, rot, tm: int = 256, tn: int = 512,
+                      interpret=None) -> Dict[str, jnp.ndarray]:
+    """Fused scan over pre-rotated SNP rows. Mirrors
+    ops.scan.emmax_scan_stats(pre_rotated=True) (parity-tested)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    G_rot = jnp.asarray(G_rot, dtype=jnp.float32)
+    M, n = G_rot.shape
+    Mp = -(-M // tm) * tm
+    np_ = -(-n // tn) * tn
+    Gp = jnp.pad(G_rot, ((0, Mp - M), (0, np_ - n)))
+    sd = jnp.pad(jnp.asarray(rot.sd, jnp.float32), (0, np_ - n))[None, :]
+    yres = jnp.pad(jnp.asarray(rot.y_res, jnp.float32),
+                   (0, np_ - n))[None, :]
+    Q0 = jnp.asarray(rot.Q0, jnp.float32)
+    # undo the whitening on Q0/y_res inputs: the kernel whitens G only, so
+    # feed sd-weighted columns consistently: Q0 and y_res are ALREADY in
+    # the whitened basis; the zero-padded sample rows contribute nothing.
+    Q0p = jnp.pad(Q0, ((0, np_ - n), (0, QPAD - Q0.shape[1])))
+    scalars = jnp.asarray(
+        [jnp.float32(rot.rss0), jnp.float32(rot.dof)], dtype=jnp.float32)
+    out = _scan_padded(Gp, sd, yres, Q0p, scalars, tm, tn,
+                       interpret=interpret)
+    f, beta, vp, maskf = out[0, :M], out[1, :M], out[2, :M], out[3, :M]
+    return {"f_stats": f, "betas": beta, "var_perc": vp,
+            "mask": maskf > 0.5}

@@ -57,6 +57,29 @@ class TestInt8Path:
         np.testing.assert_allclose(K, Ko, atol=1e-10)
 
 
+class TestPallasScan:
+    def test_fused_scan_parity(self, small_dataset, kinship_small):
+        from mixmogam_tpu.ops.pallas_scan import pallas_scan_stats
+        from mixmogam_tpu.ops.reml import fit_null_model
+        from mixmogam_tpu.ops.scan import build_rotated_null, emmax_scan_stats
+
+        G = small_dataset["G"].astype(np.float32)
+        y = small_dataset["y"].astype(np.float32)
+        K = kinship_small.astype(np.float32)
+        null = fit_null_model(y, np.ones((len(y), 1), np.float32), K=K)
+        rot = build_rotated_null(null)
+        G_rot = jnp.asarray(G) @ null.U
+        ref = emmax_scan_stats(G_rot, rot, pre_rotated=True)
+        pal = pallas_scan_stats(G_rot, rot, tm=128, tn=128)
+        np.testing.assert_array_equal(np.asarray(ref["mask"]),
+                                      np.asarray(pal["mask"]))
+        np.testing.assert_allclose(np.asarray(pal["f_stats"]),
+                                   np.asarray(ref["f_stats"]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(pal["betas"]),
+                                   np.asarray(ref["betas"]), atol=1e-5)
+
+
 class TestBf16Rotation:
     def test_bf16_scan_close_and_rank_stable(self, small_dataset,
                                              kinship_small):
