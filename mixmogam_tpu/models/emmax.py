@@ -87,12 +87,100 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     return out
 
 
-def emmax_anova(G, y, K=None, **kw) -> Dict[str, np.ndarray]:
-    """EMMAX with the SNP coded as categorical (genotype-class means) —
-    reference: emmax_anova. For binary coding this equals emmax();
-    for diploid coding the heterozygote gets its own dof (F with d1=2).
+def emmax_anova(G, y, K=None, X0=None, eig_k=None, ngrids: int = 100,
+                llim: float = -10.0, ulim: float = 10.0, dtype=None,
+                tile: int = 4096, **kw) -> Dict[str, np.ndarray]:
+    """EMMAX with the SNP coded as CATEGORICAL genotype-class means
+    (reference: emmax_anova). Binary coding reduces to emmax(); diploid
+    coding tests the two indicator columns [I(g==1), I(g==2)] jointly
+    (F with d1 = #classes - 1), so dominance is not assumed additive.
 
-    v1: implemented for binary data via emmax(); diploid categorical
-    coding is handled by expanding G into indicator columns per class
-    upstream."""
-    return emmax(G, y, K=K, **kw)
+    Vectorized: both whitened indicator columns are residualized against
+    the null design and Gram-Schmidt'ed against each other — elementwise
+    over the SNP axis (same trick as the pairwise interaction test)."""
+    import jax
+
+    from mixmogam_tpu.data.genotype import GenotypeData
+
+    if isinstance(G, GenotypeData):
+        ploidy = G.ploidy
+        G_int = G.matrix
+    else:
+        G_int = np.asarray(G)
+        ploidy = 2 if G_int.max(initial=0) > 1 else 1
+    if ploidy == 1:
+        return emmax(G_int, y, K=K, X0=X0, eig_k=eig_k, ngrids=ngrids,
+                     llim=llim, ulim=ulim, dtype=dtype, tile=tile, **kw)
+
+    y = np.asarray(y, dtype=np.float64).ravel()
+    n = y.shape[0]
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    if X0 is None:
+        X0 = np.ones((n, 1))
+    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    q = X0.shape[1]
+    null = fit_null_model(y.astype(np.dtype(dtype).name), X0, K=K,
+                          eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim)
+    rot = build_rotated_null(null)
+    # indicator dosage rows (missing -> excluded from both classes after
+    # mean-imputation-free indicator coding: impute to class of the mean)
+    Gf = _as_dosage(G_int, np.float64)
+    I1 = (np.abs(Gf - 1.0) < 0.5).astype(np.dtype(dtype).name)
+    I2 = (Gf >= 1.5).astype(np.dtype(dtype).name)
+
+    @jax.jit
+    def pair_f(A_tile, B_tile, rot):
+        dt = rot.sd.dtype
+        Wt = rot.W
+        Aw = jnp.dot(A_tile.astype(Wt.dtype), Wt, preferred_element_type=dt)
+        Bw = jnp.dot(B_tile.astype(Wt.dtype), Wt, preferred_element_type=dt)
+        Q0 = rot.Q0
+        Ar = Aw - (Aw @ Q0) @ Q0.T
+        Br = Bw - (Bw @ Q0) @ Q0.T
+        eps = 100.0 * jnp.finfo(dt).eps
+        tiny = jnp.finfo(dt).tiny
+        aa = jnp.sum(Ar * Ar, axis=1)
+        maska = aa > eps * jnp.maximum(jnp.sum(Aw * Aw, axis=1), tiny)
+        aa_s = jnp.where(maska, aa, 1.0)
+        ab = jnp.sum(Ar * Br, axis=1)
+        Br2 = Br - (ab / aa_s)[:, None] * Ar
+        bb = jnp.sum(Br2 * Br2, axis=1)
+        maskb = bb > eps * jnp.maximum(jnp.sum(Bw * Bw, axis=1), tiny)
+        bb_s = jnp.where(maskb, bb, 1.0)
+        ay = Ar @ rot.y_res
+        by = Br2 @ rot.y_res
+        expl = (jnp.where(maska, ay * ay / aa_s, 0.0)
+                + jnp.where(maskb, by * by / bb_s, 0.0))
+        d1 = maska.astype(dt) + maskb.astype(dt)
+        mask = d1 > 0
+        expl = jnp.minimum(expl, rot.rss0)
+        dof2 = jnp.asarray(rot.dof, dt) + 1.0 - d1  # n - q - d1
+        rss1 = jnp.maximum(rot.rss0 - expl, tiny)
+        f = jnp.where(mask, (expl / jnp.maximum(d1, 1.0))
+                      / (rss1 / jnp.maximum(dof2, 1.0)), 0.0)
+        return f, d1, dof2, mask
+
+    M = Gf.shape[0]
+    fs = np.empty(M)
+    d1s = np.empty(M)
+    d2s = np.empty(M)
+    masks = np.empty(M, dtype=bool)
+    for s in range(0, M, tile):
+        e = min(s + tile, M)
+        A = I1[s:e]
+        B = I2[s:e]
+        if e - s < tile:
+            A = np.vstack([A, np.zeros((tile - (e - s), n), A.dtype)])
+            B = np.vstack([B, np.zeros((tile - (e - s), n), B.dtype)])
+        f, d1, d2, mk = pair_f(jnp.asarray(A), jnp.asarray(B), rot)
+        m = e - s
+        fs[s:e] = np.asarray(f)[:m]
+        d1s[s:e] = np.asarray(d1)[:m]
+        d2s[s:e] = np.asarray(d2)[:m]
+        masks[s:e] = np.asarray(mk)[:m]
+    ps = np.where(masks, f_sf_host(fs, np.maximum(d1s, 1.0),
+                                   np.maximum(d2s, 1.0)), 1.0)
+    return {"ps": ps, "f_stats": fs, "dof1": d1s, "dof2": d2s,
+            "mask": masks, "delta": float(null.delta),
+            "pseudo_heritability": float(null.pseudo_heritability)}

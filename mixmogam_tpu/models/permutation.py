@@ -58,9 +58,24 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
         X0 = np.ones((n, 1))
     X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
     q = X0.shape[1]
-    null = fit_null_model(y.astype(np.dtype(dtype).name), X0, K=K,
-                          eig_k=eig_k)
-    phi, U, delta = null.phi, null.U, null.delta
+    if K is None and eig_k is None:
+        # linear-model permutation test: identity whitening, no REML
+        from mixmogam_tpu.ops.reml import NullModel
+
+        eye = jnp.eye(n, dtype=dtype)
+        null = NullModel(
+            phi=jnp.zeros(n, dtype=dtype), U=eye,
+            delta=jnp.asarray(1.0, dtype), log_delta=jnp.asarray(0.0, dtype),
+            ll=jnp.asarray(0.0, dtype), sigma_g2=jnp.asarray(0.0, dtype),
+            sigma_e2=jnp.asarray(1.0, dtype),
+            pseudo_heritability=jnp.asarray(0.0, dtype),
+            y=jnp.asarray(y, dtype), X0=jnp.asarray(X0, dtype))
+        # phi + delta == 1 -> sd == 1 (identity whitening)
+        phi, U, delta = null.phi, null.U, null.delta
+    else:
+        null = fit_null_model(y.astype(np.dtype(dtype).name), X0, K=K,
+                              eig_k=eig_k)
+        phi, U, delta = null.phi, null.U, null.delta
     sd = 1.0 / jnp.sqrt(phi + delta)
     rng = np.random.default_rng(seed)
     perms = np.stack([rng.permutation(n) for _ in range(num_perm)])

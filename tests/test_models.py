@@ -46,6 +46,30 @@ class TestEmmaDevice:
         assert np.argmin(d["ps"]) == np.argmin(df["ps"])
 
 
+class TestEmmaxAnova:
+    def test_diploid_categorical_equals_oneway_anova_at_identity_k(self):
+        """With K=I the 2-dof categorical EMMAX test must reproduce the
+        classic one-way ANOVA over the three genotype classes."""
+        from mixmogam_tpu.data.simulate import simulate_genotypes
+        from mixmogam_tpu.models.emmax import emmax_anova
+
+        rng = np.random.default_rng(0)
+        G, _, _ = simulate_genotypes(80, 200, ploidy=2, seed=6)
+        y = rng.normal(size=80)
+        d = emmax_anova(G, y, K=np.eye(80), tile=64)
+        o = oracle.anova_scan(G, y)
+        assert np.max(np.abs(d["ps"] - o["ps"])) < 1e-6
+
+    def test_binary_reduces_to_emmax(self, small_dataset, kinship_small):
+        from mixmogam_tpu.models.emmax import emmax_anova
+
+        G, y, K = small_dataset["G_int"][:40], small_dataset["y"], \
+            kinship_small
+        a = emmax_anova(G, y, K=K)
+        b = emmax(G, y, K=K)
+        np.testing.assert_allclose(a["ps"], b["ps"], atol=1e-10)
+
+
 class TestStepwiseDevice:
     def test_full_path_parity(self, tiny_dataset, kinship_tiny):
         G, y, K = tiny_dataset["G"], tiny_dataset["y"], kinship_tiny
