@@ -37,6 +37,10 @@ def _add_run(sub):
     p.add_argument("--num-steps", type=int, default=10,
                    help="stepwise forward steps")
     p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace here")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans for the run")
 
 
 def _add_kinship(sub):
@@ -79,15 +83,21 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "run":
-        from mixmogam_tpu.api import run_gwas
+        import contextlib
 
-        out = run_gwas(
-            args.genotype, args.phenotype, pid=args.pid, method=args.method,
-            out_prefix=args.out_prefix, data_format=args.data_format,
-            transform=args.transform, min_mac=args.min_mac,
-            kinship_method=args.kinship_method,
-            kinship_file=args.kinship_file, cache_dir=args.cache_dir,
-            plots=not args.no_plots, num_steps=args.num_steps)
+        from mixmogam_tpu.api import run_gwas
+        from mixmogam_tpu.utils.profiling import debug_nans
+
+        ctx = debug_nans(True) if args.debug_nans else contextlib.nullcontext()
+        with ctx:
+            out = run_gwas(
+                args.genotype, args.phenotype, pid=args.pid,
+                method=args.method, out_prefix=args.out_prefix,
+                data_format=args.data_format, transform=args.transform,
+                min_mac=args.min_mac, kinship_method=args.kinship_method,
+                kinship_file=args.kinship_file, cache_dir=args.cache_dir,
+                plots=not args.no_plots, num_steps=args.num_steps,
+                profile_dir=args.profile_dir)
         if args.method == "emmax_stepwise":
             sw = out["scan"]["stepwise"]
             sel = {k: v["cofactors"] for k, v in sw["selected"].items()}

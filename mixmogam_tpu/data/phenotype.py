@@ -171,6 +171,40 @@ class PhenotypeData:
                     row.append(str(np.mean(m[e])) if e in m else "NA")
                 f.write(delimiter.join(row) + "\n")
 
+    def write_hdf5(self, path: str) -> None:
+        """HDF5 phenotype container (reference: hdf5_data.py role)."""
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            for pid in self.phenotype_ids():
+                p = self.phen_dict[pid]
+                g = f.create_group(f"phenotype_{pid}")
+                g.attrs["name"] = p.name
+                g.attrs["transformation"] = p.transformation
+                g.create_dataset("ecotypes", data=np.array(
+                    p.ecotypes, dtype=h5py.string_dtype()))
+                g.create_dataset("values", data=np.asarray(
+                    p.values, dtype=np.float64))
+
+    @staticmethod
+    def read_hdf5(path: str) -> "PhenotypeData":
+        import h5py
+
+        pd = PhenotypeData()
+        with h5py.File(path, "r") as f:
+            for key in f:
+                if not key.startswith("phenotype_"):
+                    continue
+                pid = int(key.split("_")[1])
+                g = f[key]
+                ecos = [e.decode() if isinstance(e, bytes) else str(e)
+                        for e in g["ecotypes"][:]]
+                pd.add_phenotype(pid, str(g.attrs["name"]), ecos,
+                                 list(g["values"][:]))
+                pd.phen_dict[pid].transformation = str(
+                    g.attrs.get("transformation", "none"))
+        return pd
+
     def plot_histogram(self, pid: int, path: str, bins: int = 20) -> None:
         import matplotlib
         matplotlib.use("Agg")

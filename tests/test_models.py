@@ -146,6 +146,13 @@ class TestPermutation:
         # and the permutation min-p distribution should not be degenerate
         assert len(np.unique(np.round(r["min_ps"], 12))) > 5
 
+    def test_lm_permutation_variant(self, small_dataset):
+        """K=None -> identity whitening (linear-model permutation test)."""
+        G, y = small_dataset["G"][:100], small_dataset["y"]
+        r = emmax_perm_test(G, y, K=None, num_perm=20, tile=64)
+        assert r["min_ps"].shape == (20,)
+        assert 0 < r["threshold"] < 0.05
+
     def test_perm_matches_direct_scan(self, small_dataset, kinship_small):
         """Permutation #0 with the identity permutation must reproduce the
         real scan's max F."""

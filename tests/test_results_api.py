@@ -195,6 +195,29 @@ class TestEndToEnd:
         assert rc == 0
         assert os.path.exists(sim_files / "K.npz")
 
+    def test_run_gwas_emma(self, sim_files):
+        from mixmogam_tpu.api import run_gwas
+
+        out = run_gwas(str(sim_files / "sim.genotypes.csv"),
+                       str(sim_files / "sim.phenotypes.csv"),
+                       method="emma", min_mac=3, plots=False,
+                       tile=256)
+        assert out["scan"]["ps"] is not None
+        assert "deltas" in out["scan"]
+
+    def test_phenotype_hdf5_roundtrip(self, tmp_path):
+        from mixmogam_tpu.data.phenotype import PhenotypeData
+
+        pd = PhenotypeData.from_arrays(1, "t1", ["a", "b", "c"],
+                                       [1.0, 2.0, 3.0])
+        pd.add_phenotype(2, "t2", ["a", "b"], [5.0, 6.0])
+        p = str(tmp_path / "ph.h5")
+        pd.write_hdf5(p)
+        pd2 = PhenotypeData.read_hdf5(p)
+        assert pd2.phenotype_ids() == [1, 2]
+        np.testing.assert_allclose(pd2.get_values(1), [1.0, 2.0, 3.0])
+        assert pd2.get_name(2) == "t2"
+
     def test_transform_most_normal(self, sim_files):
         from mixmogam_tpu.api import run_gwas
 
