@@ -110,7 +110,7 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
         # REML defaults from config (mirror the reference's numeric
         # defaults; explicit model_kw wins)
         for k, v in (("ngrids", cfg.reml.ngrids), ("llim", cfg.reml.llim),
-                     ("ulim", cfg.reml.ulim)):
+                     ("ulim", cfg.reml.ulim), ("esp", cfg.reml.esp)):
             model_kw.setdefault(k, v)
     if method in ("emmax", "emma", "emmax_stepwise", "lm"):
         model_kw.setdefault("tile", cfg.tiles.scan_snp_tile)

@@ -22,7 +22,7 @@ class RemlConfig:
     llim: float = -10.0   # lower bound on log(delta), natural log
     ulim: float = 10.0    # upper bound on log(delta)
     esp: float = 1e-6     # root refinement tolerance on log(delta)
-    max_refine_iters: int = 64  # bisection iterations (>= log2(range/ngrids/esp))
+                          # (maps to bisection iterations; ops.reml.esp_to_refine_iters)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -149,7 +149,12 @@ class PhenotypeData:
                     continue
                 parts = line.split(delimiter)
                 ecos.append(parts[0].strip())
-                for i, tok in enumerate(parts[1:]):
+                # clamp to the header's width: short rows pad with NaN,
+                # long rows drop the excess (otherwise one malformed row
+                # silently shifts every later value to the wrong ecotype)
+                toks = parts[1:1 + len(names)]
+                toks += [""] * (len(names) - len(toks))
+                for i, tok in enumerate(toks):
                     tok = tok.strip()
                     cols[i].append(
                         np.nan if tok in ("", "NA", "nan", "NaN") else float(tok))

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mixmogam_tpu.models.emmax import _as_dosage
+from mixmogam_tpu.models.emmax import _as_design, _as_dosage
 from mixmogam_tpu.ops.eigen import eigen_k
 from mixmogam_tpu.ops.reml import fit_null_model
 from mixmogam_tpu.ops.stats import f_sf_host, chi2_sf_host
@@ -63,7 +63,9 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
          ) -> Dict[str, np.ndarray]:
     """EMMA exact scan. Same signature family as emmax(); additionally
     returns per-SNP 'deltas' and 'pseudo_heritabilities'."""
-    del esp
+    from mixmogam_tpu.ops.reml import esp_to_refine_iters
+
+    refine_iters = esp_to_refine_iters(esp, ngrids, llim, ulim)
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
     if dtype is None:
@@ -72,7 +74,7 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
     M = Gf.shape[0]
     if X0 is None:
         X0 = np.ones((n, 1))
-    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    X0 = _as_design(X0, n)
     q = X0.shape[1]
     if eig_k is None:
         phi, U = eigen_k(K, host=True)
@@ -102,7 +104,8 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
         Gt = Gt_raw @ U
         ld_xtx = _logdet_xtx_tile(Gt, X0_rot)
         r = emma_delta_scan(Gt, X0_rot, y_rot, phi, ld_xtx, ngrids=ngrids,
-                            llim=llim, ulim=ulim, reml=reml)
+                            llim=llim, ulim=ulim, reml=reml,
+                            refine_iters=refine_iters)
         rss0, mask = _f_stats_at_delta(Gt, X0_rot, y_rot, phi,
                                        r["log_delta"], r["ypy"])
         rss1 = r["ypy"]

@@ -22,20 +22,39 @@ from mixmogam_tpu.ops.stats import f_sf_host
 
 
 def _as_dosage(G, dtype) -> np.ndarray:
-    """GenotypeData or array -> (M, n) float array with mean imputation."""
+    """GenotypeData or array -> (M, n) float array with the normative
+    per-SNP mean imputation (int8: -1 = missing; float: NaN = missing)."""
     from mixmogam_tpu.data.genotype import GenotypeData
 
     if isinstance(G, GenotypeData):
         return G.dosage_f64().astype(dtype)
     G = np.asarray(G)
-    if G.dtype == np.int8 and (G < 0).any():
+    if G.dtype == np.int8:
+        if not (G < 0).any():
+            return G.astype(dtype)
         Gf = G.astype(np.float64)
         Gf[G < 0] = np.nan
-        mu = np.nanmean(Gf, axis=1)
-        idx = np.where(np.isnan(Gf))
-        Gf[idx] = mu[idx[0]]
-        return Gf.astype(dtype)
-    return G.astype(dtype)
+    elif np.issubdtype(G.dtype, np.floating) and np.isnan(G).any():
+        Gf = G.astype(np.float64)
+    else:
+        return G.astype(dtype)
+    mu = np.nanmean(Gf, axis=1)
+    mu = np.where(np.isnan(mu), 0.0, mu)
+    idx = np.where(np.isnan(Gf))
+    Gf[idx] = mu[idx[0]]
+    return Gf.astype(dtype)
+
+
+def _as_design(X0, n: int) -> np.ndarray:
+    """Normalize a fixed-effects design: 1-D covariates become a column;
+    shape is validated against the sample count (np.atleast_2d would turn
+    an (n,) covariate into a (1, n) ROW and crash far away)."""
+    X0 = np.asarray(X0, dtype=np.float64)
+    if X0.ndim == 1:
+        X0 = X0[:, None]
+    if X0.ndim != 2 or X0.shape[0] != n:
+        raise ValueError(f"X0 must be (n_samples={n}, q); got {X0.shape}")
+    return X0
 
 
 def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
@@ -50,10 +69,11 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
 
     Returns {'ps','f_stats','betas','var_perc','mask',
              'pseudo_heritability','delta','sigma_g2','sigma_e2','dof'}
-    with float64 host p-values (esp kept for signature parity with the
-    reference; the device optimizer's fixed bisection is tighter).
+    with float64 host p-values. esp (the reference's root tolerance on
+    log delta) maps to the bisection iteration count.
     """
-    del esp  # device bisection is tighter than the reference's tolerance
+    from mixmogam_tpu.ops.reml import esp_to_refine_iters
+
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
     if dtype is None:
@@ -61,9 +81,11 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     Gf = _as_dosage(G, dtype)
     if X0 is None:
         X0 = np.ones((n, 1))
-    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    X0 = _as_design(X0, n)
     null = fit_null_model(y.astype(dtype), X0.astype(dtype), K=K,
                           eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim,
+                          refine_iters=esp_to_refine_iters(
+                              esp, ngrids, llim, ulim),
                           host_eigh=host_eigh)
     import jax.numpy as _jnp
 
@@ -118,7 +140,7 @@ def emmax_anova(G, y, K=None, X0=None, eig_k=None, ngrids: int = 100,
         dtype = jnp.zeros(0).dtype
     if X0 is None:
         X0 = np.ones((n, 1))
-    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    X0 = _as_design(X0, n)
     q = X0.shape[1]
     null = fit_null_model(y.astype(np.dtype(dtype).name), X0, K=K,
                           eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim)

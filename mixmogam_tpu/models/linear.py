@@ -18,7 +18,7 @@ import numpy as np
 from mixmogam_tpu.ops.eigen import orthonormal_basis
 from mixmogam_tpu.ops.scan import RotatedNull, emmax_scan_all
 from mixmogam_tpu.ops.stats import f_sf_host, chi2_sf_host
-from mixmogam_tpu.models.emmax import _as_dosage
+from mixmogam_tpu.models.emmax import _as_design, _as_dosage
 
 
 def _identity_rot(y: np.ndarray, X0: np.ndarray, dtype) -> RotatedNull:
@@ -29,7 +29,9 @@ def _identity_rot(y: np.ndarray, X0: np.ndarray, dtype) -> RotatedNull:
     y_res = yd - Q0 @ (Q0.T @ yd)
     rss0 = y_res @ y_res
     ones = jnp.ones(n, dtype=dtype)
-    return RotatedNull(W=jnp.eye(n, dtype=dtype), sd=ones, Q0=Q0,
+    # W is never read on the pre_rotated path — don't allocate an n x n
+    # identity (400 MB at n=10k)
+    return RotatedNull(W=jnp.zeros((0, 0), dtype=dtype), sd=ones, Q0=Q0,
                        y_res=y_res, rss0=rss0,
                        dof=jnp.asarray(n - q - 1, dtype=dtype))
 
@@ -45,7 +47,7 @@ def linear_model(G, y, X0: Optional[np.ndarray] = None, dtype=None,
         dtype = jnp.zeros(0).dtype
     if X0 is None:
         X0 = np.ones((n, 1))
-    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    X0 = _as_design(X0, n)
     Gf = _as_dosage(G, dtype)
     rot = _identity_rot(y, X0, dtype)
     d = emmax_scan_all(jnp.asarray(Gf), rot, tile=tile, pre_rotated=True)
@@ -135,7 +137,6 @@ def kruskal_wallis(G, y, ploidy: Optional[int] = None, dtype=None
     if (G < 0).any():
         from mixmogam_tpu.oracle.glm import kruskal_wallis_scan
 
-        Gm = G.astype(np.float64)
         out = {"ps": np.ones(G.shape[0]), "stats": np.zeros(G.shape[0])}
         for j in range(G.shape[0]):
             keep = G[j] >= 0

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mixmogam_tpu.models.emmax import _as_dosage
+from mixmogam_tpu.models.emmax import _as_design, _as_dosage
 from mixmogam_tpu.ops.eigen import eigen_k, projected_spectrum
 from mixmogam_tpu.ops.reml import reml_from_spectrum
 from mixmogam_tpu.ops.stats import f_sf_host
@@ -81,7 +81,7 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
     M = Gf.shape[0]
     if X0 is None:
         X0 = np.ones((n, 1))
-    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    X0 = _as_design(X0, n)
     q = X0.shape[1]
     if eig_k is None:
         phi, U = eigen_k(K, host=True)

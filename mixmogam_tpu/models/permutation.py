@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mixmogam_tpu.models.emmax import _as_dosage
+from mixmogam_tpu.models.emmax import _as_design, _as_dosage
 from mixmogam_tpu.ops.eigen import eigen_k, orthonormal_basis
 from mixmogam_tpu.ops.reml import fit_null_model
 from mixmogam_tpu.ops.stats import f_sf_host
@@ -56,7 +56,7 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
     M = Gf.shape[0]
     if X0 is None:
         X0 = np.ones((n, 1))
-    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    X0 = _as_design(X0, n)
     q = X0.shape[1]
     if K is None and eig_k is None:
         # linear-model permutation test: identity whitening, no REML

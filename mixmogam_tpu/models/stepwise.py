@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.special
 
-from mixmogam_tpu.models.emmax import _as_dosage
+from mixmogam_tpu.models.emmax import _as_design, _as_dosage
 from mixmogam_tpu.ops.eigen import eigen_k, orthonormal_basis
 from mixmogam_tpu.ops.reml import NullModel
 from mixmogam_tpu.ops.scan import RotatedNull, emmax_scan_all, emmax_scan_stats
@@ -79,7 +79,9 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
     pure elementwise); otherwise scans STREAM int8 tiles from host,
     imputing on device and paying the rotation matmul per step
     (BASELINE config #5: 1M SNPs x 10k samples)."""
-    del esp
+    from mixmogam_tpu.ops.reml import esp_to_refine_iters
+
+    refine_iters = esp_to_refine_iters(esp, ngrids, llim, ulim)
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
     if dtype is None:
@@ -89,7 +91,7 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
     use_stored = M * n * itemsize <= rot_budget_bytes
     if X0 is None:
         X0 = np.ones((n, 1))
-    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    X0 = _as_design(X0, n)
     if eig_k is None:
         phi, U = eigen_k(K, host=True)
     else:
@@ -130,9 +132,9 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
                  else jnp.concatenate([X0_rot] + [rot_col(c)[:, None]
                                                   for c in cof_now], axis=1))
         r = explicit_reml(phi, y_rot, X_rot, ngrids=ngrids, llim=llim,
-                          ulim=ulim, reml=True)
+                          ulim=ulim, reml=True, refine_iters=refine_iters)
         m = explicit_reml(phi, y_rot, X_rot, ngrids=ngrids, llim=llim,
-                          ulim=ulim, reml=False)
+                          ulim=ulim, reml=False, refine_iters=refine_iters)
         k = len(cof_now)
         bic = -2.0 * float(m["ll"]) + k * np.log(n)
         ebic = bic + 2.0 * _log_binom(M, k)

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mixmogam_tpu.models.emmax import _as_design
+
 from mixmogam_tpu.ops.reml import fit_null_model
 from mixmogam_tpu.ops.scan import build_rotated_null, emmax_scan_stats
 from mixmogam_tpu.ops.stats import f_sf_host
@@ -63,7 +65,7 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
     M = matrix_source.shape[0]
     if X0 is None:
         X0 = np.ones((n, 1))
-    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    X0 = _as_design(X0, n)
     q = X0.shape[1]
     null = fit_null_model(y.astype(np.float32), X0.astype(np.float32),
                           K=K, eig_k=eig_k, ngrids=ngrids, llim=llim,
@@ -72,9 +74,15 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
     dof = n - q - 1
 
     # ---- checkpoint manifest ----
-    run_key = hashlib.sha256(
-        f"{M}:{n}:{tile}:{float(null.delta):.10g}:{q}".encode()
-    ).hexdigest()[:12]
+    # the key must change when the GENOTYPES change, not just the model:
+    # fingerprint a deterministic sample of source rows (hashing the full
+    # multi-GB source every run would defeat the streaming design)
+    h = hashlib.sha256(f"{M}:{n}:{tile}:{float(null.delta):.10g}:{q}"
+                       .encode())
+    for r in sorted({0, M - 1, *range(0, M, max(M // 32, 1))}):
+        h.update(np.ascontiguousarray(
+            np.asarray(matrix_source[r:r + 1], dtype=np.int8)).tobytes())
+    run_key = h.hexdigest()[:12]
     done = set()
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)

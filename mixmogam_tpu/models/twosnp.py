@@ -20,7 +20,7 @@ from typing import Dict, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from mixmogam_tpu.models.emmax import _as_dosage
+from mixmogam_tpu.models.emmax import _as_design, _as_dosage
 from mixmogam_tpu.ops.eigen import eigen_k
 from mixmogam_tpu.ops.reml import fit_null_model
 from mixmogam_tpu.ops.scan import emmax_scan_all
@@ -50,7 +50,7 @@ def emmax_two_snps(G, y, K=None, focal_idx: Optional[Sequence[int]] = None,
     focal_idx = np.asarray(list(focal_idx), dtype=np.int64)
     if X0 is None:
         X0 = np.ones((n, 1))
-    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    X0 = _as_design(X0, n)
     q = X0.shape[1]
     if eig_k is None:
         phi, U = eigen_k(K, host=True)

@@ -77,12 +77,18 @@ def _ibs_diploid_update(K_acc, C, W0, W2, m_eff):
     return K_acc + (2.0 * m_eff - absd) / 2.0
 
 
-def _impute_chunk(chunk_i8: np.ndarray, dtype) -> np.ndarray:
-    """int8 (m, n) with -1 missing -> float chunk, per-SNP mean imputed."""
-    C = chunk_i8.astype(np.float64)
-    miss = chunk_i8 < 0
+def _impute_chunk(chunk: np.ndarray, dtype) -> np.ndarray:
+    """(m, n) chunk -> float, per-SNP mean imputed (int8: -1 = missing;
+    float: NaN = missing — the normative rule shared with the oracle)."""
+    if chunk.dtype == np.int8:
+        miss = chunk < 0
+        C = chunk.astype(np.float64)
+        if miss.any():
+            C[miss] = np.nan
+    else:
+        C = chunk.astype(np.float64)
+        miss = np.isnan(C)
     if miss.any():
-        C[miss] = np.nan
         mu = np.nanmean(C, axis=1)
         mu = np.where(np.isnan(mu), 0.0, mu)
         idx = np.where(miss)
@@ -129,8 +135,7 @@ def kinship(data, method: str = "ibs", ploidy: Optional[int] = None,
     K = jnp.zeros((n, n), dtype=dtype)
     for s in range(0, M, chunk):
         e = min(s + chunk, M)
-        C = _impute_chunk(np.asarray(mat[s:e]), np.dtype(dtype).name) \
-            if mat.dtype == np.int8 else np.asarray(mat[s:e], dtype=np.dtype(dtype).name)
+        C = _impute_chunk(np.asarray(mat[s:e]), np.dtype(dtype).name)
         m = e - s
         if m < chunk:
             C = np.vstack([C, np.zeros((chunk - m, n), dtype=C.dtype)])
@@ -165,8 +170,7 @@ def _vanraden(mat: np.ndarray, ploidy: int, chunk: int, dtype,
     denom = 0.0
     for s in range(0, M, chunk):
         e = min(s + chunk, M)
-        C = _impute_chunk(np.asarray(mat[s:e]), np.dtype(dtype).name) \
-            if mat.dtype == np.int8 else np.asarray(mat[s:e], dtype=np.dtype(dtype).name)
+        C = _impute_chunk(np.asarray(mat[s:e]), np.dtype(dtype).name)
         p = C.mean(axis=1) / ploidy
         denom += float(ploidy * np.sum(p * (1.0 - p)))
         W = C - (ploidy * p)[:, None]

@@ -23,6 +23,17 @@ import jax
 import jax.numpy as jnp
 
 
+def esp_to_refine_iters(esp: float, ngrids: int = 100, llim: float = -10.0,
+                        ulim: float = 10.0) -> int:
+    """Bisection iterations needed to shrink one grid bracket below the
+    reference's esp tolerance on log(delta) (clamped to [16, 64])."""
+    import math
+
+    width = (ulim - llim) / max(ngrids, 1)
+    need = math.log2(max(width / max(esp, 1e-30), 2.0))
+    return max(16, min(64, int(math.ceil(need))))
+
+
 def _ll_terms(logdelta, eta2, xi, det_eigs, scale):
     """LL(logdelta) for the unified REML/ML likelihood:
     REML: det_eigs = xi (n-q values),  scale = n-q

@@ -71,8 +71,10 @@ def build_rotated_null(null: NullModel, rotate_dtype=None) -> RotatedNull:
     y_res = y_star - Q0 @ (Q0.T @ y_star)
     rss0 = y_res @ y_res
     n, q = X0_star.shape
+    # dof rides in sd's (full) precision — W may be bf16 where integers
+    # above 256 are not representable
     return RotatedNull(W=W, sd=sd, Q0=Q0, y_res=y_res, rss0=rss0,
-                       dof=jnp.asarray(n - q - 1, dtype=W.dtype))
+                       dof=jnp.asarray(n - q - 1, dtype=sd.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("pre_rotated",))

@@ -48,7 +48,8 @@ def chol_small(A: jnp.ndarray) -> jnp.ndarray:
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
-                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-300))
+                # dtype-aware clamp (1e-300 underflows to 0 in float32)
+                L[i][j] = jnp.sqrt(jnp.maximum(s, jnp.finfo(A.dtype).tiny))
             else:
                 L[i][j] = s / L[j][j]
     rows = [jnp.stack([L[i][j] if j <= i else jnp.zeros_like(A[..., 0, 0])

@@ -11,6 +11,14 @@ import scipy.stats
 from mixmogam_tpu.oracle.lmm import gls_f_test
 
 
+def _observed(row: np.ndarray) -> np.ndarray:
+    """Mask of observed genotype calls (int8 -1 / float NaN = missing) —
+    missing calls are EXCLUDED per SNP, never a genotype class."""
+    if np.issubdtype(row.dtype, np.floating):
+        return ~np.isnan(row) & (row >= 0)
+    return row >= 0
+
+
 def ols_scan(G: np.ndarray, y: np.ndarray,
              X0: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
     """Per-SNP OLS F-test (reference: linear_model): EMMAX with K absent,
@@ -40,16 +48,19 @@ def anova_scan(G: np.ndarray, y: np.ndarray) -> Dict[str, np.ndarray]:
     ps = np.ones(M)
     fs = np.zeros(M)
     for j in range(M):
-        vals = np.unique(G[j])
-        groups = [y[G[j] == v] for v in vals]
+        keep = _observed(G[j])
+        yj = y[keep]
+        nj = len(yj)
+        vals = np.unique(G[j][keep])
+        groups = [yj[G[j][keep] == v] for v in vals]
         groups = [g for g in groups if len(g) > 0]
         k = len(groups)
         if k < 2:
             continue
-        grand = y.mean()
+        grand = yj.mean()
         ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
         ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
-        d1, d2 = k - 1, n - k
+        d1, d2 = k - 1, nj - k
         if ssw <= 0 or d2 <= 0:
             continue
         f = (ssb / d1) / (ssw / d2)
@@ -66,8 +77,10 @@ def kruskal_wallis_scan(G: np.ndarray, y: np.ndarray) -> Dict[str, np.ndarray]:
     ps = np.ones(M)
     hs = np.zeros(M)
     for j in range(M):
-        vals = np.unique(G[j])
-        groups = [y[G[j] == v] for v in vals]
+        keep = _observed(G[j])
+        yj = y[keep]
+        vals = np.unique(G[j][keep])
+        groups = [yj[G[j][keep] == v] for v in vals]
         groups = [g for g in groups if len(g) > 0]
         if len(groups) < 2:
             continue

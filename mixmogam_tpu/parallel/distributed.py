@@ -103,7 +103,7 @@ def _scan_sharded(Gd, rot: RotatedNull, pre_rotated: bool = False):
 def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
                       mesh: Optional[Mesh] = None, eig_k=None,
                       ngrids: int = 100, llim: float = -10.0,
-                      ulim: float = 10.0, dtype=None
+                      ulim: float = 10.0, esp: float = 1e-6, dtype=None
                       ) -> Dict[str, np.ndarray]:
     """EMMAX over a device mesh. Same numerics as models.emmax (parity
     tested mesh-shape-invariant); G may exceed single-chip HBM by the
@@ -116,15 +116,19 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
     n = y.shape[0]
     if dtype is None:
         dtype = jnp.zeros(0).dtype
-    from mixmogam_tpu.models.emmax import _as_dosage
+    from mixmogam_tpu.models.emmax import _as_design, _as_dosage
 
     Gf = _as_dosage(G, dtype)
     M = Gf.shape[0]
     if X0 is None:
         X0 = np.ones((n, 1))
-    X0 = np.atleast_2d(np.asarray(X0, dtype=np.float64))
+    X0 = _as_design(X0, n)
+    from mixmogam_tpu.ops.reml import esp_to_refine_iters
+
     null = fit_null_model(y.astype(np.dtype(dtype).name), X0, K=K,
-                          eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim)
+                          eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim,
+                          refine_iters=esp_to_refine_iters(
+                              esp, ngrids, llim, ulim))
     rot = build_rotated_null(null)
     # replicate the null model; shard the genotypes
     rot = jax.device_put(rot, replicated(mesh))
