@@ -109,6 +109,30 @@ def main():
     gb = M * n * 4 / 1e9
     log(f"genotype traffic {gb:.1f} GB/scan -> effective {gb/dt_pipe:.0f} GB/s")
 
+    # bf16 rotation fast path, pipelined
+    rot16 = build_rotated_null(null, rotate_dtype=jnp.bfloat16)
+    jax.block_until_ready(emmax_scan_all(Gd, rot16, tile=65_536))
+    t0 = time.time()
+    outs = [emmax_scan_all(Gd, rot16, tile=65_536) for _ in range(R)]
+    jax.block_until_ready(outs)
+    dt16 = (time.time() - t0) / R
+    log(f"scan bf16 pipelined: {dt16*1e3:.2f} ms/scan "
+        f"-> {M/dt16:,.0f} SNP-tests/s/chip")
+
+    # int8 device-resident genotypes (4x less HBM read)
+    Gd8 = jax.device_put(jnp.asarray(G))
+    jax.block_until_ready(Gd8)
+    jax.block_until_ready(emmax_scan_all(Gd8, rot, tile=65_536))
+    t0 = time.time()
+    outs = [emmax_scan_all(Gd8, rot, tile=65_536) for _ in range(R)]
+    jax.block_until_ready(outs)
+    dt8 = (time.time() - t0) / R
+    log(f"scan int8-G pipelined: {dt8*1e3:.2f} ms/scan "
+        f"-> {M/dt8:,.0f} SNP-tests/s/chip")
+    # headline counts only numerically-exact variants (fp32 math; int8
+    # genotype storage is exact — bf16 rotation is approximate, logged only)
+    rate = max(rate, M / dt8)
+
     baseline = 1.0e4  # reference's estimated CPU throughput (BASELINE.md)
     print(json.dumps({
         "metric": "emmax_scan_snp_tests_per_sec_per_chip",

@@ -78,7 +78,14 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     n = y.shape[0]
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
-    Gf = _as_dosage(G, dtype)
+    # int8 fully-observed genotypes ship to the device AS int8 (4x less
+    # transfer + HBM; the scan kernel casts tiles on the fly)
+    G_raw = G.matrix if hasattr(G, "matrix") else np.asarray(G)
+    if (isinstance(G_raw, np.ndarray) and G_raw.dtype == np.int8
+            and not (G_raw < 0).any()):
+        Gf = G_raw
+    else:
+        Gf = _as_dosage(G, dtype)
     if X0 is None:
         X0 = np.ones((n, 1))
     X0 = _as_design(X0, n)

@@ -91,3 +91,42 @@ class TestBf16Rotation:
         # bf16 rotation: small absolute error, identical leaders
         assert np.max(np.abs(lp_e - lp_f)) < 0.35
         assert np.argmin(exact["ps"]) == np.argmin(fast["ps"])
+        # regression: dof must NOT round through bf16 (198 != bf16(198))
+        assert fast["dof"] == exact["dof"] == len(y) - 2
+
+
+class TestInputHandling:
+    def test_int8_device_path_matches_float(self, small_dataset,
+                                            kinship_small):
+        G_int = small_dataset["G_int"]
+        y, K = small_dataset["y"], kinship_small
+        a = emmax(G_int, y, K=K, dtype=np.float32)
+        b = emmax(G_int.astype(np.float32), y, K=K, dtype=np.float32)
+        np.testing.assert_allclose(a["ps"], b["ps"], atol=1e-12)
+
+    def test_float_nan_imputed_like_int8(self):
+        from mixmogam_tpu.data.simulate import simulate_genotypes
+
+        G, _, _ = simulate_genotypes(50, 200, missing_rate=0.05, seed=8)
+        Gf = G.astype(np.float64)
+        Gf[G < 0] = np.nan
+        Ki = dk.kinship(G, method="ibs", chunk=64, dtype=jnp.float64)
+        Kf = dk.kinship(Gf, method="ibs", chunk=64, dtype=jnp.float64)
+        np.testing.assert_allclose(Kf, Ki, atol=1e-12)
+        assert np.isfinite(Kf).all()
+
+    def test_1d_covariate_becomes_column(self, small_dataset,
+                                         kinship_small):
+        G, y, K = small_dataset["G"][:20], small_dataset["y"], kinship_small
+        cov = np.random.default_rng(0).normal(size=len(y))
+        X0 = np.hstack([np.ones((len(y), 1)), cov[:, None]])
+        ref = emmax(G, y, K=K, X0=X0)
+        # passing the intercept-free 1-D covariate must raise nothing and
+        # produce a (n, 1) design
+        from mixmogam_tpu.models.emmax import _as_design
+
+        assert _as_design(cov, len(y)).shape == (len(y), 1)
+        with pytest.raises(ValueError):
+            _as_design(cov[:-1], len(y))
+        with pytest.raises(ValueError):
+            _as_design(np.ones((3, len(y), 1)), len(y))
