@@ -9,7 +9,6 @@ matmul is paid once, the per-trait work is elementwise + (m,q) matmuls.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -10,7 +10,6 @@ columns come from ONE (m,n)x(n,P) matmul; only the per-permutation max-F
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax
@@ -18,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mixmogam_tpu.models.emmax import _as_design, _as_dosage
-from mixmogam_tpu.ops.eigen import eigen_k, orthonormal_basis
+from mixmogam_tpu.ops.eigen import orthonormal_basis
 from mixmogam_tpu.ops.reml import fit_null_model
 from mixmogam_tpu.ops.stats import f_sf_host
 

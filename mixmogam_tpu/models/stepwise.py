@@ -28,7 +28,6 @@ import scipy.special
 
 from mixmogam_tpu.models.emmax import _as_design, _as_dosage
 from mixmogam_tpu.ops.eigen import eigen_k, orthonormal_basis
-from mixmogam_tpu.ops.reml import NullModel
 from mixmogam_tpu.ops.scan import RotatedNull, emmax_scan_all, emmax_scan_stats
 from mixmogam_tpu.ops.stats import f_sf_host
 from mixmogam_tpu.ops.xreml import explicit_reml

@@ -18,7 +18,7 @@ shared with the oracle)."""
 from __future__ import annotations
 
 import functools
-from typing import Optional, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

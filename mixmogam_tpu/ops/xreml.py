@@ -25,11 +25,10 @@ The same machinery with M=1 gives the per-step re-REML of stepwise MLMM
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 # ---------------------------------------------------------------------------

@@ -11,7 +11,7 @@ the reference's defaults (ngrids=100, llim=-10, ulim=10, esp=1e-6).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import scipy.linalg

@@ -17,7 +17,7 @@ the psum/all_gather collectives; there is no hand-written NCCL analog.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,7 @@ band). Host-side matplotlib (Agg), semantics unchanged from the reference."""
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
