@@ -36,7 +36,7 @@ def __getattr__(name):
         "emmax_multi_trait", "emmax_perm_test", "emmax_two_snps",
         "linear_model", "anova", "kruskal_wallis", "calc_ibs_kinship",
         "calc_ibd_kinship", "parse_snp_data", "parse_phenotype_file",
-        "run_gwas", "save_kinship_to_file", "load_kinship_from_file",
+        "run_gwas", "run_gwas_multi", "save_kinship_to_file", "load_kinship_from_file",
     }:
         from mixmogam_tpu import api
 

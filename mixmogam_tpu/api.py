@@ -10,7 +10,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -36,7 +36,7 @@ __all__ = [
     "parse_snp_data", "parse_phenotype_file", "calc_ibs_kinship",
     "calc_ibd_kinship", "emmax", "emma", "emmax_step_wise", "emmax_anova",
     "emmax_multi_trait", "emmax_perm_test", "emmax_two_snps",
-    "linear_model", "anova", "kruskal_wallis", "run_gwas",
+    "linear_model", "anova", "kruskal_wallis", "run_gwas", "run_gwas_multi",
     "save_kinship_to_file", "load_kinship_from_file",
 ]
 
@@ -208,3 +208,20 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
 
     return {"result": result, "scan": scan, "genotype": gd2, "y": y,
             "files": files, "timings": timings}
+
+
+def run_gwas_multi(genotype_file: str, phenotype_file: str,
+                   pids: Optional[Sequence[int]] = None,
+                   out_prefix: Optional[str] = None, **kw) -> Dict[int, Dict]:
+    """Run a scan for every phenotype id in the file (reference pattern:
+    looping the facade over a multi-phenotype file). The kinship cache
+    keys on genotype content, so K is computed once across traits that
+    share the sample set; for many traits on one sample set prefer
+    emmax_multi_trait (shared eigenbasis, one batched scan)."""
+    phend = parse_phenotype_file(phenotype_file)
+    out = {}
+    for pid in (pids or phend.phenotype_ids()):
+        prefix = f"{out_prefix}.pid{pid}" if out_prefix else None
+        out[pid] = run_gwas(genotype_file, phenotype_file, pid=pid,
+                            out_prefix=prefix, **kw)
+    return out
