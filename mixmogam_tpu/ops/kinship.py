@@ -50,6 +50,42 @@ def _ibs_int8_streamed(mat: np.ndarray, chunk: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def _ibs_diploid_int8_update(S2_acc, C, m_eff):
+    """Diploid IBS, integer-exact: accumulates 2*m - sum|a-b| (TWICE the
+    per-pair sharing) in int32. |a-b| = (a-b)^2 - 2([a=0][b=2]+[a=2][b=0])
+    for a,b in {0,1,2}; every term is an int8 MXU matmul."""
+    CtC = jax.lax.dot_general(C, C, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    a2 = jnp.sum((C * C).astype(jnp.int32), axis=0)
+    d2 = a2[:, None] + a2[None, :] - 2 * CtC
+    W0 = (C == 0).astype(jnp.int8)
+    W2 = (C == 2).astype(jnp.int8)
+    corr = jax.lax.dot_general(W0, W2, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    absd = d2 - 2 * (corr + corr.T)
+    return S2_acc + 2 * m_eff - absd
+
+
+def _ibs_diploid_int8_streamed(mat: np.ndarray, chunk: int) -> np.ndarray:
+    """Streaming integer-exact diploid IBS (fully observed 0/1/2)."""
+    M, n = mat.shape
+    S2 = jnp.zeros((n, n), dtype=jnp.int32)
+    for s in range(0, M, chunk):
+        e = min(s + chunk, M)
+        C = np.ascontiguousarray(mat[s:e])
+        if e - s < chunk:
+            # pad rows are 0: C'C/a2 unaffected, but W0 pad rows are 1 —
+            # handled by counting only e-s rows in the 2m term and
+            # subtracting the pad contribution to corr via masking
+            pad = np.full((chunk - (e - s), n), 3, dtype=np.int8)
+            C = np.vstack([C, pad])  # 3 is in no indicator class; 3^2=9
+            # (a-b)^2 for pad rows cancels: a2 and CtC both include them
+            # consistently, and d2 pad contribution = (9+9-2*9)=0 per pair
+        S2 = _ibs_diploid_int8_update(S2, jnp.asarray(C), int(e - s))
+    return np.asarray(S2).astype(np.float64) / (2.0 * M)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _ibs_binary_update(K_acc, C, m_eff):
     """K_acc += 2 C'C - s(x)1 - 1(x)s + m_eff * J  (zero pad rows drop out
     of C'C and s; m_eff counts only real rows)."""
@@ -127,10 +163,13 @@ def kinship(data, method: str = "ibs", ploidy: Optional[int] = None,
             Z[mat < 0] = np.nan
         return oracle.ibs_kinship(Z, ploidy=ploidy)
 
-    # int8 MXU fast path: binary coding, fully observed -> integer-exact
+    # int8 MXU fast paths: fully-observed integer coding -> integer-exact
     # sharing counts (see _ibs_int8_update / ops.pallas_kinship)
-    if ploidy == 1 and mat.dtype == np.int8 and not (mat < 0).any():
-        return _ibs_int8_streamed(mat, chunk)
+    if mat.dtype == np.int8 and not (mat < 0).any():
+        if ploidy == 1:
+            return _ibs_int8_streamed(mat, chunk)
+        if ploidy == 2:
+            return _ibs_diploid_int8_streamed(mat, chunk)
 
     K = jnp.zeros((n, n), dtype=dtype)
     for s in range(0, M, chunk):

@@ -48,6 +48,18 @@ class TestInt8Path:
         Ko = oracle.ibs_kinship(G.astype(np.float64))
         assert np.max(np.abs(K - Ko)) == 0.0
 
+    def test_diploid_int8_exact(self):
+        from mixmogam_tpu.data.simulate import simulate_genotypes
+        from mixmogam_tpu.ops.kinship import _ibs_diploid_int8_streamed
+
+        G, _, _ = simulate_genotypes(40, 333, ploidy=2, seed=5)  # odd M
+        Ko = oracle.ibs_kinship(G.astype(np.float64), ploidy=2)
+        Ks = _ibs_diploid_int8_streamed(G, chunk=128)
+        assert np.max(np.abs(Ks - Ko)) == 0.0
+        # router picks it automatically
+        Kr = dk.kinship(G, method="ibs", ploidy=2, chunk=128)
+        assert np.max(np.abs(Kr - Ko)) == 0.0
+
     def test_kinship_router_missing_falls_back(self):
         G, _, _ = simulate_genotypes(40, 300, missing_rate=0.05, seed=3)
         K = dk.kinship(G, method="ibs", chunk=64, dtype=jnp.float64)
