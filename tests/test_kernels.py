@@ -107,6 +107,26 @@ class TestBf16Rotation:
         assert fast["dof"] == exact["dof"] == len(y) - 2
 
 
+class TestFp32Characterization:
+    def test_fp32_vs_f64_accuracy_envelope(self, small_dataset,
+                                           kinship_small):
+        """Pin the fp32 (TPU production dtype) accuracy envelope vs the
+        float64 path: -log10 p within 0.05, ranks of the leaders stable.
+        (The 1e-6 parity gate is the float64 path; this documents what
+        fp32 delivers — see docs/ALGORITHMS.md precision policy.)"""
+        G, y, K = small_dataset["G"], small_dataset["y"], kinship_small
+        full = emmax(G, y, K=K)  # float64 under the test config
+        f32 = emmax(G, y, K=K, dtype=np.float32)
+        lp_a = -np.log10(np.maximum(full["ps"], 1e-300))
+        lp_b = -np.log10(np.maximum(f32["ps"], 1e-300))
+        assert np.max(np.abs(lp_a - lp_b)) < 0.05
+        top_a = np.argsort(full["ps"])[:10]
+        top_b = np.argsort(f32["ps"])[:10]
+        assert set(top_a) == set(top_b)
+        assert abs(full["pseudo_heritability"]
+                   - f32["pseudo_heritability"]) < 1e-4
+
+
 class TestInputHandling:
     def test_int8_device_path_matches_float(self, small_dataset,
                                             kinship_small):
