@@ -48,6 +48,24 @@ class GenotypeData:
     def get_snps(self) -> np.ndarray:
         return self.matrix
 
+    def get_positions(self) -> np.ndarray:
+        return self.positions
+
+    def get_chromosomes(self) -> np.ndarray:
+        return self.chromosomes
+
+    # reference-named aliases (snpsdata.py surface)
+    def writeToFile(self, path: str) -> None:  # noqa: N802
+        self.write_csv(path)
+
+    def convert_data_format(self, target: str = "binary") -> "GenotypeData":
+        """Reference: SNPsDataSet.convert_data_format('binary'). Parsing
+        already decodes nucleotides to 0/1 minor-allele dosages, so binary
+        is the native representation; this is a documented no-op."""
+        if target != "binary":
+            raise ValueError(f"unsupported target format {target!r}")
+        return self
+
     def dosage_f64(self) -> np.ndarray:
         """Float dosages with the normative per-SNP mean imputation."""
         Z = self.matrix.astype(np.float64)

@@ -115,6 +115,10 @@ class Result:
         """Index of the most significant SNP."""
         return int(self._order()[0])
 
+    def min_score(self) -> float:
+        """Best score (smallest p / largest -log10 p)."""
+        return float(self.scores[self._order()[0]])
+
     # ---- region / gene queries (reference: get_region_result,
     #      candidate-gene proximity) ----
     def get_region_result(self, chromosome: int, start: int, stop: int
