@@ -75,16 +75,6 @@ def calc_ibd_kinship(gd_or_snps, use_device: bool = True,
     return scale_k(K) if scale else K
 
 
-_METHODS = {
-    "emmax": emmax,
-    "emma": emma,
-    "lm": linear_model,
-    "anova": None,   # handled specially (no kinship)
-    "kw": None,      # handled specially (no kinship)
-    "emmax_stepwise": emmax_step_wise,
-}
-
-
 def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
              method: str = "emmax", out_prefix: Optional[str] = None,
              data_format: str = "binary", transform: Optional[str] = None,
