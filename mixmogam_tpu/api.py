@@ -83,6 +83,7 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
              cache_dir: Optional[str] = None, plots: bool = True,
              num_steps: int = 10, dtype=None,
              profile_dir: Optional[str] = None,
+             covariate_pids: Optional[Sequence[int]] = None,
              config: Optional["GwasConfig"] = None, **model_kw) -> Dict:
     """End-to-end GWAS (reference: examples.py flow, SURVEY.md §3.1):
     parse -> transform -> coordinate -> MAC filter -> kinship (cached) ->
@@ -116,7 +117,23 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
         phend.transform(pid, transform)
 
     with rm.phase("coordinate"):
-        gd2, y, _ = gd.coordinate_with_phenotype(phend, pid)
+        gd2, y, sample_ids = gd.coordinate_with_phenotype(phend, pid)
+        if covariate_pids:
+            # other phenotype columns as fixed-effect covariates; samples
+            # lacking any covariate value are dropped
+            cov_maps = [phend.value_dict(c) for c in covariate_pids]
+            keep = [i for i, a in enumerate(sample_ids)
+                    if all(a in m for m in cov_maps)]
+            if len(keep) < len(sample_ids):
+                gd2 = gd2.select_samples(keep).filter_monomorphic_snps()
+                y = y[keep]
+                sample_ids = [sample_ids[i] for i in keep]
+            X0 = np.hstack(
+                [np.ones((len(sample_ids), 1))]
+                + [np.array([np.mean(m[a]) for a in sample_ids])[:, None]
+                   for m in cov_maps])
+            if method in ("emmax", "emma", "lm", "emmax_stepwise"):
+                model_kw.setdefault("X0", X0)
         if min_mac:
             gd2 = gd2.filter_mac_snps(min_mac)
 

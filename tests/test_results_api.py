@@ -195,6 +195,30 @@ class TestEndToEnd:
         assert rc == 0
         assert os.path.exists(sim_files / "K.npz")
 
+    def test_run_gwas_with_covariates(self, sim_files, tmp_path):
+        """A second phenotype column can enter as a fixed-effect
+        covariate; its own SNP associations should be absorbed."""
+        import numpy as np
+
+        from mixmogam_tpu.api import parse_phenotype_file, run_gwas
+
+        # rewrite the phenotype file with an extra covariate column
+        phend = parse_phenotype_file(str(sim_files / "sim.phenotypes.csv"))
+        rng = np.random.default_rng(0)
+        ecos = phend.get_ecotypes(1)
+        phend.add_phenotype(2, "covariate", ecos,
+                            list(rng.normal(size=len(ecos))))
+        pfile = str(tmp_path / "phen2.csv")
+        phend.write_to_file(pfile)
+        out = run_gwas(str(sim_files / "sim.genotypes.csv"), pfile,
+                       pid=1, covariate_pids=[2], method="lm",
+                       min_mac=3, plots=False)
+        out0 = run_gwas(str(sim_files / "sim.genotypes.csv"), pfile,
+                        pid=1, method="lm", min_mac=3, plots=False)
+        # same SNP count, slightly different ps (one extra dof consumed)
+        assert len(out["scan"]["ps"]) == len(out0["scan"]["ps"])
+        assert out["scan"]["dof"] == out0["scan"]["dof"] - 1
+
     def test_run_gwas_emma(self, sim_files):
         from mixmogam_tpu.api import run_gwas
 
