@@ -41,6 +41,9 @@ def _add_run(sub):
                    help="write a jax.profiler trace here")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans for the run")
+    p.add_argument("--covariate-pids", default=None,
+                   help="comma-separated phenotype ids used as fixed-"
+                        "effect covariates (e.g. '2,3')")
 
 
 def _add_kinship(sub):
@@ -88,6 +91,8 @@ def main(argv=None) -> int:
         from mixmogam_tpu.api import run_gwas
         from mixmogam_tpu.utils.profiling import debug_nans
 
+        cov = ([int(x) for x in args.covariate_pids.split(",")]
+               if args.covariate_pids else None)
         ctx = debug_nans(True) if args.debug_nans else contextlib.nullcontext()
         with ctx:
             out = run_gwas(
@@ -97,7 +102,7 @@ def main(argv=None) -> int:
                 min_mac=args.min_mac, kinship_method=args.kinship_method,
                 kinship_file=args.kinship_file, cache_dir=args.cache_dir,
                 plots=not args.no_plots, num_steps=args.num_steps,
-                profile_dir=args.profile_dir)
+                profile_dir=args.profile_dir, covariate_pids=cov)
         if args.method == "emmax_stepwise":
             sw = out["scan"]["stepwise"]
             sel = {k: v["cofactors"] for k, v in sw["selected"].items()}
