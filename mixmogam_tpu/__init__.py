@@ -41,4 +41,8 @@ def __getattr__(name):
         from mixmogam_tpu import api
 
         return getattr(api, name)
+    if name in {"LinearModel", "LinearMixedModel", "lm_step_wise"}:
+        from mixmogam_tpu import compat
+
+        return getattr(compat, name)
     raise AttributeError(f"module 'mixmogam_tpu' has no attribute {name!r}")

@@ -157,6 +157,19 @@ class GenotypeData:
                 & (self.positions >= start) & (self.positions <= stop))
         return self.select_snps(mask)
 
+    def get_region_snps(self, chromosome: int, start: int,
+                        stop: int) -> np.ndarray:
+        """Reference-named: SNP rows within [start, stop] on a chromosome
+        (reference: SNPsDataSet.get_region_snps)."""
+        return self.get_region(chromosome, start, stop).matrix
+
+    def coordinate_w_phenotype_data(self, phend, pid: int,
+                                    drop_monomorphic: bool = True):
+        """Reference-named alias of coordinate_with_phenotype
+        (reference: SNPsDataSet.coordinate_w_phenotype_data)."""
+        return self.coordinate_with_phenotype(
+            phend, pid, drop_monomorphic=drop_monomorphic)
+
     # ---- kinship delegation (reference: get_ibs/ibd_kinship_matrix) ----
     def get_ibs_kinship_matrix(self, use_device: bool = True) -> np.ndarray:
         from mixmogam_tpu.ops import kinship as dk
@@ -246,3 +259,9 @@ class GenotypeData:
                             for a in f["accessions"][:]],
                 ploidy=int(f.attrs.get("ploidy", 1)),
             )
+
+
+# Reference-named class alias: the reference's genome-wide container is
+# SNPsDataSet (snpsdata.py); this framework's single packed container plays
+# that role.
+SNPsDataSet = GenotypeData
