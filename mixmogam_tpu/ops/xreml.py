@@ -278,36 +278,51 @@ def emma_delta_scan(Gt, X0_rot, y_rot, phi, logdet_XtX_all,
         return ll                                    # (m,)
 
     lls_grid = jax.lax.map(grid_eval, grid)          # (ngrids+1, m)
-    k = jnp.argmax(lls_grid, axis=0)                 # (m,)
-    # bracket = [grid[k-1], grid[k+1]] clipped to the range: the interior
-    # maximum lies in one of the two intervals adjoining the grid argmax
-    lo = grid[jnp.maximum(k - 1, 0)]
-    hi = grid[jnp.minimum(k + 1, ngrids)]
+    k1 = jnp.argmax(lls_grid, axis=0)                # (m,) global grid argmax
+    # second candidate: best grid point NOT adjoining the argmax bracket —
+    # covers multimodal surfaces the way the reference's refine-every-
+    # sign-change-root-then-argmax does, at 2x refine cost instead of
+    # ngrids x (the grid already localizes every local max to +-1 cell)
+    idx = jnp.arange(ngrids + 1)
+    masked = jnp.where(jnp.abs(idx[:, None] - k1[None, :]) > 1,
+                       lls_grid, -jnp.inf)
+    k2 = jnp.argmax(masked, axis=0)                  # (m,)
 
     def dll_at(logd_vec):
         f = lambda g: jnp.sum(
             _ll_snps_at(g, Gt, X0_rot, y_rot, phi, logdet_XtX_all, reml)[0])
         return jax.grad(f)(logd_vec)                 # (m,) per-SNP dLL
 
-    def body(_, lohis):
-        lo, hi = lohis
-        mid = (lo + hi) / 2.0
-        dmid = dll_at(mid)
-        return (jnp.where(dmid > 0, mid, lo), jnp.where(dmid > 0, hi, mid))
+    def refine(k):
+        # bracket = [grid[k-1], grid[k+1]] clipped: the interior max lies
+        # in one of the two intervals adjoining the local grid argmax
+        lo = grid[jnp.maximum(k - 1, 0)]
+        hi = grid[jnp.minimum(k + 1, ngrids)]
 
-    lo, hi = jax.lax.fori_loop(0, refine_iters, body, (lo, hi))
-    root = (lo + hi) / 2.0
-    ll_root, ypy_root, beta_root = _ll_snps_at(
-        root, Gt, X0_rot, y_rot, phi, logdet_XtX_all, reml)
-    # guard: keep the grid argmax when refinement didn't improve (e.g.
-    # boundary solutions where the bracket has no interior root)
-    ll_g = jnp.take_along_axis(lls_grid, k[None, :], axis=0)[0]
-    use_root = ll_root >= ll_g
-    log_delta = jnp.where(use_root, root, grid[k])
-    ll_b, ypy_b, beta_b = _ll_snps_at(
-        grid[k], Gt, X0_rot, y_rot, phi, logdet_XtX_all, reml)
-    ll = jnp.where(use_root, ll_root, ll_b)
-    ypy = jnp.where(use_root, ypy_root, ypy_b)
-    beta = jnp.where(use_root[:, None], beta_root, beta_b)
+        def body(_, lohis):
+            lo, hi = lohis
+            mid = (lo + hi) / 2.0
+            dmid = dll_at(mid)
+            return (jnp.where(dmid > 0, mid, lo),
+                    jnp.where(dmid > 0, hi, mid))
+
+        lo, hi = jax.lax.fori_loop(0, refine_iters, body, (lo, hi))
+        return (lo + hi) / 2.0
+
+    # candidates per SNP: refined argmax bracket, refined runner-up
+    # bracket, and the raw grid argmax (guards boundary solutions where a
+    # bracket has no interior root)
+    cands = [refine(k1), refine(k2), grid[k1]]
+    log_delta = cands[0]
+    ll, ypy, beta = _ll_snps_at(log_delta, Gt, X0_rot, y_rot, phi,
+                                logdet_XtX_all, reml)
+    for c in cands[1:]:
+        ll_c, ypy_c, beta_c = _ll_snps_at(c, Gt, X0_rot, y_rot, phi,
+                                          logdet_XtX_all, reml)
+        take = ll_c > ll
+        log_delta = jnp.where(take, c, log_delta)
+        ypy = jnp.where(take, ypy_c, ypy)
+        beta = jnp.where(take[:, None], beta_c, beta)
+        ll = jnp.where(take, ll_c, ll)
     return {"log_delta": log_delta, "delta": jnp.exp(log_delta), "ll": ll,
             "ypy": ypy, "beta": beta}
