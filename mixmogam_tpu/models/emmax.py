@@ -61,7 +61,7 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
           ngrids: int = 100, llim: float = -10.0, ulim: float = 10.0,
           esp: float = 1e-6, with_betas: bool = True,
           dtype=None, tile: int = 8192, host_eigh: bool = True,
-          rotate_in_bf16: bool = False,
+          rotate_in_bf16: bool = False, matmul_precision: str = None,
           ) -> Dict[str, np.ndarray]:
     """EMMAX scan. G: GenotypeData or (M, n) dosages; y: (n,) phenotype;
     K: (n, n) kinship (or pass eig_k=(phi, U)); X0: (n, q) null design
@@ -71,6 +71,12 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
              'pseudo_heritability','delta','sigma_g2','sigma_e2','dof'}
     with float64 host p-values. esp (the reference's root tolerance on
     log delta) maps to the bisection iteration count.
+
+    Precision tiers for the SCAN phase (null fit always runs exact):
+    default (None) = the package's pinned true-fp32 ('highest'); pass
+    matmul_precision='high' for ~1.3x faster 3-pass-bf16 fp32 (~2e-5
+    p-drift), or rotate_in_bf16=True for the ~1.8x 1-pass tier (~6e-3
+    p-drift, leaders preserved) — measured scripts/scan_tuning.py, v5e.
     """
     from mixmogam_tpu.ops.reml import esp_to_refine_iters
 
@@ -94,11 +100,17 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
                           refine_iters=esp_to_refine_iters(
                               esp, ngrids, llim, ulim),
                           host_eigh=host_eigh)
+    import contextlib
+
+    import jax as _jax
     import jax.numpy as _jnp
 
     rot = build_rotated_null(
         null, rotate_dtype=_jnp.bfloat16 if rotate_in_bf16 else None)
-    d = emmax_scan_all(jnp.asarray(Gf), rot, tile=tile)
+    ctx = (_jax.default_matmul_precision(matmul_precision)
+           if matmul_precision else contextlib.nullcontext())
+    with ctx:
+        d = emmax_scan_all(jnp.asarray(Gf), rot, tile=tile)
     f_stats = np.asarray(d["f_stats"], dtype=np.float64)
     dof = int(rot.dof)
     ps = f_sf_host(f_stats, 1.0, dof)

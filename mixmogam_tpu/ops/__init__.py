@@ -26,6 +26,30 @@ def _setup_compilation_cache() -> None:
 _setup_compilation_cache()
 
 
+def _pin_matmul_precision() -> None:
+    """Pin float matmuls to true fp32 (6-pass bf16 emulation on the MXU).
+
+    Measured on this image's v5e (scripts/scan_tuning.py): JAX's implicit
+    default precision executes float32 dots as ONE bf16 pass — F-stat
+    p-values drift by up to 6e-3, silently breaking the documented fp32
+    envelope (tests/test_kernels.py::TestFp32Characterization). With
+    'highest' the fp32 scan is bit-true fp32 (21M SNP-tests/s/chip at
+    n=1024 — the exact tier); the faster approximate tiers are explicit
+    opt-ins (rotate_in_bf16, matmul_precision='high'). Override with
+    MIXMOGAM_MATMUL_PRECISION=default|high|highest."""
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_default_matmul_precision",
+            _os.environ.get("MIXMOGAM_MATMUL_PRECISION", "highest"))
+    except Exception:
+        pass
+
+
+_pin_matmul_precision()
+
+
 def _warm_device_transfers() -> None:
     """Fire a tiny device->host transfer on a background thread.
 

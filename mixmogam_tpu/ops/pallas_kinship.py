@@ -72,6 +72,87 @@ def _ibs_gram_padded(Z: jnp.ndarray, tm: int, tn: int,
     )(Z, Z)
 
 
+def _ibs_tri_kernel(z1_ref, z2_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # upper triangle only: K is symmetric, so the MXU work of every j < i
+    # block is skipped (the XLA gram cannot) — ~1.3-2x compute saved; the
+    # host mirrors the upper blocks. (A scalar-prefetch triangular block
+    # list would also skip the DMA, but this image's remote Mosaic
+    # toolchain crashes on dynamic index maps; the op is compute-bound,
+    # so compute-skip captures nearly all of the win.)
+    @pl.when(j >= i)
+    def _():
+        z1 = z1_ref[:]
+        z2 = z2_ref[:]
+        d = jax.lax.dot_general(z1, z2, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        s1 = jnp.sum(z1.astype(jnp.int32), axis=0)
+        s2 = jnp.sum(z2.astype(jnp.int32), axis=0)
+        out_ref[:] += 2 * d - s1[:, None] - s2[None, :] + z1.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def _ibs_gram_tri(Z: jnp.ndarray, tm: int, tn: int,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Upper-triangle IBS gram: (n, n) int32 with valid blocks at j >= i
+    (lower-triangle blocks are zero; caller mirrors)."""
+    Mp, n = Z.shape
+    grid = (n // tn, n // tn, Mp // tm)
+    return pl.pallas_call(
+        _ibs_tri_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tn), lambda i, j, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, tn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=Mp * n * n, bytes_accessed=2 * Mp * n + 4 * n * n,
+            transcendentals=0),
+        interpret=interpret,
+    )(Z, Z)
+
+
+def pallas_ibs_kinship_tri(G, tm: int = 2048, tn: int = 256,
+                           interpret: Optional[bool] = None) -> np.ndarray:
+    """Exact IBS kinship via triangular Pallas blocks (binary int8, no
+    missing): only j >= i blocks hit the MXU; parity bit-identical."""
+    G = np.asarray(G)
+    if G.dtype != np.int8:
+        G = G.astype(np.int8)
+    if (G < 0).any():
+        raise ValueError("pallas_ibs_kinship_tri needs fully-observed "
+                         "binary genotypes; use ops.kinship for missing")
+    M, n = G.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Mp = -(-M // tm) * tm
+    np_ = -(-n // tn) * tn
+    B = np_ // tn
+    Zp = np.zeros((Mp, np_), dtype=np.int8)
+    Zp[:M, :n] = G
+    Su = np.asarray(_ibs_gram_tri(jnp.asarray(Zp), tm, tn,
+                                  interpret=interpret)).astype(np.int64)
+    # mirror the strict upper-triangle blocks into the lower half
+    for i in range(B):
+        for j in range(i + 1, B):
+            Su[j * tn:(j + 1) * tn, i * tn:(i + 1) * tn] = \
+                Su[i * tn:(i + 1) * tn, j * tn:(j + 1) * tn].T
+    S = Su[:n, :n].astype(np.float64) - (Mp - M)
+    return S / M
+
+
 def pallas_ibs_kinship(G, tm: int = 512, tn: int = 256,
                        interpret: Optional[bool] = None) -> np.ndarray:
     """Exact IBS kinship for binary int8 genotypes with no missing data.

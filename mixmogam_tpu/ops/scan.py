@@ -91,10 +91,16 @@ def emmax_scan_stats(G_tile: jnp.ndarray, rot: RotatedNull,
         Xs = G_tile.astype(dt) * rot.sd[None, :]
     else:
         # rot.W's dtype selects the MXU precision for the rotation matmul
-        # (bf16 W = the fast path: ~4x MXU rate, fp32 accumulation;
-        # see PrecisionConfig.rotate_in_bf16); epilogue stays in fp32+
+        # (bf16 W = the fast path: single MXU pass, fp32 accumulation;
+        # see PrecisionConfig.rotate_in_bf16); epilogue stays in fp32+.
+        # bf16 inputs must pin precision=DEFAULT explicitly — the
+        # package-global 'highest' (see ops.__init__) would otherwise
+        # force multi-pass emulation and erase the fast tier (measured
+        # 2x slower on v5e).
+        prec = (jax.lax.Precision.DEFAULT
+                if rot.W.dtype == jnp.bfloat16 else None)
         Xs = jnp.dot(G_tile.astype(rot.W.dtype), rot.W,
-                     preferred_element_type=dt)
+                     preferred_element_type=dt, precision=prec)
     c = Xs @ rot.Q0                                    # (m, q)
     xy = Xs @ rot.y_res                                # (m,)
     ss = jnp.sum(Xs * Xs, axis=1)

@@ -32,6 +32,21 @@ class TestPallasKinship:
         with pytest.raises(ValueError):
             pallas_ibs_kinship(G)
 
+    def test_triangular_exact_vs_oracle(self):
+        from mixmogam_tpu.ops.pallas_kinship import pallas_ibs_kinship_tri
+
+        G, _, _ = simulate_genotypes(300, 700, seed=5)  # pads both axes
+        Ko = oracle.ibs_kinship(G.astype(np.float64))
+        Kt = pallas_ibs_kinship_tri(G, tm=256, tn=128)
+        assert np.max(np.abs(Kt - Ko)) == 0.0  # integer-exact, symmetric
+
+    def test_triangular_missing_rejected(self):
+        from mixmogam_tpu.ops.pallas_kinship import pallas_ibs_kinship_tri
+
+        G = np.array([[0, -1], [1, 0]], dtype=np.int8)
+        with pytest.raises(ValueError):
+            pallas_ibs_kinship_tri(G)
+
 
 class TestInt8Path:
     def test_streamed_int8_exact(self):
