@@ -25,6 +25,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("tn",))
+def _gram_int8_tri(S_acc, C, tn: int = 256):
+    """S_acc += C'C exploiting symmetry: for each tn-wide column block i,
+    ONE int8 MXU dot of C_i' @ C[:, i*tn:] covers every block j >= i —
+    (B+1)/2B of the full gram's MXU work (0.56x at B=4, ->0.5x as n
+    grows), which a single full dot_general cannot skip. The strict
+    upper-triangle result is mirrored on device; requires n % tn == 0
+    (callers pad samples)."""
+    n = C.shape[1]
+    B = n // tn
+    S = S_acc
+    for i in range(B):
+        Ci = jax.lax.slice_in_dim(C, i * tn, (i + 1) * tn, axis=1)
+        Cj = jax.lax.slice_in_dim(C, i * tn, n, axis=1)
+        d = jax.lax.dot_general(Ci, Cj, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        # diagonal block: add as-is; off-diagonal strip: add + mirror
+        diag = d[:, :tn]
+        off = d[:, tn:]
+        S = jax.lax.dynamic_update_slice(
+            S, jax.lax.dynamic_slice(S, (i * tn, i * tn), (tn, tn)) + diag,
+            (i * tn, i * tn))
+        if off.shape[1]:
+            S = jax.lax.dynamic_update_slice(
+                S, jax.lax.dynamic_slice(
+                    S, (i * tn, (i + 1) * tn), (tn, n - (i + 1) * tn)) + off,
+                (i * tn, (i + 1) * tn))
+            S = jax.lax.dynamic_update_slice(
+                S, jax.lax.dynamic_slice(
+                    S, ((i + 1) * tn, i * tn), (n - (i + 1) * tn, tn))
+                + off.T, ((i + 1) * tn, i * tn))
+    return S
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _ibs_int8_update(S_acc, C, m_eff):
     """Integer-exact IBS sharing-count accumulation on the MXU:
