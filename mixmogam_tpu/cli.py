@@ -44,6 +44,11 @@ def _add_run(sub):
     p.add_argument("--covariate-pids", default=None,
                    help="comma-separated phenotype ids used as fixed-"
                         "effect covariates (e.g. '2,3')")
+    p.add_argument("--precision", default="exact",
+                   choices=["exact", "high", "bf16"],
+                   help="EMMAX scan tier: exact=true fp32 (default); "
+                        "high=3-pass bf16 (~2e-5 p-drift, ~1.25x); "
+                        "bf16=1-pass (~6e-3 p-drift, ~1.6x)")
 
 
 def _add_kinship(sub):
@@ -93,6 +98,12 @@ def main(argv=None) -> int:
 
         cov = ([int(x) for x in args.covariate_pids.split(",")]
                if args.covariate_pids else None)
+        tier_kw = {}
+        if args.method == "emmax":
+            if args.precision == "high":
+                tier_kw["matmul_precision"] = "high"
+            elif args.precision == "bf16":
+                tier_kw["rotate_in_bf16"] = True
         ctx = debug_nans(True) if args.debug_nans else contextlib.nullcontext()
         with ctx:
             out = run_gwas(
@@ -102,7 +113,8 @@ def main(argv=None) -> int:
                 min_mac=args.min_mac, kinship_method=args.kinship_method,
                 kinship_file=args.kinship_file, cache_dir=args.cache_dir,
                 plots=not args.no_plots, num_steps=args.num_steps,
-                profile_dir=args.profile_dir, covariate_pids=cov)
+                profile_dir=args.profile_dir, covariate_pids=cov,
+                **tier_kw)
         if args.method == "emmax_stepwise":
             sw = out["scan"]["stepwise"]
             sel = {k: v["cofactors"] for k, v in sw["selected"].items()}

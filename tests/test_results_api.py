@@ -187,6 +187,20 @@ class TestEndToEnd:
         assert rc == 0
         assert "min p" in capsys.readouterr().out
 
+    def test_cli_run_emmax_precision_tier(self, sim_files, capsys):
+        """--precision high routes matmul_precision to the scan (on CPU
+        x64 this is numerically identical to exact; the flag wiring and
+        the full pipeline are what's under test)."""
+        from mixmogam_tpu.cli import main
+
+        rc = main(["run", str(sim_files / "sim.genotypes.csv"),
+                   str(sim_files / "sim.phenotypes.csv"),
+                   "--method", "emmax", "--min-mac", "3", "--no-plots",
+                   "--precision", "high",
+                   "-o", str(sim_files / "hiout")])
+        assert rc == 0
+        assert "min p" in capsys.readouterr().out
+
     def test_cli_kinship(self, sim_files, capsys):
         from mixmogam_tpu.cli import main
 
