@@ -132,6 +132,30 @@ def example_permutation():
           f"{r['threshold']:.2e}")
 
 
+def example_reference_classes():
+    """The reference's class-based workflow, unchanged (compat layer):
+    LinearMixedModel + add_random_effect + get_expedited_REMLE +
+    emmax_f_test — mixmogam scripts port line-for-line."""
+    from mixmogam_tpu.api import (calc_ibs_kinship, parse_phenotype_file,
+                                  parse_snp_data)
+    from mixmogam_tpu.compat import LinearMixedModel
+
+    g, p = _simulate_files()
+    gd = parse_snp_data(g)
+    phend = parse_phenotype_file(p)
+    gd2, y, _ = gd.coordinate_w_phenotype_data(phend, 1)
+    gd2 = gd2.filter_mac_snps(5)
+    K = calc_ibs_kinship(gd2)
+
+    lmm = LinearMixedModel(y)
+    lmm.add_random_effect(K)
+    reml = lmm.get_expedited_REMLE()
+    print("REML: h2 =", round(reml["pseudo_heritability"], 3),
+          "delta =", round(reml["delta"], 4))
+    res = lmm.emmax_f_test(gd2.get_snps())
+    print("min p =", f"{res['ps'].min():.2e}")
+
+
 EXAMPLES = {
     "emmax": example_emmax,
     "lm": example_linear_model,
@@ -139,6 +163,7 @@ EXAMPLES = {
     "stepwise": example_stepwise,
     "multitrait": example_multi_trait,
     "permutation": example_permutation,
+    "reference_classes": example_reference_classes,
 }
 
 
