@@ -99,10 +99,13 @@ def main(argv=None) -> int:
         cov = ([int(x) for x in args.covariate_pids.split(",")]
                if args.covariate_pids else None)
         tier_kw = {}
-        if args.method == "emmax":
+        if args.precision != "exact":
+            if args.method != "emmax":
+                ap.error(f"--precision {args.precision} is only supported "
+                         f"for --method emmax (got {args.method})")
             if args.precision == "high":
                 tier_kw["matmul_precision"] = "high"
-            elif args.precision == "bf16":
+            else:
                 tier_kw["rotate_in_bf16"] = True
         ctx = debug_nans(True) if args.debug_nans else contextlib.nullcontext()
         with ctx:

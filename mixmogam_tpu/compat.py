@@ -78,9 +78,19 @@ class LinearModel:
                             with_betas=with_betas, **kw)
 
     def anova_f_test(self, snps, **kw) -> Dict:
-        """Per-SNP genotype-class ANOVA (reference: anova_f_test)."""
+        """Per-SNP genotype-class ANOVA (reference: anova_f_test).
+
+        The categorical ANOVA tests genotype-class means against the
+        grand mean only; covariate-adjusted class tests are a different
+        model, so cofactors added via add_factor are NOT silently
+        dropped — they raise."""
         from mixmogam_tpu.models.linear import anova
 
+        if self.X.shape[1] > 1:
+            raise NotImplementedError(
+                "anova_f_test does not support cofactors; use "
+                "fast_f_test (additive coding) or "
+                "LinearMixedModel.emmax_anova_f_test with X0")
         return anova(snps, self.Y, **kw)
 
     def test_explained_variance(self, snps, **kw) -> Dict:
@@ -268,19 +278,17 @@ def lm_step_wise(G, y, max_steps: int = 10, X0=None, **kw) -> Dict:
     """Stepwise model selection with fixed effects only (reference:
     linear_models.lm_step_wise).
 
-    Implemented as the MLMM loop with K = I via eig_k=(ones, I): with a
-    uniform spectrum the whitening is a scalar multiple of I, so every
-    per-step F-test equals its OLS F-test exactly, and the ML
-    log-likelihood is algebraically independent of delta (the delta terms
-    cancel), so BIC/eBIC/mBIC equal their OLS values exactly.  One code
-    path, zero approximation."""
+    Implemented as the MLMM loop's identity-eigenbasis path (K=None):
+    with a uniform spectrum the whitening is a scalar multiple of I, so
+    every per-step F-test equals its OLS F-test exactly, and the ML
+    log-likelihood is algebraically independent of delta (the delta
+    terms cancel), so BIC/eBIC/mBIC equal their OLS values exactly.
+    No n x n identity is materialized and no rotation matmuls run —
+    one code path, zero approximation, zero wasted flops."""
     from mixmogam_tpu.models.stepwise import emmax_step_wise
 
     y = np.asarray(y, dtype=np.float64).ravel()
-    n = y.shape[0]
-    eig_k = (np.ones(n), np.eye(n))
-    out = emmax_step_wise(G, y, max_steps=max_steps, X0=X0, eig_k=eig_k,
-                          **kw)
+    out = emmax_step_wise(G, y, K=None, max_steps=max_steps, X0=X0, **kw)
     for s in out["steps"]:  # h2 is meaningless for K=I; report 0
         s["pseudo_heritability"] = 0.0
     return out

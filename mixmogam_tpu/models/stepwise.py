@@ -91,18 +91,31 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
     if X0 is None:
         X0 = np.ones((n, 1))
     X0 = _as_design(X0, n)
-    if eig_k is None:
-        phi, U = eigen_k(K, host=True)
+    # K is None (and no eig_k): fixed-effects-only stepwise (reference:
+    # lm_step_wise). The eigenbasis is the identity — phi = 1s, NO
+    # rotation matmuls, genotypes used as-is (pre-rotated semantics).
+    # Every per-step F-test equals its OLS value exactly, and the ML
+    # log-likelihood's delta terms cancel for a uniform spectrum, so the
+    # BIC criteria are exact OLS criteria.
+    identity_k = K is None and eig_k is None
+    if identity_k:
+        phi = jnp.ones(n, dtype=dtype)
+        U = None
     else:
-        phi, U = eig_k
-    phi = jnp.asarray(phi, dtype=dtype)
-    U = jnp.asarray(U, dtype=dtype)
-    y_rot = U.T @ jnp.asarray(y, dtype=dtype)
-    X0_rot = U.T @ jnp.asarray(X0, dtype=dtype)
+        if eig_k is None:
+            phi, U = eigen_k(K, host=True)
+        else:
+            phi, U = eig_k
+        phi = jnp.asarray(phi, dtype=dtype)
+        U = jnp.asarray(U, dtype=dtype)
+    y_rot = (jnp.asarray(y, dtype=dtype) if identity_k
+             else U.T @ jnp.asarray(y, dtype=dtype))
+    X0_rot = (jnp.asarray(X0, dtype=dtype) if identity_k
+              else U.T @ jnp.asarray(X0, dtype=dtype))
     if use_stored:
         # rotate genotypes ONCE; every scan afterwards is elementwise
         Gf = _as_dosage(G, dtype)
-        G_rot = jnp.asarray(Gf) @ U
+        G_rot = jnp.asarray(Gf) if identity_k else jnp.asarray(Gf) @ U
         G_i8 = None
     else:
         G_rot = None
@@ -117,7 +130,8 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
         from mixmogam_tpu.models.streaming import _impute_tile
 
         col = _impute_tile(jnp.asarray(G_i8[c][None, :]))[0]
-        return U.T @ col.astype(dtype)
+        return (col.astype(dtype) if identity_k
+                else U.T @ col.astype(dtype))
 
     bonf = alpha / M
     q0 = X0.shape[1]
@@ -198,7 +212,8 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
                 chunk = np.vstack(
                     [chunk, np.zeros((tile - (e - s), n), np.int8)])
             o = emmax_scan_stats(
-                _impute_tile(jnp.asarray(chunk)).astype(dtype), rot)
+                _impute_tile(jnp.asarray(chunk)).astype(dtype), rot,
+                pre_rotated=identity_k)
             pend.append((t, o))
             if len(pend) >= 4:
                 drain(*pend.pop(0))

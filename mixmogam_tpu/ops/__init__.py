@@ -37,14 +37,22 @@ def _pin_matmul_precision() -> None:
     n=1024 — the exact tier); the faster approximate tiers are explicit
     opt-ins (rotate_in_bf16, matmul_precision='high'). Override with
     MIXMOGAM_MATMUL_PRECISION=default|high|highest."""
+    val = _os.environ.get("MIXMOGAM_MATMUL_PRECISION", "highest")
+    if val not in ("default", "high", "highest"):
+        raise ValueError(
+            f"MIXMOGAM_MATMUL_PRECISION={val!r}: use default|high|highest")
     try:
         import jax
 
-        jax.config.update(
-            "jax_default_matmul_precision",
-            _os.environ.get("MIXMOGAM_MATMUL_PRECISION", "highest"))
-    except Exception:
-        pass
+        jax.config.update("jax_default_matmul_precision", val)
+    except Exception as e:  # pragma: no cover - config API drift
+        # failing to pin means f32 dots silently run as 1-pass bf16 on
+        # TPU — never swallow that silently
+        import sys
+
+        print(f"mixmogam_tpu: WARNING could not pin matmul precision "
+              f"({type(e).__name__}: {e}); TPU f32 results may be "
+              f"bf16-grade", file=sys.stderr)
 
 
 _pin_matmul_precision()

@@ -34,6 +34,9 @@ def _gram_int8_tri(S_acc, C, tn: int = 256):
     upper-triangle result is mirrored on device; requires n % tn == 0
     (callers pad samples)."""
     n = C.shape[1]
+    if n % tn:
+        raise ValueError(f"_gram_int8_tri needs n % tn == 0; "
+                         f"got n={n}, tn={tn} (pad the sample axis)")
     B = n // tn
     S = S_acc
     for i in range(B):

@@ -127,7 +127,11 @@ def _ibs_gram_tri(Z: jnp.ndarray, tm: int, tn: int,
 def pallas_ibs_kinship_tri(G, tm: int = 2048, tn: int = 256,
                            interpret: Optional[bool] = None) -> np.ndarray:
     """Exact IBS kinship via triangular Pallas blocks (binary int8, no
-    missing): only j >= i blocks hit the MXU; parity bit-identical."""
+    missing): only j >= i blocks hit the MXU; parity bit-identical.
+
+    NOTE: this image's remote Mosaic toolchain cannot compile
+    pl.when-predicated MXU dots (STATUS.md); on such toolchains the call
+    transparently falls back to the full-grid kernel below."""
     G = np.asarray(G)
     if G.dtype != np.int8:
         G = G.astype(np.int8)
@@ -142,8 +146,14 @@ def pallas_ibs_kinship_tri(G, tm: int = 2048, tn: int = 256,
     B = np_ // tn
     Zp = np.zeros((Mp, np_), dtype=np.int8)
     Zp[:M, :n] = G
-    Su = np.asarray(_ibs_gram_tri(jnp.asarray(Zp), tm, tn,
-                                  interpret=interpret)).astype(np.int64)
+    try:
+        Su = np.asarray(_ibs_gram_tri(jnp.asarray(Zp), tm, tn,
+                                      interpret=interpret)).astype(np.int64)
+    except Exception:  # Mosaic predicated-dot limitation (docstring)
+        if interpret:
+            raise
+        return pallas_ibs_kinship(G, tm=min(tm, 512), tn=tn,
+                                  interpret=interpret)
     # mirror the strict upper-triangle blocks into the lower half
     for i in range(B):
         for j in range(i + 1, B):

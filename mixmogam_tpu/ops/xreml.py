@@ -309,17 +309,20 @@ def emma_delta_scan(Gt, X0_rot, y_rot, phi, logdet_XtX_all,
         lo, hi = jax.lax.fori_loop(0, refine_iters, body, (lo, hi))
         return (lo + hi) / 2.0
 
-    # candidates per SNP: refined argmax bracket, refined runner-up
-    # bracket, and the raw grid argmax (guards boundary solutions where a
-    # bracket has no interior root)
-    cands = [refine(k1), refine(k2), grid[k1]]
+    # candidates per SNP: the raw grid argmax FIRST (guards boundary
+    # solutions and NaN refinements), then the refined argmax bracket and
+    # the refined runner-up bracket. A NaN candidate never wins
+    # (NaN > x is False), and starting from the grid argmax restores the
+    # pre-rewrite guarantee that a NaN refined likelihood falls back to
+    # the finite grid solution.
+    cands = [grid[k1], refine(k1), refine(k2)]
     log_delta = cands[0]
     ll, ypy, beta = _ll_snps_at(log_delta, Gt, X0_rot, y_rot, phi,
                                 logdet_XtX_all, reml)
     for c in cands[1:]:
         ll_c, ypy_c, beta_c = _ll_snps_at(c, Gt, X0_rot, y_rot, phi,
                                           logdet_XtX_all, reml)
-        take = ll_c > ll
+        take = (ll_c > ll) | (jnp.isnan(ll) & ~jnp.isnan(ll_c))
         log_delta = jnp.where(take, c, log_delta)
         ypy = jnp.where(take, ypy_c, ypy)
         beta = jnp.where(take[:, None], beta_c, beta)

@@ -137,6 +137,25 @@ class TestLmStepwise:
         assert out["steps"][0]["min_p_snp"] == int(np.argmin(ref["ps"]))
         assert out["steps"][0]["pseudo_heritability"] == 0.0
 
+    def test_identity_path_equals_explicit_identity_eigk(self,
+                                                         tiny_dataset):
+        """K=None (no rotation matmuls) must match the explicit
+        eig_k=(ones, I) route step for step — including the STREAMED
+        branch (rot_budget_bytes=0 forces tile streaming)."""
+        from mixmogam_tpu.models.stepwise import emmax_step_wise
+
+        G, y = tiny_dataset["G"], tiny_dataset["y"]
+        n = len(y)
+        a = lm_step_wise(G, y, max_steps=2, tile=64)
+        b = emmax_step_wise(G, y, max_steps=2, tile=64,
+                            eig_k=(np.ones(n), np.eye(n)))
+        c = lm_step_wise(G.astype(np.int8), y, max_steps=2, tile=64,
+                         rot_budget_bytes=0)
+        for s_a, s_b, s_c in zip(a["steps"], b["steps"], c["steps"]):
+            assert s_a["cofactors"] == s_b["cofactors"] == s_c["cofactors"]
+            assert abs(s_a["bic"] - s_b["bic"]) < 1e-6
+            assert abs(s_a["bic"] - s_c["bic"]) < 1e-6
+
     def test_criteria_finite_and_selection_present(self, tiny_dataset):
         G, y = tiny_dataset["G"], tiny_dataset["y"]
         out = lm_step_wise(G, y, max_steps=2, tile=64)
