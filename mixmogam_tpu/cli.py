@@ -45,10 +45,11 @@ def _add_run(sub):
                    help="comma-separated phenotype ids used as fixed-"
                         "effect covariates (e.g. '2,3')")
     p.add_argument("--precision", default="exact",
-                   choices=["exact", "high", "bf16"],
+                   choices=["exact", "high", "bf16x2", "bf16"],
                    help="EMMAX scan tier: exact=true fp32 (default); "
-                        "high=3-pass bf16 (~2e-5 p-drift, ~1.25x); "
-                        "bf16=1-pass (~6e-3 p-drift, ~1.6x)")
+                        "high=3-pass emulation (~2e-5 p-drift, ~1.2x); "
+                        "bf16x2=split-W 2-pass (~1e-5, ~1.3x); "
+                        "bf16=1-pass (~6e-3 p-drift, ~1.6-2x)")
 
 
 def _add_kinship(sub):
@@ -105,6 +106,8 @@ def main(argv=None) -> int:
                          f"for --method emmax (got {args.method})")
             if args.precision == "high":
                 tier_kw["matmul_precision"] = "high"
+            elif args.precision == "bf16x2":
+                tier_kw["rotate_in_bf16"] = "x2"
             else:
                 tier_kw["rotate_in_bf16"] = True
         ctx = debug_nans(True) if args.debug_nans else contextlib.nullcontext()

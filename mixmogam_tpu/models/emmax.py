@@ -105,8 +105,14 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     import jax as _jax
     import jax.numpy as _jnp
 
-    rot = build_rotated_null(
-        null, rotate_dtype=_jnp.bfloat16 if rotate_in_bf16 else None)
+    if not rotate_in_bf16:
+        rd = None
+    elif rotate_in_bf16 is True:
+        rd = _jnp.bfloat16
+    else:  # 'x2'/'x3'/'bf16x2'/'bf16x3' -> split-W tiers (ops.scan)
+        s = str(rotate_in_bf16)
+        rd = s if s.startswith("bf16") else "bf16" + s
+    rot = build_rotated_null(null, rotate_dtype=rd)
     ctx = (_jax.default_matmul_precision(matmul_precision)
            if matmul_precision else contextlib.nullcontext())
     with ctx:

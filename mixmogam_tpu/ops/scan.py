@@ -56,14 +56,34 @@ class RotatedNull:
 
 
 def build_rotated_null(null: NullModel, rotate_dtype=None) -> RotatedNull:
-    """rotate_dtype: dtype of the rotation operator W (e.g. jnp.bfloat16
-    for the fast MXU path); None keeps the null model's precision."""
+    """rotate_dtype selects the MXU tier for the rotation matmul:
+
+    - None: the null model's precision (package-pinned true fp32).
+    - jnp.bfloat16: 1-pass bf16 (~1.6x, ~6e-3 p-drift).
+    - 'bf16x3' / 'bf16x2': W split into 3 (resp. 2) stacked bf16 terms
+      (W = hi + lo (+ lo2), fp32 accumulation). Integer genotype dosages
+      are EXACT in bf16, so only W's representation matters: 3 terms
+      recover the full 24-bit fp32 mantissa at THREE single-pass bf16
+      matmuls — vs the 6 passes XLA's HIGHEST spends splitting both
+      operands — i.e. fp32-grade results ~1.3-2x faster. 2 terms give
+      16 mantissa bits (~1e-5 p-drift). With mean-imputed NON-integer
+      dosages the genotype cast itself rounds to bf16; use the default
+      fp32 tier there if 1e-6-grade parity is required."""
     from mixmogam_tpu.ops.eigen import orthonormal_basis
 
     phi, U, delta = null.phi, null.U, null.delta
     sd = 1.0 / jnp.sqrt(phi + delta)
     W = U * sd[None, :]
-    if rotate_dtype is not None:
+    if rotate_dtype in ("bf16x2", "bf16x3"):
+        k = int(rotate_dtype[-1])
+        resid = W.astype(jnp.float32)
+        parts = []
+        for _ in range(k):
+            p = resid.astype(jnp.bfloat16)
+            parts.append(p)
+            resid = resid - p.astype(jnp.float32)
+        W = jnp.stack(parts)                      # (k, n, n) bf16
+    elif rotate_dtype is not None:
         W = W.astype(rotate_dtype)
     y_star = (null.y @ U) * sd
     X0_star = (null.X0.T @ U).T * sd[:, None]
@@ -99,8 +119,18 @@ def emmax_scan_stats(G_tile: jnp.ndarray, rot: RotatedNull,
         # 2x slower on v5e).
         prec = (jax.lax.Precision.DEFAULT
                 if rot.W.dtype == jnp.bfloat16 else None)
-        Xs = jnp.dot(G_tile.astype(rot.W.dtype), rot.W,
-                     preferred_element_type=dt, precision=prec)
+        if rot.W.ndim == 3:
+            # split-W tier (build_rotated_null 'bf16xK'): sum of K
+            # single-pass bf16 matmuls, fp32 accumulation
+            Gb = G_tile.astype(rot.W.dtype)
+            Xs = jnp.dot(Gb, rot.W[0], preferred_element_type=dt,
+                         precision=prec)
+            for i in range(1, rot.W.shape[0]):
+                Xs = Xs + jnp.dot(Gb, rot.W[i], preferred_element_type=dt,
+                                  precision=prec)
+        else:
+            Xs = jnp.dot(G_tile.astype(rot.W.dtype), rot.W,
+                         preferred_element_type=dt, precision=prec)
     c = Xs @ rot.Q0                                    # (m, q)
     xy = Xs @ rot.y_res                                # (m,)
     ss = jnp.sum(Xs * Xs, axis=1)

@@ -121,6 +121,25 @@ class TestBf16Rotation:
         # regression: dof must NOT round through bf16 (198 != bf16(198))
         assert fast["dof"] == exact["dof"] == len(y) - 2
 
+    def test_split_w_tiers_accuracy_ladder(self, small_dataset,
+                                           kinship_small):
+        """Split-W tiers (W = sum of K bf16 terms, integer G exact in
+        bf16): each extra term adds ~8 mantissa bits, so p-drift vs fp32
+        drops ~1e-3 -> ~1e-5 -> ~1e-7 (measured 6e-3/1.2e-5/8.8e-7 on
+        v5e, scripts/splitw_bench.py)."""
+        G = small_dataset["G_int"]
+        y, K = small_dataset["y"], kinship_small
+        ex = emmax(G, y, K=K, dtype=np.float32)
+        drifts = []
+        for tier in (True, "x2", "x3"):
+            f = emmax(G, y, K=K, dtype=np.float32, rotate_in_bf16=tier)
+            drifts.append(np.max(np.abs(f["ps"] - ex["ps"])))
+            assert np.argmin(f["ps"]) == np.argmin(ex["ps"])
+        assert drifts[0] < 5e-2
+        assert drifts[1] < 1e-4
+        assert drifts[2] < 1e-6
+        assert drifts[2] < drifts[1] < drifts[0]
+
 
 class TestFp32Characterization:
     def test_fp32_vs_f64_accuracy_envelope(self, small_dataset,
