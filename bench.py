@@ -145,6 +145,16 @@ def main():
     log(f"scan bf16 pipelined: {dt16*1e3:.2f} ms/scan "
         f"-> {M/dt16:,.0f} SNP-tests/s/chip")
 
+    # split-W bf16x2 tier (~1.2e-5 p-drift; beats 'high' at equal accuracy)
+    rot2 = build_rotated_null(null, rotate_dtype="bf16x2")
+    jax.block_until_ready(emmax_scan_all(Gd, rot2, tile=65_536))
+    t0 = time.time()
+    outs = [emmax_scan_all(Gd, rot2, tile=65_536) for _ in range(R)]
+    jax.block_until_ready(outs)
+    dt2 = (time.time() - t0) / R
+    log(f"scan bf16x2 pipelined: {dt2*1e3:.2f} ms/scan "
+        f"-> {M/dt2:,.0f} SNP-tests/s/chip")
+
     # 'high' tier: 3-pass-bf16 fp32 emulation (~2e-5 p-drift)
     with jax.default_matmul_precision("high"):
         jax.block_until_ready(emmax_scan_all(Gd, rot, tile=65_536))

@@ -39,8 +39,12 @@ def _ibs_kernel(z1_ref, z2_ref, out_ref):
 
     z1 = z1_ref[:]
     z2 = z2_ref[:]
+    # explicit precision: the package-global 'highest' pin otherwise
+    # stamps contract_precision<fp32> on the int8 dot, which Mosaic
+    # rejects ('Bad lhs type'); int8 accumulation is exact regardless
     d = jax.lax.dot_general(z1, z2, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
+                            preferred_element_type=jnp.int32,
+                            precision=jax.lax.Precision.DEFAULT)
     s1 = jnp.sum(z1.astype(jnp.int32), axis=0)
     s2 = jnp.sum(z2.astype(jnp.int32), axis=0)
     m_blk = z1.shape[0]
@@ -83,16 +87,16 @@ def _ibs_tri_kernel(z1_ref, z2_ref, out_ref):
 
     # upper triangle only: K is symmetric, so the MXU work of every j < i
     # block is skipped (the XLA gram cannot) — ~1.3-2x compute saved; the
-    # host mirrors the upper blocks. (A scalar-prefetch triangular block
-    # list would also skip the DMA, but this image's remote Mosaic
-    # toolchain crashes on dynamic index maps; the op is compute-bound,
-    # so compute-skip captures nearly all of the win.)
+    # host mirrors the upper blocks. The op is compute-bound, so
+    # compute-skip captures nearly all of the win vs a DMA-skipping
+    # block list.
     @pl.when(j >= i)
     def _():
         z1 = z1_ref[:]
         z2 = z2_ref[:]
         d = jax.lax.dot_general(z1, z2, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
+                                preferred_element_type=jnp.int32,
+                                precision=jax.lax.Precision.DEFAULT)
         s1 = jnp.sum(z1.astype(jnp.int32), axis=0)
         s2 = jnp.sum(z2.astype(jnp.int32), axis=0)
         out_ref[:] += 2 * d - s1[:, None] - s2[None, :] + z1.shape[0]

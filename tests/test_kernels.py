@@ -106,6 +106,42 @@ class TestPallasScan:
         np.testing.assert_allclose(np.asarray(pal["betas"]),
                                    np.asarray(ref["betas"]), atol=1e-5)
 
+    def test_fused_rotate_scan_parity(self, small_dataset, kinship_small):
+        """pallas_rotate_scan (raw G in, split-W rotation fused with the
+        epilogue, Xs VMEM-resident) vs the XLA split-W path."""
+        from mixmogam_tpu.ops.pallas_scan import pallas_rotate_scan
+        from mixmogam_tpu.ops.reml import fit_null_model
+        from mixmogam_tpu.ops.scan import build_rotated_null, emmax_scan_all
+
+        G = small_dataset["G_int"]
+        y = small_dataset["y"].astype(np.float32)
+        K = kinship_small.astype(np.float32)
+        null = fit_null_model(y, np.ones((len(y), 1), np.float32), K=K)
+        rot3 = build_rotated_null(null, rotate_dtype="bf16x3")
+        ref = emmax_scan_all(jnp.asarray(G.astype(np.float32)), rot3,
+                             tile=256)
+        pal = pallas_rotate_scan(G, rot3, tm=128, nb=128)
+        np.testing.assert_array_equal(np.asarray(ref["mask"]),
+                                      np.asarray(pal["mask"]))
+        np.testing.assert_allclose(np.asarray(pal["f_stats"]),
+                                   np.asarray(ref["f_stats"]),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(pal["betas"]),
+                                   np.asarray(ref["betas"]), atol=1e-5)
+
+    def test_fused_rotate_scan_needs_split_rot(self, small_dataset,
+                                               kinship_small):
+        from mixmogam_tpu.ops.pallas_scan import pallas_rotate_scan
+        from mixmogam_tpu.ops.reml import fit_null_model
+        from mixmogam_tpu.ops.scan import build_rotated_null
+
+        y = small_dataset["y"].astype(np.float32)
+        K = kinship_small.astype(np.float32)
+        null = fit_null_model(y, np.ones((len(y), 1), np.float32), K=K)
+        with pytest.raises(ValueError):
+            pallas_rotate_scan(small_dataset["G_int"],
+                               build_rotated_null(null))
+
 
 class TestBf16Rotation:
     def test_bf16_scan_close_and_rank_stable(self, small_dataset,
