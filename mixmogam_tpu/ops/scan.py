@@ -74,15 +74,21 @@ def build_rotated_null(null: NullModel, rotate_dtype=None) -> RotatedNull:
     phi, U, delta = null.phi, null.U, null.delta
     sd = 1.0 / jnp.sqrt(phi + delta)
     W = U * sd[None, :]
-    if rotate_dtype in ("bf16x2", "bf16x3"):
-        k = int(rotate_dtype[-1])
+    if rotate_dtype in ("bf16x2", "bf16x3", "bf16x2c", "bf16x3c"):
+        concat = rotate_dtype.endswith("c")
+        k = int(rotate_dtype[5])
         resid = W.astype(jnp.float32)
         parts = []
         for _ in range(k):
             p = resid.astype(jnp.bfloat16)
             parts.append(p)
             resid = resid - p.astype(jnp.float32)
-        W = jnp.stack(parts)                      # (k, n, n) bf16
+        # stacked (k, n, n): k separate dots. concat (n, k*n): ONE wide
+        # dot (XLA keeps all passes in one fused matmul kernel) + a
+        # 3-way column-block sum; detected downstream by
+        # W.shape[1] == k * W.shape[0].
+        W = (jnp.concatenate(parts, axis=1) if concat
+             else jnp.stack(parts))
     elif rotate_dtype is not None:
         W = W.astype(rotate_dtype)
     y_star = (null.y @ U) * sd
@@ -128,6 +134,15 @@ def emmax_scan_stats(G_tile: jnp.ndarray, rot: RotatedNull,
             for i in range(1, rot.W.shape[0]):
                 Xs = Xs + jnp.dot(Gb, rot.W[i], preferred_element_type=dt,
                                   precision=prec)
+        elif rot.W.shape[1] != rot.W.shape[0] and \
+                rot.W.shape[1] % rot.W.shape[0] == 0:
+            # concat split-W tier ('bf16xKc'): one wide matmul, then sum
+            # the K column blocks
+            k = rot.W.shape[1] // rot.W.shape[0]
+            m = G_tile.shape[0]
+            Xw = jnp.dot(G_tile.astype(rot.W.dtype), rot.W,
+                         preferred_element_type=dt, precision=prec)
+            Xs = jnp.sum(Xw.reshape(m, k, rot.W.shape[0]), axis=1)
         else:
             Xs = jnp.dot(G_tile.astype(rot.W.dtype), rot.W,
                          preferred_element_type=dt, precision=prec)

@@ -175,6 +175,12 @@ class TestBf16Rotation:
         assert drifts[1] < 1e-4
         assert drifts[2] < 1e-6
         assert drifts[2] < drifts[1] < drifts[0]
+        # concatenated variants (one wide matmul) match their stacked
+        # twins to float-add reassociation level
+        for tier, ref_drift in (("x2c", drifts[1]), ("x3c", drifts[2])):
+            f = emmax(G, y, K=K, dtype=np.float32, rotate_in_bf16=tier)
+            d = np.max(np.abs(f["ps"] - ex["ps"]))
+            assert d < 10 * ref_drift + 1e-7
 
 
 class TestFp32Characterization:
