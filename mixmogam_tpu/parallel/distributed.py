@@ -103,11 +103,13 @@ def _scan_sharded(Gd, rot: RotatedNull, pre_rotated: bool = False):
 def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
                       mesh: Optional[Mesh] = None, eig_k=None,
                       ngrids: int = 100, llim: float = -10.0,
-                      ulim: float = 10.0, esp: float = 1e-6, dtype=None
+                      ulim: float = 10.0, esp: float = 1e-6, dtype=None,
+                      rotate_in_bf16=False,
                       ) -> Dict[str, np.ndarray]:
     """EMMAX over a device mesh. Same numerics as models.emmax (parity
     tested mesh-shape-invariant); G may exceed single-chip HBM by the
-    mesh 'snp' factor."""
+    mesh 'snp' factor. rotate_in_bf16 selects the same precision tiers
+    as models.emmax (False | True | 'x2' | 'x3' | 'x2c' | 'x3c')."""
     from mixmogam_tpu.ops.stats import f_sf_host
 
     if mesh is None:
@@ -129,7 +131,14 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
                           eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim,
                           refine_iters=esp_to_refine_iters(
                               esp, ngrids, llim, ulim))
-    rot = build_rotated_null(null)
+    if not rotate_in_bf16:
+        rd = None
+    elif rotate_in_bf16 is True:
+        rd = jnp.bfloat16
+    else:
+        s = str(rotate_in_bf16)
+        rd = s if s.startswith("bf16") else "bf16" + s
+    rot = build_rotated_null(null, rotate_dtype=rd)
     # replicate the null model; shard the genotypes
     rot = jax.device_put(rot, replicated(mesh))
     nshard = mesh.shape["snp"]

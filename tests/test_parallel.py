@@ -65,6 +65,18 @@ class TestDistributedEmmax:
             np.testing.assert_allclose(d["f_stats"], ref["f_stats"],
                                        rtol=1e-9, err_msg=f"mesh {name}")
 
+    def test_precision_tier_on_mesh(self, small_dataset, kinship_small,
+                                    meshes):
+        """The split-W bf16x3 tier also runs sharded and stays close to
+        the exact path (fp32-grade — CPU bf16 emulation is looser than
+        the MXU, hence the modest tolerance)."""
+        G, y, K = small_dataset["G"], small_dataset["y"], kinship_small
+        ref = emmax(G, y, K=K)
+        d = distributed_emmax(G, y, K=K, mesh=meshes["snp8"],
+                              dtype=np.float32, rotate_in_bf16="x3")
+        assert np.argmin(d["ps"]) == np.argmin(ref["ps"])
+        assert np.max(np.abs(d["ps"] - ref["ps"])) < 1e-4
+
     def test_uneven_snp_count(self, small_dataset, kinship_small, meshes):
         G, y, K = small_dataset["G"][:37], small_dataset["y"], kinship_small
         ref = emmax(G, y, K=K)
