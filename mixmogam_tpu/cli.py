@@ -45,10 +45,13 @@ def _add_run(sub):
                    help="comma-separated phenotype ids used as fixed-"
                         "effect covariates (e.g. '2,3')")
     p.add_argument("--precision", default="exact",
-                   choices=["exact", "high", "bf16x2", "bf16"],
+                   choices=["exact", "int8x3", "high", "bf16x2", "int8x2",
+                            "bf16"],
                    help="EMMAX scan tier: exact=true fp32 (default); "
+                        "int8x3=exact-grade digit planes (int dosages); "
                         "high=3-pass emulation (~2e-5 p-drift, ~1.2x); "
                         "bf16x2=split-W 2-pass (~1e-5, ~1.3x); "
+                        "int8x2=digit planes (~1e-4, fast); "
                         "bf16=1-pass (~6e-3 p-drift, ~1.6-2x)")
 
 
@@ -108,6 +111,8 @@ def main(argv=None) -> int:
                 tier_kw["matmul_precision"] = "high"
             elif args.precision == "bf16x2":
                 tier_kw["rotate_in_bf16"] = "x2"
+            elif args.precision.startswith("int8"):
+                tier_kw["rotate_in_bf16"] = args.precision
             else:
                 tier_kw["rotate_in_bf16"] = True
         ctx = debug_nans(True) if args.debug_nans else contextlib.nullcontext()

@@ -109,9 +109,17 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
         rd = None
     elif rotate_in_bf16 is True:
         rd = _jnp.bfloat16
-    else:  # 'x2'/'x3'/'bf16x2'/'bf16x3' -> split-W tiers (ops.scan)
+    else:  # 'x2'/'x3' -> bf16 split-W; 'int8xK' -> digit planes (ops.scan)
         s = str(rotate_in_bf16)
-        rd = s if s.startswith("bf16") else "bf16" + s
+        rd = s if s.startswith(("bf16", "int8")) else "bf16" + s
+    if (isinstance(rd, str) and rd.startswith("int8")
+            and np.issubdtype(np.asarray(Gf).dtype, np.floating)
+            and not np.array_equal(Gf, np.round(Gf))):
+        raise ValueError(
+            f"rotate_in_bf16={rotate_in_bf16!r} requires integer dosages "
+            "(the digit-plane matmuls round genotypes to int8; "
+            "mean-imputed fractional dosages would be silently altered). "
+            "Use the exact/bf16 tiers for imputed float dosages.")
     rot = build_rotated_null(null, rotate_dtype=rd)
     ctx = (_jax.default_matmul_precision(matmul_precision)
            if matmul_precision else contextlib.nullcontext())

@@ -53,6 +53,9 @@ class RotatedNull:
     y_res: jnp.ndarray    # (n,) whitened phenotype residual
     rss0: jnp.ndarray     # scalar null RSS
     dof: jnp.ndarray      # n - q - 1 as a DATA leaf (dynamic across steps)
+    w_scale: jnp.ndarray = None  # (n,) per-column power-of-two scale for
+                          #   the int8 digit-plane tiers ('int8xK'); None
+                          #   for all float tiers
 
 
 def build_rotated_null(null: NullModel, rotate_dtype=None) -> RotatedNull:
@@ -68,13 +71,37 @@ def build_rotated_null(null: NullModel, rotate_dtype=None) -> RotatedNull:
       operands — i.e. fp32-grade results ~1.3-2x faster. 2 terms give
       16 mantissa bits (~1e-5 p-drift). With mean-imputed NON-integer
       dosages the genotype cast itself rounds to bf16; use the default
-      fp32 tier there if 1e-6-grade parity is required."""
+      fp32 tier there if 1e-6-grade parity is required.
+    - 'int8x2' / 'int8x3' / 'int8x4': W quantized to a per-column
+      power-of-two fixed point and decomposed into K signed int8 digit
+      planes (base 256, balanced digits). Integer dosages are exact in
+      int8, each digit matmul accumulates EXACTLY in int32 (no rounding
+      at all until the final f32 recombine), and the v5e MXU runs int8
+      at 2x its bf16 rate — so K int8 passes cost K/2 bf16 passes.
+      W resolution: 8K-2 bits below the per-column max (14/22/30), i.e.
+      'int8x3' is fp32-grade at ~1.5-pass cost. Requires integer
+      dosages (values rounded to int8 in-kernel)."""
     from mixmogam_tpu.ops.eigen import orthonormal_basis
 
     phi, U, delta = null.phi, null.U, null.delta
     sd = 1.0 / jnp.sqrt(phi + delta)
     W = U * sd[None, :]
-    if rotate_dtype in ("bf16x2", "bf16x3", "bf16x2c", "bf16x3c"):
+    w_scale = None
+    if rotate_dtype in ("int8x2", "int8x3", "int8x4"):
+        k = int(rotate_dtype[5])
+        bits = 8 * k - 2  # top balanced digit stays within int8
+        colmax = jnp.max(jnp.abs(W), axis=0)
+        _, e = jnp.frexp(colmax)          # colmax <= 2^e exactly
+        w_scale = jnp.exp2((e - bits).astype(sd.dtype))
+        Wi = jnp.round(W / w_scale[None, :]).astype(jnp.int32)
+        planes = []
+        r = Wi
+        for _ in range(k):                # balanced base-256 digits
+            d = ((r + 128) % 256) - 128
+            planes.append(d.astype(jnp.int8))
+            r = (r - d) // 256
+        W = jnp.stack(planes)             # (k, n, n) int8, low digit first
+    elif rotate_dtype in ("bf16x2", "bf16x3", "bf16x2c", "bf16x3c"):
         concat = rotate_dtype.endswith("c")
         k = int(rotate_dtype[5])
         resid = W.astype(jnp.float32)
@@ -100,7 +127,8 @@ def build_rotated_null(null: NullModel, rotate_dtype=None) -> RotatedNull:
     # dof rides in sd's (full) precision — W may be bf16 where integers
     # above 256 are not representable
     return RotatedNull(W=W, sd=sd, Q0=Q0, y_res=y_res, rss0=rss0,
-                       dof=jnp.asarray(n - q - 1, dtype=sd.dtype))
+                       dof=jnp.asarray(n - q - 1, dtype=sd.dtype),
+                       w_scale=w_scale)
 
 
 @functools.partial(jax.jit, static_argnames=("pre_rotated",))
@@ -125,7 +153,21 @@ def emmax_scan_stats(G_tile: jnp.ndarray, rot: RotatedNull,
         # 2x slower on v5e).
         prec = (jax.lax.Precision.DEFAULT
                 if rot.W.dtype == jnp.bfloat16 else None)
-        if rot.W.ndim == 3:
+        if rot.W.dtype == jnp.int8:
+            # int8 digit-plane tier ('int8xK'): K exact int8->int32 MXU
+            # matmuls (2x bf16 rate on v5e), recombined base-256 in fp32.
+            # precision=DEFAULT is MANDATORY: the package-global 'highest'
+            # would otherwise force an f32 upcast of the int8 dots.
+            Gb = (G_tile if G_tile.dtype == jnp.int8
+                  else jnp.round(G_tile).astype(jnp.int8))
+            Xs = None
+            for i in range(rot.W.shape[0]):
+                Ai = jnp.dot(Gb, rot.W[i], preferred_element_type=jnp.int32,
+                             precision=jax.lax.Precision.DEFAULT)
+                term = Ai.astype(dt) * (256.0 ** i)
+                Xs = term if Xs is None else Xs + term
+            Xs = Xs * rot.w_scale[None, :].astype(dt)
+        elif rot.W.ndim == 3:
             # split-W tier (build_rotated_null 'bf16xK'): sum of K
             # single-pass bf16 matmuls, fp32 accumulation
             Gb = G_tile.astype(rot.W.dtype)

@@ -137,7 +137,7 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
         rd = jnp.bfloat16
     else:
         s = str(rotate_in_bf16)
-        rd = s if s.startswith("bf16") else "bf16" + s
+        rd = s if s.startswith(("bf16", "int8")) else "bf16" + s
     rot = build_rotated_null(null, rotate_dtype=rd)
     # replicate the null model; shard the genotypes
     rot = jax.device_put(rot, replicated(mesh))

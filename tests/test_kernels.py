@@ -182,6 +182,37 @@ class TestBf16Rotation:
             d = np.max(np.abs(f["ps"] - ex["ps"]))
             assert d < 10 * ref_drift + 1e-7
 
+    def test_int8_digit_tiers_accuracy_ladder(self, small_dataset,
+                                              kinship_small):
+        """int8 digit-plane tiers ('int8xK'): W fixed-pointed per column
+        to 8K-2 bits and split into K signed int8 digit planes; integer
+        dosages make each digit matmul EXACT (int32 accumulation), so the
+        only error is W's quantization + one final f32 recombine.
+        Expected ladder: int8x2 (14 bits) ~1e-4, int8x3 (22 bits)
+        fp32-grade <=1e-6, int8x4 (30 bits) at or below int8x3."""
+        G = small_dataset["G_int"]
+        y, K = small_dataset["y"], kinship_small
+        ex = emmax(G, y, K=K, dtype=np.float32)
+        drifts = {}
+        for tier in ("int8x2", "int8x3", "int8x4"):
+            f = emmax(G, y, K=K, dtype=np.float32, rotate_in_bf16=tier)
+            drifts[tier] = np.max(np.abs(f["ps"] - ex["ps"]))
+            assert np.argmin(f["ps"]) == np.argmin(ex["ps"])
+        assert drifts["int8x2"] < 1e-3
+        assert drifts["int8x3"] < 2e-6
+        assert drifts["int8x4"] < 2e-6
+        assert drifts["int8x4"] <= drifts["int8x3"] < drifts["int8x2"]
+
+    def test_int8_tier_rejects_fractional_dosages(self, small_dataset,
+                                                  kinship_small):
+        """Mean-imputed fractional dosages would be silently rounded by
+        the digit-plane tier — the facade must refuse instead."""
+        G = small_dataset["G"].astype(np.float64).copy()
+        G[0, 0] = 0.37  # imputed-looking fractional dosage
+        y, K = small_dataset["y"], kinship_small
+        with pytest.raises(ValueError, match="integer dosages"):
+            emmax(G, y, K=K, dtype=np.float32, rotate_in_bf16="int8x3")
+
 
 class TestFp32Characterization:
     def test_fp32_vs_f64_accuracy_envelope(self, small_dataset,
