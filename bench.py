@@ -165,9 +165,22 @@ def main():
     log(f"scan 'high' pipelined: {dthi*1e3:.2f} ms/scan "
         f"-> {M/dthi:,.0f} SNP-tests/s/chip")
 
-    # int8 device-resident genotypes (4x less HBM read)
+    # int8 digit-plane tiers (W -> K signed int8 planes, exact int32
+    # MXU accumulation at 2x bf16 rate): int8x3 = fp32-grade (~1e-6),
+    # int8x2 = ~5e-4 p-drift mid tier
     Gd8 = jax.device_put(jnp.asarray(G))
     jax.block_until_ready(Gd8)
+    for tier in ("int8x3", "int8x2"):
+        rotq = build_rotated_null(null, rotate_dtype=tier)
+        jax.block_until_ready(emmax_scan_all(Gd8, rotq, tile=65_536))
+        t0 = time.time()
+        outs = [emmax_scan_all(Gd8, rotq, tile=65_536) for _ in range(R)]
+        jax.block_until_ready(outs)
+        dtq = (time.time() - t0) / R
+        log(f"scan {tier} pipelined: {dtq*1e3:.2f} ms/scan "
+            f"-> {M/dtq:,.0f} SNP-tests/s/chip")
+
+    # int8 device-resident genotypes (4x less HBM read)
     jax.block_until_ready(emmax_scan_all(Gd8, rot, tile=65_536))
     t0 = time.time()
     outs = [emmax_scan_all(Gd8, rot, tile=65_536) for _ in range(R)]

@@ -109,7 +109,8 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
     """EMMAX over a device mesh. Same numerics as models.emmax (parity
     tested mesh-shape-invariant); G may exceed single-chip HBM by the
     mesh 'snp' factor. rotate_in_bf16 selects the same precision tiers
-    as models.emmax (False | True | 'x2' | 'x3' | 'x2c' | 'x3c')."""
+    as models.emmax (False | True | 'x2' | 'x3' | 'x2c' | 'x3c' |
+    'int8x2' | 'int8x3' | 'int8x4')."""
     from mixmogam_tpu.ops.stats import f_sf_host
 
     if mesh is None:
@@ -138,6 +139,12 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
     else:
         s = str(rotate_in_bf16)
         rd = s if s.startswith(("bf16", "int8")) else "bf16" + s
+    if (isinstance(rd, str) and rd.startswith("int8")
+            and np.issubdtype(np.asarray(Gf).dtype, np.floating)
+            and not np.array_equal(Gf, np.round(Gf))):
+        raise ValueError(
+            f"rotate_in_bf16={rotate_in_bf16!r} requires integer dosages "
+            "(digit-plane matmuls round genotypes to int8)")
     rot = build_rotated_null(null, rotate_dtype=rd)
     # replicate the null model; shard the genotypes
     rot = jax.device_put(rot, replicated(mesh))

@@ -59,10 +59,12 @@ def main():
         rot = build_rotated_null(null, rotate_dtype=rd)
         out = emmax_scan_all(G8, rot, tile=TILE)
         jax.block_until_ready(out)
+        # pipelined: the ~27ms tunnel RTT is ~60% of a single 40ms
+        # dispatch at this size — amortize it like bench.py does
+        reps = 8
         t0 = time.time()
-        reps = 2
-        for _ in range(reps):
-            jax.block_until_ready(emmax_scan_all(G8, rot, tile=TILE))
+        outs = [emmax_scan_all(G8, rot, tile=TILE) for _ in range(reps)]
+        jax.block_until_ready(outs)
         dt = (time.time() - t0) / reps
         f = np.asarray(out["f_stats"], dtype=np.float64)
         p = f_sf_host(f, 1.0, float(n - 2))

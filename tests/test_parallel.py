@@ -77,6 +77,17 @@ class TestDistributedEmmax:
         assert np.argmin(d["ps"]) == np.argmin(ref["ps"])
         assert np.max(np.abs(d["ps"] - ref["ps"])) < 1e-4
 
+    def test_int8_digit_tier_on_mesh(self, small_dataset, kinship_small,
+                                     meshes):
+        """The int8 digit-plane tier ('int8x3', fp32-grade) also runs
+        sharded: exact int32 accumulation is device-count invariant."""
+        G, y, K = small_dataset["G"], small_dataset["y"], kinship_small
+        ref = emmax(G, y, K=K)
+        d = distributed_emmax(G, y, K=K, mesh=meshes["snp8"],
+                              dtype=np.float32, rotate_in_bf16="int8x3")
+        assert np.argmin(d["ps"]) == np.argmin(ref["ps"])
+        assert np.max(np.abs(d["ps"] - ref["ps"])) < 1e-4
+
     def test_uneven_snp_count(self, small_dataset, kinship_small, meshes):
         G, y, K = small_dataset["G"][:37], small_dataset["y"], kinship_small
         ref = emmax(G, y, K=K)
