@@ -20,7 +20,8 @@ OUT = os.path.join(os.path.dirname(__file__), "example_out")
 os.makedirs(OUT, exist_ok=True)
 
 
-def _simulate_files(n=300, m=5000, h2=0.6, n_causal=5, seed=17):
+def _simulate_files(n=300, m=5000, h2=0.6, n_causal=5, seed=17,
+                    missing_rate=0.01, tag="sim"):
     """Write a simulated genotype/phenotype pair (like the bundled
     at_data/ of the reference)."""
     from mixmogam_tpu.data.genotype import GenotypeData
@@ -28,17 +29,19 @@ def _simulate_files(n=300, m=5000, h2=0.6, n_causal=5, seed=17):
     from mixmogam_tpu.data.simulate import (simulate_genotypes,
                                             simulate_phenotype)
 
-    gfile = os.path.join(OUT, "sim.genotypes.csv")
-    pfile = os.path.join(OUT, "sim.phenotypes.csv")
+    gfile = os.path.join(OUT, f"{tag}.genotypes.csv")
+    pfile = os.path.join(OUT, f"{tag}.phenotypes.csv")
     if not (os.path.exists(gfile) and os.path.exists(pfile)):
-        G, ch, po = simulate_genotypes(n, m, missing_rate=0.01, seed=seed)
+        G, ch, po = simulate_genotypes(n, m, missing_rate=missing_rate,
+                                       seed=seed)
         gd = GenotypeData(G, ch, po, [f"acc{i}" for i in range(n)])
         y, causal = simulate_phenotype(G, h2=h2, n_causal=n_causal,
                                        causal_effect=1.0, seed=seed)
         gd.write_csv(gfile)
         PhenotypeData.from_arrays(1, "flowering_time", gd.accessions,
                                   y).write_to_file(pfile)
-        np.savetxt(os.path.join(OUT, "sim.causal.txt"), causal, fmt="%d")
+        np.savetxt(os.path.join(OUT, f"{tag}.causal.txt"), causal,
+                   fmt="%d")
     return gfile, pfile
 
 
@@ -55,6 +58,33 @@ def example_emmax():
           round(out["scan"]["pseudo_heritability"], 3))
     print("top-5 positions:", list(top.positions))
     print("files:", out["files"])
+
+
+def example_precision_tiers():
+    """Opt-in fast scan tiers (TPU; runs fine on CPU too): the int8x3
+    digit-plane tier gives fp32-grade p-values (~1e-6 drift) from exact
+    int8 MXU matmuls; int8x2/bf16 trade more accuracy for speed. The
+    int8 tiers require fully-observed (integer) genotypes — on
+    mean-imputed data they refuse rather than silently round."""
+    from mixmogam_tpu.api import run_gwas
+
+    # fully-observed cohort: int8 tiers apply
+    g, p = _simulate_files(missing_rate=0.0, tag="sim_complete")
+    exact = run_gwas(g, p, method="emmax", min_mac=5,
+                     cache_dir=os.path.join(OUT, "cache"))
+    fast = run_gwas(g, p, method="emmax", min_mac=5,
+                    cache_dir=os.path.join(OUT, "cache"),
+                    rotate_in_bf16="int8x3")
+    dp = float(np.max(np.abs(exact["scan"]["ps"] - fast["scan"]["ps"])))
+    print(f"int8x3 vs exact: max |dp| = {dp:.2e} (expect ~1e-6)")
+
+    # imputed cohort: the guard refuses the int8 tier
+    g2, p2 = _simulate_files()
+    try:
+        run_gwas(g2, p2, method="emmax", min_mac=5,
+                 rotate_in_bf16="int8x3")
+    except ValueError as e:
+        print("imputed dosages correctly refused:", str(e)[:60], "...")
 
 
 def example_linear_model():
@@ -158,6 +188,7 @@ def example_reference_classes():
 
 EXAMPLES = {
     "emmax": example_emmax,
+    "precision_tiers": example_precision_tiers,
     "lm": example_linear_model,
     "transforms": example_transformations,
     "stepwise": example_stepwise,

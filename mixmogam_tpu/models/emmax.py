@@ -75,8 +75,12 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     Precision tiers for the SCAN phase (null fit always runs exact):
     default (None) = the package's pinned true-fp32 ('highest'); pass
     matmul_precision='high' for ~1.3x faster 3-pass-bf16 fp32 (~2e-5
-    p-drift), or rotate_in_bf16=True for the ~1.8x 1-pass tier (~6e-3
-    p-drift, leaders preserved) — measured scripts/scan_tuning.py, v5e.
+    p-drift), rotate_in_bf16=True for the ~1.8x 1-pass tier (~6e-3
+    p-drift, leaders preserved), 'x2'/'x3' for split-W bf16 tiers, or
+    'int8x2'/'int8x3'/'int8x4' for int8 digit-plane tiers (integer
+    dosages only; 'int8x3' is fp32-grade at ~1.4e-6 p-drift and wins
+    1.4x over exact in the MXU-bound large-n regime) — measured
+    scripts/scan_tuning.py + int8_bench.py, v5e.
     """
     from mixmogam_tpu.ops.reml import esp_to_refine_iters
 
