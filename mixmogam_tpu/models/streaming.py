@@ -54,11 +54,20 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
                    eig_k=None, tile: int = 32_768, inflight: int = 4,
                    checkpoint_dir: Optional[str] = None,
                    ngrids: int = 100, llim: float = -10.0, ulim: float = 10.0,
+                   rotate_in_bf16=False,
                    ) -> Dict[str, np.ndarray]:
     """EMMAX over a host-resident int8 genotype source.
 
     matrix_source: (M, n) int8, sliceable by [start:stop] (numpy, memmap,
     h5py dataset). Returns the same dict as models.emmax.
+
+    rotate_in_bf16 selects the same scan precision tiers as models.emmax
+    (False | True | 'x2' | 'x3' | 'int8x2' | 'int8x3' | 'int8x4'). The
+    int8 digit-plane tiers matter most HERE — the 1M x 10k streaming
+    configuration is MXU-bound, where int8x3 measured 1.38x exact at
+    fp32-grade accuracy — but they require a fully-observed source
+    (missing dosages are mean-imputed to fractions the digit cast would
+    round; tiles are checked host-side and refused).
     """
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
@@ -70,15 +79,23 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
     null = fit_null_model(y.astype(np.float32), X0.astype(np.float32),
                           K=K, eig_k=eig_k, ngrids=ngrids, llim=llim,
                           ulim=ulim)
-    rot = build_rotated_null(null)
+    if not rotate_in_bf16:
+        rd = None
+    elif rotate_in_bf16 is True:
+        rd = jnp.bfloat16
+    else:
+        s = str(rotate_in_bf16)
+        rd = s if s.startswith(("bf16", "int8")) else "bf16" + s
+    int8_tier = isinstance(rd, str) and rd.startswith("int8")
+    rot = build_rotated_null(null, rotate_dtype=rd)
     dof = n - q - 1
 
     # ---- checkpoint manifest ----
     # the key must change when the GENOTYPES change, not just the model:
     # fingerprint a deterministic sample of source rows (hashing the full
     # multi-GB source every run would defeat the streaming design)
-    h = hashlib.sha256(f"{M}:{n}:{tile}:{float(null.delta):.10g}:{q}"
-                       .encode())
+    h = hashlib.sha256(f"{M}:{n}:{tile}:{float(null.delta):.10g}:{q}:"
+                       f"{rd}".encode())
     for r in sorted({0, M - 1, *range(0, M, max(M // 32, 1))}):
         h.update(np.ascontiguousarray(
             np.asarray(matrix_source[r:r + 1], dtype=np.int8)).tobytes())
@@ -134,10 +151,17 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
         s, e = t * tile, min((t + 1) * tile, M)
         chunk = np.ascontiguousarray(np.asarray(matrix_source[s:e],
                                                 dtype=np.int8))
+        if int8_tier and chunk.min() < 0:
+            raise ValueError(
+                f"rotate_in_bf16={rotate_in_bf16!r} requires a fully-"
+                f"observed genotype source (tile {t} has missing "
+                "dosages; mean-imputed fractions would be rounded by "
+                "the digit-plane cast). Use the exact/bf16 tiers.")
         if e - s < tile:
             chunk = np.vstack(
                 [chunk, np.zeros((tile - (e - s), n), np.int8)])
-        out = _scan_tile_i8(jnp.asarray(chunk), rot)
+        out = (emmax_scan_stats(jnp.asarray(chunk), rot) if int8_tier
+               else _scan_tile_i8(jnp.asarray(chunk), rot))
         pending.append((t, out))
         if len(pending) >= inflight:
             t0, o0 = pending.pop(0)

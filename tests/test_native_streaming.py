@@ -75,6 +75,26 @@ class TestStreaming:
         assert np.max(np.abs(lp_r - lp_s)) < 1e-3  # f32 impute vs f32 path
         np.testing.assert_array_equal(ref["mask"], st["mask"])
 
+    def test_streamed_int8_tier(self, small_dataset, kinship_small):
+        """int8x3 digit-plane tier through the streaming path: fp32-grade
+        vs the streamed exact tier on a fully-observed source."""
+        G_int = small_dataset["G_int"]
+        y, K = small_dataset["y"], kinship_small
+        ref = emmax_streamed(G_int, y, K=K, tile=64)
+        st = emmax_streamed(G_int, y, K=K, tile=64,
+                            rotate_in_bf16="int8x3")
+        assert np.max(np.abs(ref["ps"] - st["ps"])) < 2e-6
+        np.testing.assert_array_equal(ref["mask"], st["mask"])
+
+    def test_streamed_int8_tier_refuses_missing(self, gd_missing,
+                                                kinship_small):
+        rng = np.random.default_rng(0)
+        y = rng.normal(size=gd_missing.num_samples)
+        K = np.eye(gd_missing.num_samples)
+        with pytest.raises(ValueError, match="fully-observed"):
+            emmax_streamed(gd_missing.matrix, y, K=K, tile=128,
+                           rotate_in_bf16="int8x3")
+
     def test_streamed_with_missing(self, gd_missing, kinship_small):
         rng = np.random.default_rng(0)
         y = rng.normal(size=gd_missing.num_samples)
