@@ -45,9 +45,12 @@ def _add_run(sub):
                    help="comma-separated phenotype ids used as fixed-"
                         "effect covariates (e.g. '2,3')")
     p.add_argument("--precision", default="exact",
-                   choices=["exact", "int8x3", "high", "bf16x2", "int8x2",
-                            "bf16"],
+                   choices=["exact", "auto", "int8x3", "high", "bf16x2",
+                            "int8x2", "bf16"],
                    help="EMMAX scan tier: exact=true fp32 (default); "
+                        "auto=int8x3 on TPU for integer dosages, exact "
+                        "otherwise (fastest tier within the fp32 "
+                        "accuracy envelope); "
                         "int8x3=exact-grade digit planes (int dosages); "
                         "high=3-pass emulation (~2e-5 p-drift, ~1.2x); "
                         "bf16x2=split-W 2-pass (~1e-5, ~1.3x); "
@@ -107,14 +110,7 @@ def main(argv=None) -> int:
             if args.method != "emmax":
                 ap.error(f"--precision {args.precision} is only supported "
                          f"for --method emmax (got {args.method})")
-            if args.precision == "high":
-                tier_kw["matmul_precision"] = "high"
-            elif args.precision == "bf16x2":
-                tier_kw["rotate_in_bf16"] = "x2"
-            elif args.precision.startswith("int8"):
-                tier_kw["rotate_in_bf16"] = args.precision
-            else:
-                tier_kw["rotate_in_bf16"] = True
+            tier_kw["precision"] = args.precision
         ctx = debug_nans(True) if args.debug_nans else contextlib.nullcontext()
         with ctx:
             out = run_gwas(

@@ -62,7 +62,7 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
           esp: float = 1e-6, with_betas: bool = True,
           dtype=None, tile: int = 8192, host_eigh: bool = True,
           rotate_in_bf16: bool = False, matmul_precision: str = None,
-          ) -> Dict[str, np.ndarray]:
+          precision: str = None) -> Dict[str, np.ndarray]:
     """EMMAX scan. G: GenotypeData or (M, n) dosages; y: (n,) phenotype;
     K: (n, n) kinship (or pass eig_k=(phi, U)); X0: (n, q) null design
     (default intercept; append cofactor columns for conditioned scans).
@@ -81,6 +81,14 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     dosages only; 'int8x3' is fp32-grade at ~1.4e-6 p-drift and wins
     1.4x over exact in the MXU-bound large-n regime) — measured
     scripts/scan_tuning.py + int8_bench.py, v5e.
+
+    precision: unified tier name ('exact', 'auto', 'high', 'bf16',
+    'bf16x2', 'bf16x3', 'int8x2', 'int8x3', 'int8x4') that supersedes
+    the two legacy kwargs above. 'auto' routes integer-dosage datasets
+    on TPU to the fp32-grade int8x3 tier (measured faster than exact in
+    every TPU process, accuracy within the fp32 device envelope) and
+    everything else to exact. The resolved name is returned as
+    out['precision_tier'].
     """
     from mixmogam_tpu.ops.reml import esp_to_refine_iters
 
@@ -107,15 +115,19 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     import contextlib
 
     import jax as _jax
-    import jax.numpy as _jnp
 
-    if not rotate_in_bf16:
-        rd = None
-    elif rotate_in_bf16 is True:
-        rd = _jnp.bfloat16
-    else:  # 'x2'/'x3' -> bf16 split-W; 'int8xK' -> digit planes (ops.scan)
-        s = str(rotate_in_bf16)
-        rd = s if s.startswith(("bf16", "int8")) else "bf16" + s
+    from mixmogam_tpu.ops.scan import normalize_rotate_tier, resolve_precision
+
+    if precision is not None:
+        if rotate_in_bf16 or matmul_precision:
+            raise ValueError("pass either precision= or the legacy "
+                             "rotate_in_bf16/matmul_precision kwargs, "
+                             "not both")
+        rotate_in_bf16, matmul_precision, tier_name = resolve_precision(
+            precision, G=Gf)
+    else:
+        tier_name = None
+    rd = normalize_rotate_tier(rotate_in_bf16)
     if (isinstance(rd, str) and rd.startswith("int8")
             and np.issubdtype(np.asarray(Gf).dtype, np.floating)
             and not np.array_equal(Gf, np.round(Gf))):
@@ -139,6 +151,10 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
         "delta": float(null.delta), "sigma_g2": float(null.sigma_g2),
         "sigma_e2": float(null.sigma_e2), "dof": dof,
         "ll_null": float(null.ll),
+        "precision_tier": tier_name if tier_name is not None else (
+            matmul_precision or (rd if isinstance(rd, str)
+                                 else ("bf16" if rd is not None
+                                       else "exact"))),
     }
     if with_betas:
         out["betas"] = np.asarray(d["betas"], dtype=np.float64)

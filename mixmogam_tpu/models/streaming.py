@@ -79,13 +79,9 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
     null = fit_null_model(y.astype(np.float32), X0.astype(np.float32),
                           K=K, eig_k=eig_k, ngrids=ngrids, llim=llim,
                           ulim=ulim)
-    if not rotate_in_bf16:
-        rd = None
-    elif rotate_in_bf16 is True:
-        rd = jnp.bfloat16
-    else:
-        s = str(rotate_in_bf16)
-        rd = s if s.startswith(("bf16", "int8")) else "bf16" + s
+    from mixmogam_tpu.ops.scan import normalize_rotate_tier
+
+    rd = normalize_rotate_tier(rotate_in_bf16)
     int8_tier = isinstance(rd, str) and rd.startswith("int8")
     rot = build_rotated_null(null, rotate_dtype=rd)
     dof = n - q - 1

@@ -58,6 +58,79 @@ class RotatedNull:
                           #   for all float tiers
 
 
+def normalize_rotate_tier(rotate_in_bf16):
+    """Normalize the user-facing tier spelling of `rotate_in_bf16` to the
+    `rotate_dtype` argument of build_rotated_null.
+
+    False/None -> None (exact fp32), True -> jnp.bfloat16, 'x2'/'x3' ->
+    'bf16x2'/'bf16x3', and the explicit names ('bf16x2c', 'int8x3', ...)
+    pass through. Shared by models.emmax, models.streaming and
+    parallel.distributed so every entry point accepts the same tiers."""
+    if not rotate_in_bf16:
+        return None
+    if rotate_in_bf16 is True:
+        return jnp.bfloat16
+    s = str(rotate_in_bf16)
+    return s if s.startswith(("bf16", "int8")) else "bf16" + s
+
+
+def is_integer_dosage(G) -> bool:
+    """True when every dosage is an exact small integer (int8-safe), i.e.
+    the int8 digit-plane tiers are EXACT for this genotype matrix. False
+    for mean-imputed fractional dosages (quantizing those would silently
+    alter the data — the int8 tiers refuse them)."""
+    import numpy as np
+
+    G = np.asarray(G)
+    if np.issubdtype(G.dtype, np.integer):
+        return bool(G.min(initial=0) >= -128 and G.max(initial=0) <= 127)
+    if not np.issubdtype(G.dtype, np.floating):
+        return False
+    if G.size and (np.isnan(G).any() or np.abs(G).max() > 127):
+        return False
+    return bool(np.array_equal(G, np.round(G)))
+
+
+#: unified user-facing precision tier names (emmax(precision=...), CLI
+#: --precision): name -> (rotate_in_bf16 value, matmul_precision value)
+PRECISION_TIERS = {
+    "exact": (False, None),
+    "high": (False, "high"),
+    "bf16": (True, None),
+    "bf16x2": ("bf16x2", None), "bf16x3": ("bf16x3", None),
+    "bf16x2c": ("bf16x2c", None), "bf16x3c": ("bf16x3c", None),
+    "int8x2": ("int8x2", None), "int8x3": ("int8x3", None),
+    "int8x4": ("int8x4", None),
+}
+
+
+def resolve_precision(precision: str, G=None, backend=None):
+    """Resolve a unified `precision` name -> (rotate_in_bf16,
+    matmul_precision, resolved_name).
+
+    'auto' routes to the measured-best tier whose accuracy is within the
+    fp32 device envelope: the int8x3 digit-plane tier (exact int32 MXU
+    accumulation, |p-drift| ~1.4e-6 — inside the documented fp32 scan
+    envelope, measured 1.38x over exact at n=4096 on v5e) when (a) the
+    backend has an int8-rate MXU (TPU) and (b) dosages are exact small
+    integers so quantization is lossless; otherwise the exact fp32 tier.
+    On CPU/GPU or for imputed fractional dosages 'auto' == 'exact'.
+    """
+    p = str(precision)
+    if p == "auto":
+        if backend is None:
+            backend = jax.default_backend()
+        on_tpu = backend in ("tpu", "axon") or "tpu" in str(backend).lower()
+        p = ("int8x3" if (on_tpu and G is not None and is_integer_dosage(G))
+             else "exact")
+    if p not in PRECISION_TIERS:
+        raise ValueError(
+            f"unknown precision tier {precision!r}; choose from "
+            f"{['auto'] + sorted(PRECISION_TIERS)}")
+    rb, mp = PRECISION_TIERS[p]
+    return rb, mp, p
+
+
 def build_rotated_null(null: NullModel, rotate_dtype=None) -> RotatedNull:
     """rotate_dtype selects the MXU tier for the rotation matmul:
 

@@ -132,13 +132,9 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
                           eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim,
                           refine_iters=esp_to_refine_iters(
                               esp, ngrids, llim, ulim))
-    if not rotate_in_bf16:
-        rd = None
-    elif rotate_in_bf16 is True:
-        rd = jnp.bfloat16
-    else:
-        s = str(rotate_in_bf16)
-        rd = s if s.startswith(("bf16", "int8")) else "bf16" + s
+    from mixmogam_tpu.ops.scan import normalize_rotate_tier
+
+    rd = normalize_rotate_tier(rotate_in_bf16)
     if (isinstance(rd, str) and rd.startswith("int8")
             and np.issubdtype(np.asarray(Gf).dtype, np.floating)
             and not np.array_equal(Gf, np.round(Gf))):

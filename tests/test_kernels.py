@@ -269,3 +269,61 @@ class TestInputHandling:
             _as_design(cov[:-1], len(y))
         with pytest.raises(ValueError):
             _as_design(np.ones((3, len(y), 1)), len(y))
+
+
+class TestPrecisionRouting:
+    """Unified precision= kwarg + 'auto' tier routing (ops.scan
+    resolve_precision): int8x3 measured faster than exact on every TPU
+    process at fp32-grade accuracy, so 'auto' routes integer-dosage
+    datasets there on TPU backends and everything else to exact."""
+
+    def test_resolve_auto_tier(self):
+        from mixmogam_tpu.ops.scan import is_integer_dosage, resolve_precision
+
+        Gi = np.array([[0, 1, 2], [1, 0, 1]], np.int8)
+        Gfrac = np.array([[0.0, 0.37, 1.0]])
+        assert resolve_precision("auto", Gi, backend="tpu")[2] == "int8x3"
+        assert resolve_precision("auto", Gi, backend="axon")[2] == "int8x3"
+        assert resolve_precision("auto", Gi, backend="cpu")[2] == "exact"
+        assert resolve_precision("auto", Gfrac, backend="tpu")[2] == "exact"
+        # integer-VALUED floats are safe for the digit planes
+        assert resolve_precision("auto", Gi.astype(np.float32),
+                                 backend="tpu")[2] == "int8x3"
+        # out-of-int8-range integers are not
+        assert not is_integer_dosage(np.array([[300]], np.int16))
+        assert not is_integer_dosage(np.array([[np.nan, 1.0]]))
+        with pytest.raises(ValueError, match="unknown precision"):
+            resolve_precision("int9", Gi)
+
+    def test_normalize_rotate_tier(self):
+        from mixmogam_tpu.ops.scan import normalize_rotate_tier
+
+        assert normalize_rotate_tier(False) is None
+        assert normalize_rotate_tier(None) is None
+        assert normalize_rotate_tier(True) == jnp.bfloat16
+        assert normalize_rotate_tier("x2") == "bf16x2"
+        assert normalize_rotate_tier("bf16x3") == "bf16x3"
+        assert normalize_rotate_tier("int8x3") == "int8x3"
+
+    def test_precision_kwarg_routes_and_reports(self, small_dataset,
+                                                kinship_small):
+        G, y, K = small_dataset["G_int"], small_dataset["y"], kinship_small
+        ex = emmax(G, y, K=K, dtype=np.float32, precision="exact")
+        assert ex["precision_tier"] == "exact"
+        f = emmax(G, y, K=K, dtype=np.float32, precision="int8x3")
+        assert f["precision_tier"] == "int8x3"
+        assert np.max(np.abs(f["ps"] - ex["ps"])) < 2e-6
+        # 'auto' on the CPU test backend resolves to exact (no int8-rate
+        # MXU to win on) and is bit-identical to the exact tier
+        a = emmax(G, y, K=K, dtype=np.float32, precision="auto")
+        assert a["precision_tier"] == "exact"
+        np.testing.assert_array_equal(a["ps"], ex["ps"])
+        # legacy kwargs still report their tier
+        leg = emmax(G, y, K=K, dtype=np.float32, rotate_in_bf16="int8x2")
+        assert leg["precision_tier"] == "int8x2"
+
+    def test_precision_conflicts_with_legacy_kwargs(self, small_dataset,
+                                                    kinship_small):
+        G, y, K = small_dataset["G_int"], small_dataset["y"], kinship_small
+        with pytest.raises(ValueError, match="not both"):
+            emmax(G, y, K=K, precision="bf16", rotate_in_bf16=True)
