@@ -118,6 +118,7 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
 
     from mixmogam_tpu.ops.scan import normalize_rotate_tier, resolve_precision
 
+    int8_verified = False
     if precision is not None:
         if rotate_in_bf16 or matmul_precision:
             raise ValueError("pass either precision= or the legacy "
@@ -125,12 +126,17 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
                              "not both")
         rotate_in_bf16, matmul_precision, tier_name = resolve_precision(
             precision, G=Gf)
+        # 'auto' only resolves to an int8 tier after is_integer_dosage
+        # passed — don't re-scan the whole matrix below
+        int8_verified = (str(precision) == "auto"
+                         and tier_name.startswith("int8"))
     else:
         tier_name = None
     rd = normalize_rotate_tier(rotate_in_bf16)
+    from mixmogam_tpu.ops.scan import is_integer_dosage
+
     if (isinstance(rd, str) and rd.startswith("int8")
-            and np.issubdtype(np.asarray(Gf).dtype, np.floating)
-            and not np.array_equal(Gf, np.round(Gf))):
+            and not int8_verified and not is_integer_dosage(Gf)):
         raise ValueError(
             f"rotate_in_bf16={rotate_in_bf16!r} requires integer dosages "
             "(the digit-plane matmuls round genotypes to int8; "
@@ -163,7 +169,8 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
 
 
 def emmax_anova(G, y, K=None, X0=None, eig_k=None, ngrids: int = 100,
-                llim: float = -10.0, ulim: float = 10.0, dtype=None,
+                llim: float = -10.0, ulim: float = 10.0, esp: float = 1e-6,
+                host_eigh: bool = True, dtype=None,
                 tile: int = 4096, **kw) -> Dict[str, np.ndarray]:
     """EMMAX with the SNP coded as CATEGORICAL genotype-class means
     (reference: emmax_anova). Binary coding reduces to emmax(); diploid
@@ -182,10 +189,24 @@ def emmax_anova(G, y, K=None, X0=None, eig_k=None, ngrids: int = 100,
         G_int = G.matrix
     else:
         G_int = np.asarray(G)
-        ploidy = 2 if G_int.max(initial=0) > 1 else 1
+        mx = (np.nanmax(G_int, initial=0)
+              if np.issubdtype(G_int.dtype, np.floating)
+              else G_int.max(initial=0))
+        ploidy = 2 if mx > 1 else 1
     if ploidy == 1:
         return emmax(G_int, y, K=K, X0=X0, eig_k=eig_k, ngrids=ngrids,
-                     llim=llim, ulim=ulim, dtype=dtype, tile=tile, **kw)
+                     llim=llim, ulim=ulim, esp=esp, host_eigh=host_eigh,
+                     dtype=dtype, tile=tile, **kw)
+    if kw:
+        # refuse rather than silently drop: the diploid joint-indicator
+        # test has no precision tiers / with_betas (unlike the binary
+        # path above, which forwards them to emmax)
+        raise TypeError(
+            f"emmax_anova diploid path does not accept {sorted(kw)}; "
+            "supported kwargs: K/X0/eig_k/ngrids/llim/ulim/esp/"
+            "host_eigh/dtype/tile")
+
+    from mixmogam_tpu.ops.reml import esp_to_refine_iters
 
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
@@ -196,7 +217,10 @@ def emmax_anova(G, y, K=None, X0=None, eig_k=None, ngrids: int = 100,
     X0 = _as_design(X0, n)
     q = X0.shape[1]
     null = fit_null_model(y.astype(np.dtype(dtype).name), X0, K=K,
-                          eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim)
+                          eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim,
+                          refine_iters=esp_to_refine_iters(
+                              esp, ngrids, llim, ulim),
+                          host_eigh=host_eigh)
     rot = build_rotated_null(null)
     # indicator dosage rows (missing -> excluded from both classes after
     # mean-imputation-free indicator coding: impute to class of the mean)

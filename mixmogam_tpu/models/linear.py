@@ -76,6 +76,24 @@ def _class_sums(G, w, n_classes: int):
     return jnp.stack(outs_c, axis=1), jnp.stack(outs_s, axis=1)
 
 
+def _as_classes(G: np.ndarray) -> np.ndarray:
+    """int8 genotype classes with -1 = missing. Float input: NaN (the
+    package's float missing convention) -> -1, fractional (mean-imputed)
+    dosages classify by NEAREST class — the same documented choice as
+    emmax_anova's diploid path. Without this, NaN->int8 is an undefined
+    cast that silently lands missing samples in class 0."""
+    if np.issubdtype(G.dtype, np.integer):
+        return G.astype(np.int8)
+    miss = np.isnan(G)
+    return np.where(miss, -1, np.rint(np.where(miss, 0, G))).astype(np.int8)
+
+
+def _infer_ploidy(G: np.ndarray) -> int:
+    mx = (np.nanmax(G, initial=0) if np.issubdtype(G.dtype, np.floating)
+          else G.max(initial=0))
+    return 2 if mx > 1 else 1
+
+
 def anova(G, y, ploidy: Optional[int] = None, dtype=None
           ) -> Dict[str, np.ndarray]:
     """Per-SNP one-way ANOVA over genotype classes (reference: anova)."""
@@ -84,14 +102,14 @@ def anova(G, y, ploidy: Optional[int] = None, dtype=None
     if isinstance(G, GenotypeData):
         ploidy = G.ploidy if ploidy is None else ploidy
         G = G.matrix
-    G = np.asarray(G)
+    G = _as_classes(np.asarray(G))
     if ploidy is None:
-        ploidy = 2 if G.max(initial=0) > 1 else 1
+        ploidy = _infer_ploidy(G)
     C = ploidy + 1
     y = np.asarray(y, dtype=np.float64).ravel()
     if dtype is None:
         dtype = jnp.zeros(0).dtype
-    Gd = jnp.asarray(G.astype(np.int8))
+    Gd = jnp.asarray(G)
     yd = jnp.asarray(y, dtype=dtype)
     cnt, s1 = _class_sums(Gd, yd, C)
     _, s2 = _class_sums(Gd, yd * yd, C)
@@ -128,9 +146,9 @@ def kruskal_wallis(G, y, ploidy: Optional[int] = None, dtype=None
     if isinstance(G, GenotypeData):
         ploidy = G.ploidy if ploidy is None else ploidy
         G = G.matrix
-    G = np.asarray(G)
+    G = _as_classes(np.asarray(G))
     if ploidy is None:
-        ploidy = 2 if G.max(initial=0) > 1 else 1
+        ploidy = _infer_ploidy(G)
     C = ploidy + 1
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
@@ -150,7 +168,7 @@ def kruskal_wallis(G, y, ploidy: Optional[int] = None, dtype=None
     # tie correction shared by all SNPs (same sample set everywhere)
     _, t = np.unique(y, return_counts=True)
     tie_c = 1.0 - np.sum(t**3 - t) / max(n**3 - n, 1)
-    cnt, rsum = _class_sums(jnp.asarray(G.astype(np.int8)),
+    cnt, rsum = _class_sums(jnp.asarray(G),
                             jnp.asarray(ranks, dtype=dtype), C)
     cnt = np.asarray(cnt, dtype=np.float64)
     rsum = np.asarray(rsum, dtype=np.float64)

@@ -57,31 +57,28 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
         X0 = np.ones((n, 1))
     X0 = _as_design(X0, n)
     q = X0.shape[1]
-    if K is None and eig_k is None:
-        # linear-model permutation test: identity whitening, no REML
-        from mixmogam_tpu.ops.reml import NullModel
-
-        eye = jnp.eye(n, dtype=dtype)
-        null = NullModel(
-            phi=jnp.zeros(n, dtype=dtype), U=eye,
-            delta=jnp.asarray(1.0, dtype), log_delta=jnp.asarray(0.0, dtype),
-            ll=jnp.asarray(0.0, dtype), sigma_g2=jnp.asarray(0.0, dtype),
-            sigma_e2=jnp.asarray(1.0, dtype),
-            pseudo_heritability=jnp.asarray(0.0, dtype),
-            y=jnp.asarray(y, dtype), X0=jnp.asarray(X0, dtype))
-        # phi + delta == 1 -> sd == 1 (identity whitening)
-        phi, U, delta = null.phi, null.U, null.delta
+    identity_k = K is None and eig_k is None
+    if identity_k:
+        # linear-model permutation test: identity whitening, no REML.
+        # U = I and sd = 1, so all rotation matmuls below are skipped
+        # (an explicit n x n identity would cost 2*M*n^2 wasted FLOPs
+        # and 400 MB HBM at n=10k, for matmuls returning their inputs).
+        U = None
+        sd = jnp.ones(n, dtype=dtype)
+        delta = jnp.asarray(1.0, dtype)
+        X0_rot_star = jnp.asarray(X0, dtype)
     else:
         null = fit_null_model(y.astype(np.dtype(dtype).name), X0, K=K,
                               eig_k=eig_k)
         phi, U, delta = null.phi, null.U, null.delta
-    sd = 1.0 / jnp.sqrt(phi + delta)
+        sd = 1.0 / jnp.sqrt(phi + delta)
+        X0_rot_star = (null.X0.T @ U).T * sd[:, None]
     rng = np.random.default_rng(seed)
     perms = np.stack([rng.permutation(n) for _ in range(num_perm)])
     Yp = y[perms]                                   # (P, n)
-    Yp_rot = jnp.asarray(Yp, dtype=dtype) @ U       # rotate all perms
+    Yp_d = jnp.asarray(Yp, dtype=dtype)
+    Yp_rot = Yp_d if identity_k else Yp_d @ U       # rotate all perms
     Ys = Yp_rot * sd[None, :]
-    X0_rot_star = (null.X0.T @ U).T * sd[:, None]
     Q0 = orthonormal_basis(X0_rot_star)
     Y_res = Ys - (Ys @ Q0) @ Q0.T
     rss0 = jnp.sum(Y_res * Y_res, axis=1)
@@ -94,7 +91,7 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
         Gt = Gd[s:e]
         if e - s < tile:
             Gt = jnp.pad(Gt, ((0, tile - (e - s)), (0, 0)))
-        G_rot_tile = Gt @ U
+        G_rot_tile = Gt if identity_k else Gt @ U
         max_f = _perm_tile_max_f(G_rot_tile, sd, Q0, Y_res, rss0,
                                  float(dof), max_f)
     min_ps = f_sf_host(np.asarray(max_f), 1.0, dof)

@@ -119,17 +119,35 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
         G_i8 = None
     else:
         G_rot = None
-        G_i8 = np.ascontiguousarray(
-            np.asarray(G.matrix if hasattr(G, "matrix") else G,
-                       dtype=np.int8))
+        G_host = np.asarray(G.matrix if hasattr(G, "matrix") else G)
+        if np.issubdtype(G_host.dtype, np.integer):
+            G_i8 = np.ascontiguousarray(G_host.astype(np.int8))
+            G_f = None
+        else:
+            # float source: int8 streaming is only lossless for integer
+            # dosages (NaN missing -> the -1 sentinel). Fractional
+            # (mean-imputed) dosages stream as float32 tiles instead of
+            # being silently truncated by an int8 cast.
+            miss = np.isnan(G_host)
+            obs = np.where(miss, 0.0, G_host)
+            if (np.abs(obs).max(initial=0) <= 127
+                    and np.array_equal(obs, np.rint(obs))):
+                G_i8 = np.where(miss, -1, obs).astype(np.int8)
+                G_f = None
+            else:
+                G_i8 = None
+                G_f = _as_dosage(G_host, np.float32)  # NaN mean-imputed
 
     def rot_col(c: int) -> jnp.ndarray:
         """Rotated column of SNP c (from storage or a single matvec)."""
         if G_rot is not None:
             return G_rot[c]
-        from mixmogam_tpu.models.streaming import _impute_tile
+        if G_i8 is not None:
+            from mixmogam_tpu.models.streaming import _impute_tile
 
-        col = _impute_tile(jnp.asarray(G_i8[c][None, :]))[0]
+            col = _impute_tile(jnp.asarray(G_i8[c][None, :]))[0]
+        else:
+            col = jnp.asarray(G_f[c])
         return (col.astype(dtype) if identity_k
                 else U.T @ col.astype(dtype))
 
@@ -207,13 +225,14 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
 
         for t in range(-(-M // tile)):
             s, e = t * tile, min((t + 1) * tile, M)
-            chunk = G_i8[s:e]
+            chunk = (G_i8 if G_i8 is not None else G_f)[s:e]
             if e - s < tile:
                 chunk = np.vstack(
-                    [chunk, np.zeros((tile - (e - s), n), np.int8)])
-            o = emmax_scan_stats(
-                _impute_tile(jnp.asarray(chunk)).astype(dtype), rot,
-                pre_rotated=identity_k)
+                    [chunk, np.zeros((tile - (e - s), n), chunk.dtype)])
+            td = (_impute_tile(jnp.asarray(chunk)) if G_i8 is not None
+                  else jnp.asarray(chunk))
+            o = emmax_scan_stats(td.astype(dtype), rot,
+                                 pre_rotated=identity_k)
             pend.append((t, o))
             if len(pend) >= 4:
                 drain(*pend.pop(0))

@@ -89,9 +89,15 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
     # ---- checkpoint manifest ----
     # the key must change when the GENOTYPES change, not just the model:
     # fingerprint a deterministic sample of source rows (hashing the full
-    # multi-GB source every run would defeat the streaming design)
+    # multi-GB source every run would defeat the streaming design).
+    # y and X0 content are hashed too (they're only n-sized): delta alone
+    # does not identify the trait — it clamps to the same grid endpoint
+    # for any near-zero/near-total-heritability phenotype, so two traits
+    # sharing a checkpoint_dir could otherwise collide.
     h = hashlib.sha256(f"{M}:{n}:{tile}:{float(null.delta):.10g}:{q}:"
                        f"{rd}".encode())
+    h.update(np.ascontiguousarray(y).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(X0, np.float64)).tobytes())
     for r in sorted({0, M - 1, *range(0, M, max(M // 32, 1))}):
         h.update(np.ascontiguousarray(
             np.asarray(matrix_source[r:r + 1], dtype=np.int8)).tobytes())

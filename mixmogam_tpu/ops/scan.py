@@ -58,20 +58,36 @@ class RotatedNull:
                           #   for all float tiers
 
 
+#: split/digit tier names build_rotated_null understands (besides None
+#: and jnp.bfloat16)
+_ROTATE_TIERS = frozenset({"bf16x2", "bf16x3", "bf16x2c", "bf16x3c",
+                           "int8x2", "int8x3", "int8x4"})
+
+
 def normalize_rotate_tier(rotate_in_bf16):
     """Normalize the user-facing tier spelling of `rotate_in_bf16` to the
     `rotate_dtype` argument of build_rotated_null.
 
-    False/None -> None (exact fp32), True -> jnp.bfloat16, 'x2'/'x3' ->
-    'bf16x2'/'bf16x3', and the explicit names ('bf16x2c', 'int8x3', ...)
-    pass through. Shared by models.emmax, models.streaming and
+    False/None -> None (exact fp32), True/'bf16' -> jnp.bfloat16,
+    'x2'/'x3' -> 'bf16x2'/'bf16x3', and the explicit names ('bf16x2c',
+    'int8x3', ...) pass through. Near-miss spellings (e.g. 'int8',
+    'int8x5') raise here rather than silently quantizing W or failing
+    deep inside tracing. Shared by models.emmax, models.streaming and
     parallel.distributed so every entry point accepts the same tiers."""
     if not rotate_in_bf16:
         return None
     if rotate_in_bf16 is True:
         return jnp.bfloat16
     s = str(rotate_in_bf16)
-    return s if s.startswith(("bf16", "int8")) else "bf16" + s
+    if s in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    if not s.startswith(("bf16", "int8")):
+        s = "bf16" + s
+    if s not in _ROTATE_TIERS:
+        raise ValueError(
+            f"unknown rotation tier {rotate_in_bf16!r}; choose from "
+            f"False (exact fp32), True/'bf16', {sorted(_ROTATE_TIERS)}")
+    return s
 
 
 def is_integer_dosage(G) -> bool:

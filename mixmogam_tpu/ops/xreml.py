@@ -104,7 +104,10 @@ def _ll_from_moments(A, b, c, logdet_H, logdet_XtX, n: int, p: int,
     L = chol_small(A)
     beta = chol_solve_small(L, b)
     ypy = c - jnp.sum(b * beta, axis=-1)
-    ypy = jnp.maximum(ypy, 1e-300)
+    # dtype-aware floor: 1e-300 underflows to 0.0 in float32, which would
+    # let a cancellation-driven ypy <= 0 produce LL = +inf and win the
+    # candidate argmax (same hazard chol_small guards against).
+    ypy = jnp.maximum(ypy, jnp.finfo(ypy.dtype).tiny)
     if reml:
         scale = n - p
         logdet = logdet_H + chol_logdet_small(L) - logdet_XtX

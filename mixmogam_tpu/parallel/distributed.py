@@ -52,12 +52,28 @@ def distributed_kinship(G, mesh: Optional[Mesh] = None,
     if mesh is None:
         mesh = make_mesh()
     G = np.asarray(G)
+    # normative missing handling — the same per-SNP mean-imputation rule
+    # as ops.kinship (_impute_chunk): int8 -1 / float NaN sentinels.
+    # Without this, -1 entries silently bias C'C and the allele
+    # frequencies below.
+    if ((G.dtype == np.int8 and (G < 0).any())
+            or (np.issubdtype(G.dtype, np.floating) and np.isnan(G).any())):
+        from mixmogam_tpu.ops.kinship import _impute_chunk
+
+        G = _impute_chunk(G, np.float64)
     M = G.shape[0]
     nshard = mesh.shape["snp"]
     Gp, M0 = pad_to_multiple(G, nshard, axis=0)
     Gd = jax.device_put(Gp, snp_sharding(mesh))
 
     if method == "ibs":
+        if (G.max(initial=0) if not np.issubdtype(G.dtype, np.floating)
+                else np.nanmax(G, initial=0)) > 1:
+            raise ValueError(
+                "distributed_kinship(method='ibs') implements the BINARY "
+                "allele-sharing formula; for diploid dosages use "
+                "method='vanraden' here or ops.kinship.kinship (diploid "
+                "IBS) on the host path")
         # zero pad rows contribute C'C=0, s=0 but DO count in the +m J
         # term; subtract the pad count explicitly
         pad = Gp.shape[0] - M0
@@ -134,10 +150,11 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
                               esp, ngrids, llim, ulim))
     from mixmogam_tpu.ops.scan import normalize_rotate_tier
 
+    from mixmogam_tpu.ops.scan import is_integer_dosage
+
     rd = normalize_rotate_tier(rotate_in_bf16)
     if (isinstance(rd, str) and rd.startswith("int8")
-            and np.issubdtype(np.asarray(Gf).dtype, np.floating)
-            and not np.array_equal(Gf, np.round(Gf))):
+            and not is_integer_dosage(Gf)):
         raise ValueError(
             f"rotate_in_bf16={rotate_in_bf16!r} requires integer dosages "
             "(digit-plane matmuls round genotypes to int8)")
