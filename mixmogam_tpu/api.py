@@ -45,34 +45,32 @@ def parse_phenotype_file(path: str, delimiter: str = ",") -> PhenotypeData:
     return PhenotypeData.parse_phenotype_file(path, delimiter=delimiter)
 
 
-def calc_ibs_kinship(gd_or_snps, use_device: bool = True,
-                     cache_dir: Optional[str] = None,
-                     scale: bool = True) -> np.ndarray:
-    """IBS kinship (reference: mixmogam.calculate_ibs_kinship)."""
+def _calc_kinship(gd_or_snps, method: str, use_device: bool,
+                  cache_dir: Optional[str], scale: bool) -> np.ndarray:
     if isinstance(gd_or_snps, GenotypeData):
-        return cached_kinship(gd_or_snps, "ibs", cache_dir=cache_dir,
+        return cached_kinship(gd_or_snps, method, cache_dir=cache_dir,
                               use_device=use_device, scale=scale)
     from mixmogam_tpu.ops import kinship as dk
     from mixmogam_tpu.oracle.kinship import scale_k
 
-    K = dk.kinship(np.asarray(gd_or_snps), method="ibs",
+    K = dk.kinship(np.asarray(gd_or_snps), method=method,
                    use_device=use_device)
     return scale_k(K) if scale else K
+
+
+def calc_ibs_kinship(gd_or_snps, use_device: bool = True,
+                     cache_dir: Optional[str] = None,
+                     scale: bool = True) -> np.ndarray:
+    """IBS kinship (reference: mixmogam.calculate_ibs_kinship)."""
+    return _calc_kinship(gd_or_snps, "ibs", use_device, cache_dir, scale)
 
 
 def calc_ibd_kinship(gd_or_snps, use_device: bool = True,
                      cache_dir: Optional[str] = None,
                      scale: bool = True) -> np.ndarray:
     """VanRaden/'IBD' kinship (reference: calc_ibd_kinship)."""
-    if isinstance(gd_or_snps, GenotypeData):
-        return cached_kinship(gd_or_snps, "vanraden", cache_dir=cache_dir,
-                              use_device=use_device, scale=scale)
-    from mixmogam_tpu.ops import kinship as dk
-    from mixmogam_tpu.oracle.kinship import scale_k
-
-    K = dk.kinship(np.asarray(gd_or_snps), method="vanraden",
-                   use_device=use_device)
-    return scale_k(K) if scale else K
+    return _calc_kinship(gd_or_snps, "vanraden", use_device, cache_dir,
+                         scale)
 
 
 def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
@@ -84,6 +82,7 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
              num_steps: int = 10, dtype=None,
              profile_dir: Optional[str] = None,
              covariate_pids: Optional[Sequence[int]] = None,
+             ploidy: Optional[int] = None,
              config: Optional["GwasConfig"] = None, **model_kw) -> Dict:
     """End-to-end GWAS (reference: examples.py flow, SURVEY.md §3.1):
     parse -> transform -> coordinate -> MAC filter -> kinship (cached) ->
@@ -108,7 +107,11 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
 
     rm = RunMetrics(run_name=f"{method}_pid{pid}")
     with rm.phase("parse"):
-        gd = parse_snp_data(genotype_file, data_format=data_format)
+        # ploidy: None infers 2 iff any dosage exceeds 1 — pass 2
+        # explicitly for diploid data with no homozygous-alt calls
+        # (e.g. an F1 cross), which the heuristic would call haploid
+        gd = parse_snp_data(genotype_file, data_format=data_format,
+                            ploidy=ploidy)
         phend = parse_phenotype_file(phenotype_file)
 
     if transform == "most_normal":
@@ -128,12 +131,18 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
                 gd2 = gd2.select_samples(keep).filter_monomorphic_snps()
                 y = y[keep]
                 sample_ids = [sample_ids[i] for i in keep]
+            if method not in ("emmax", "emma", "lm", "emmax_stepwise"):
+                # the class tests (anova/kw) have no covariate design —
+                # refuse rather than silently run an unadjusted scan
+                raise ValueError(
+                    f"covariate_pids is not supported by method "
+                    f"{method!r} (anova/kw are covariate-free class "
+                    "tests); use emmax/emma/lm/emmax_stepwise")
             X0 = np.hstack(
                 [np.ones((len(sample_ids), 1))]
                 + [np.array([np.mean(m[a]) for a in sample_ids])[:, None]
                    for m in cov_maps])
-            if method in ("emmax", "emma", "lm", "emmax_stepwise"):
-                model_kw.setdefault("X0", X0)
+            model_kw.setdefault("X0", X0)
         if min_mac:
             gd2 = gd2.filter_mac_snps(min_mac)
 
@@ -227,7 +236,9 @@ def run_gwas_multi(genotype_file: str, phenotype_file: str,
     emmax_multi_trait (shared eigenbasis, one batched scan)."""
     phend = parse_phenotype_file(phenotype_file)
     out = {}
-    for pid in (pids or phend.phenotype_ids()):
+    # pids=[] means "no phenotypes", not "all" (an empty filter result
+    # must not fan out a full GWAS per phenotype in the file)
+    for pid in (pids if pids is not None else phend.phenotype_ids()):
         prefix = f"{out_prefix}.pid{pid}" if out_prefix else None
         out[pid] = run_gwas(genotype_file, phenotype_file, pid=pid,
                             out_prefix=prefix, **kw)

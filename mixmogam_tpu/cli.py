@@ -24,6 +24,10 @@ def _add_run(sub):
                    choices=["emmax", "emma", "lm", "anova", "kw",
                             "emmax_stepwise"])
     p.add_argument("-o", "--out-prefix", default="gwas_out")
+    p.add_argument("--ploidy", type=int, default=None, choices=[1, 2],
+                   help="explicit ploidy (default: inferred as 2 iff any "
+                        "dosage exceeds 1 — pass 2 explicitly for diploid "
+                        "data with no homozygous-alt calls)")
     p.add_argument("--data-format", default="binary",
                    choices=["binary", "nucleotides"])
     p.add_argument("--transform", default=None,
@@ -121,7 +125,7 @@ def main(argv=None) -> int:
                 kinship_file=args.kinship_file, cache_dir=args.cache_dir,
                 plots=not args.no_plots, num_steps=args.num_steps,
                 profile_dir=args.profile_dir, covariate_pids=cov,
-                **tier_kw)
+                ploidy=args.ploidy, **tier_kw)
         if args.method == "emmax_stepwise":
             sw = out["scan"]["stepwise"]
             sel = {k: v["cofactors"] for k, v in sw["selected"].items()}

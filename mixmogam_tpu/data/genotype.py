@@ -195,13 +195,19 @@ class GenotypeData:
     def write_csv(self, path: str) -> None:
         """Binary/dosage CSV: header 'Chromosome,Position,acc1,...';
         one row per SNP (reference: SNPsDataSet.writeToFile shape)."""
+        # vectorized formatting (a per-cell str() loop costs minutes at
+        # 1M SNPs x thousands of samples)
+        S = self.matrix.astype("U4")
+        S[self.matrix == MISSING] = "NA"
+        ch = self.chromosomes.astype("U12").tolist()
+        po = self.positions.astype("U20").tolist()
+        rows = S.tolist()
         with open(path, "w") as f:
             f.write("Chromosome,Position," + ",".join(self.accessions) + "\n")
-            for j in range(self.num_snps):
-                row = self.matrix[j]
-                vals = ",".join("NA" if v == MISSING else str(int(v))
-                                for v in row)
-                f.write(f"{self.chromosomes[j]},{self.positions[j]},{vals}\n")
+            f.write("\n".join(f"{c},{p}," + ",".join(r)
+                              for c, p, r in zip(ch, po, rows)))
+            if rows:
+                f.write("\n")
 
     def write_hdf5(self, path: str) -> None:
         import h5py

@@ -117,11 +117,19 @@ def _parse_nucleotide_csv(path: str, delimiter: str) -> GenotypeData:
             obs = ~np.isin(calls, list(_MISSING_TOKENS))
             vals, counts = np.unique(calls[obs], return_counts=True)
             order = np.argsort(-counts)
-            major = vals[order[0]] if len(vals) else "N"
-            minor = vals[order[1]] if len(vals) > 1 else "N"
+            # assign dosages on OBSERVED calls only: the 'N' placeholder
+            # recorded for absent major/minor alleles is also a missing
+            # token, so matching it against raw calls would hand real
+            # dosages to missing calls (monomorphic SNPs would gain a
+            # fake minor allele perfectly correlated with missingness)
             row = np.full(n, MISSING, dtype=np.int8)
-            row[calls == major] = 0
-            row[calls == minor] = 1
+            major, minor = "N", "N"
+            if len(vals):
+                major = vals[order[0]]
+                row[obs & (calls == major)] = 0
+            if len(vals) > 1:
+                minor = vals[order[1]]
+                row[obs & (calls == minor)] = 1
             rows.append(row)
             alleles.append([major, minor])
     matrix = np.vstack(rows) if rows else np.zeros((0, n), dtype=np.int8)

@@ -71,7 +71,8 @@ class PhenotypeData:
 
     # ---- replicate handling (reference: convert_to_averages) ----
     def convert_to_averages(self, pids: Optional[Sequence[int]] = None) -> None:
-        for pid in (pids or self.phenotype_ids()):
+        # pids=[] means "none", not "all"
+        for pid in (pids if pids is not None else self.phenotype_ids()):
             d = self.value_dict(pid)
             ecos = sorted(d)
             p = self.phen_dict[pid]

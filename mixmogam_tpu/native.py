@@ -109,6 +109,12 @@ def pack_2bit(mat: np.ndarray) -> np.ndarray:
     """int8 (M, n) dosages (0..2, -1 missing) -> (M, ceil(n/4)) uint8.
     Falls back to a numpy implementation without the native lib."""
     mat = np.ascontiguousarray(mat, dtype=np.int8)
+    if mat.size and (mat.min() < -1 or mat.max() > 2):
+        raise ValueError(
+            "pack_2bit stores dosages 0..2 (+ -1 = missing); the matrix "
+            "contains values outside that range, which 2-bit packing "
+            "would silently convert to missing. Use the HDF5 container "
+            "for >2 dosages.")
     M, n = mat.shape
     rb = (n + 3) // 4
     lib = get_lib()

@@ -161,10 +161,15 @@ class Result:
         extra += sorted(self.additional)
         header = cols + extra
         order = self._order()
+        # vectorized formatting: per-cell str() in a Python loop costs
+        # minutes at the 1M-SNP scale (~7M str calls on a 2-vCPU host)
+        str_cols = [np.asarray(arrs[k])[order].astype("U32").tolist()
+                    for k in header]
         with open(path, "w") as f:
             f.write(",".join(header) + "\n")
-            for i in order:
-                f.write(",".join(str(arrs[k][i]) for k in header) + "\n")
+            f.write("\n".join(",".join(t) for t in zip(*str_cols)))
+            if str_cols and str_cols[0]:
+                f.write("\n")
 
     @staticmethod
     def from_scan(scan: Dict[str, np.ndarray], chromosomes, positions,

@@ -12,6 +12,7 @@
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC, no deps)
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -22,8 +23,10 @@
 
 extern "C" {
 
-// Count data lines and detect the number of comma-separated fields in the
-// header. Returns 0 on success.
+// Count NON-BLANK data lines and detect the number of comma-separated
+// fields in the header. Blank/whitespace-only lines (including a trailing
+// '\n\n') are not data rows — counting them used to allocate phantom rows
+// that parse_dosage_csv left as uninitialized memory. Returns 0 on success.
 int count_csv(const char* path, int64_t* n_rows, int64_t* n_fields) {
   FILE* f = fopen(path, "rb");
   if (!f) return 1;
@@ -33,18 +36,22 @@ int count_csv(const char* path, int64_t* n_rows, int64_t* n_fields) {
   while ((c = fgetc(f)) != EOF && c != '\n')
     if (c == ',') fields++;
   if (c == EOF) { fclose(f); return 2; }
-  // count remaining newlines (buffered)
+  // count remaining non-blank lines (buffered)
   std::vector<char> buf(1 << 20);
   int64_t rows = 0;
   size_t got;
-  bool last_was_nl = true;
+  bool has_content = false;
   while ((got = fread(buf.data(), 1, buf.size(), f)) > 0) {
     for (size_t i = 0; i < got; i++) {
-      if (buf[i] == '\n') rows++;
-      last_was_nl = (buf[i] == '\n');
+      if (buf[i] == '\n') {
+        if (has_content) rows++;
+        has_content = false;
+      } else if (buf[i] != ' ' && buf[i] != '\t' && buf[i] != '\r') {
+        has_content = true;
+      }
     }
   }
-  if (!last_was_nl) rows++;  // file without trailing newline
+  if (has_content) rows++;  // file without trailing newline
   fclose(f);
   *n_rows = rows;
   *n_fields = fields;
@@ -53,48 +60,79 @@ int count_csv(const char* path, int64_t* n_rows, int64_t* n_fields) {
 
 namespace {
 
+inline bool is_space(char c) { return c == ' ' || c == '\t' || c == '\r'; }
+
+// strict non-negative integer field terminated by ','; tolerates
+// surrounding whitespace; anything else (e.g. 'Chr1', 'X') is a parse
+// FAILURE so the caller falls back to the Python parser, which raises a
+// proper error — silently stripping letters mapped 'X'/'MT' to 0.
+inline bool parse_int_field(const char*& p, const char* end, int64_t* out) {
+  while (p < end && is_space(*p)) p++;
+  bool digit = false;
+  int64_t v = 0;
+  while (p < end && *p >= '0' && *p <= '9') {
+    v = v * 10 + (*p - '0');
+    digit = true;
+    p++;
+  }
+  while (p < end && is_space(*p)) p++;
+  if (!digit || p >= end || *p != ',') return false;
+  p++;  // consume ','
+  *out = v;
+  return true;
+}
+
+// missing-token spellings shared with the Python parser
+// (_MISSING_TOKENS in data/parsers.py); token is already trimmed
+inline bool is_missing_token(const char* b, const char* e) {
+  size_t len = (size_t)(e - b);
+  if (len == 0) return true;
+  if (len == 1) return *b == 'N' || *b == '-' || *b == '?';
+  if (len == 2) return b[0] == 'N' && b[1] == 'A';
+  if (len == 3) return (b[0] == 'N' && b[1] == 'a' && b[2] == 'N') ||
+                       (b[0] == 'n' && b[1] == 'a' && b[2] == 'n');
+  return false;
+}
+
 // parse one data line "chrom,pos,v,v,..." into row-major outputs
 inline bool parse_line(const char* p, const char* end, int64_t row,
                        int64_t n_samples, int8_t* mat, int32_t* chroms,
                        int64_t* poss) {
-  // chromosome
-  int64_t chrom = 0;
-  while (p < end && *p != ',') {
-    if (*p >= '0' && *p <= '9') chrom = chrom * 10 + (*p - '0');
-    p++;
-  }
-  if (p >= end) return false;
-  p++;
-  // position
-  int64_t pos = 0;
-  while (p < end && *p != ',') {
-    if (*p >= '0' && *p <= '9') pos = pos * 10 + (*p - '0');
-    p++;
-  }
-  if (p >= end) return false;
-  p++;
+  int64_t chrom = 0, pos = 0;
+  if (!parse_int_field(p, end, &chrom)) return false;
+  if (!parse_int_field(p, end, &pos)) return false;
   chroms[row] = (int32_t)chrom;
   poss[row] = pos;
   int8_t* out = mat + row * n_samples;
   int64_t i = 0;
   while (i < n_samples && p <= end) {
-    // token until ',' or line end
+    // token until ',' or line end; trim whitespace (a ', '-separated CSV
+    // used to turn every padded cell into missing)
     const char* tok = p;
     while (p < end && *p != ',') p++;
-    // parse token: integer dosage or NA/missing
-    int v = -1;
-    bool neg = false;
-    bool digit = false;
-    const char* q = tok;
-    if (q < p && *q == '-') { neg = true; q++; }
-    int acc = 0;
-    while (q < p) {
-      if (*q >= '0' && *q <= '9') { acc = acc * 10 + (*q - '0'); digit = true; }
-      else { digit = false; break; }
-      q++;
+    const char* te = p;
+    while (tok < te && is_space(*tok)) tok++;
+    while (te > tok && is_space(te[-1])) te--;
+    int v;
+    if (is_missing_token(tok, te)) {
+      v = -1;
+    } else {
+      bool neg = false;
+      const char* q = tok;
+      if (*q == '-') { neg = true; q++; }
+      bool digit = false;
+      int acc = 0;
+      while (q < te) {
+        if (*q < '0' || *q > '9') return false;  // not int, not missing
+        acc = acc * 10 + (*q - '0');
+        digit = true;
+        q++;
+      }
+      if (!digit) return false;
+      v = neg ? -acc : acc;
+      if (v > 127) return false;  // int8 overflow: Python path raises too
     }
-    v = digit ? (neg ? -acc : acc) : -1;
-    out[i++] = (int8_t)(v < 0 || v > 127 ? -1 : v);
+    out[i++] = (int8_t)(v < 0 ? -1 : v);
     if (p < end) p++;  // skip comma
     else break;
   }
@@ -105,8 +143,12 @@ inline bool parse_line(const char* p, const char* end, int64_t row,
 }  // namespace
 
 // Parse the data body of a dosage CSV (after the header line) into
-// preallocated arrays. n_threads <= 0 -> hardware concurrency.
-// Returns number of rows parsed, or -1 on error.
+// preallocated arrays. Blank/whitespace-only lines are skipped (matching
+// count_csv and the Python parser). n_threads <= 0 -> hardware
+// concurrency. Returns number of rows parsed, -1 on I/O error, or -2 on
+// a malformed line (non-numeric chrom/pos or a token that is neither an
+// integer dosage nor a missing spelling) — the caller then falls back to
+// the Python parser, which raises a descriptive error.
 int64_t parse_dosage_csv(const char* path, int64_t n_rows,
                          int64_t n_samples, int8_t* mat, int32_t* chroms,
                          int64_t* poss, int n_threads) {
@@ -129,37 +171,50 @@ int64_t parse_dosage_csv(const char* path, int64_t n_rows,
   if (!body) return -1;
   body++;
 
-  // index line starts
-  std::vector<const char*> starts;
-  starts.reserve((size_t)n_rows + 1);
+  // index non-blank lines as explicit (start, end) spans so a skipped
+  // blank line never leaks into the previous row's token stream
+  std::vector<const char*> starts, ends;
+  starts.reserve((size_t)n_rows);
+  ends.reserve((size_t)n_rows);
   const char* p = body;
   while (p < eof && (int64_t)starts.size() < n_rows) {
-    starts.push_back(p);
     const char* nl = (const char*)memchr(p, '\n', (size_t)(eof - p));
+    const char* e = nl ? nl : eof;
+    while (e > p && (e[-1] == '\n' || e[-1] == '\r')) e--;
+    bool content = false;
+    for (const char* q = p; q < e; q++)
+      if (*q != ' ' && *q != '\t') { content = true; break; }
+    if (content) {
+      starts.push_back(p);
+      ends.push_back(e);
+    }
     p = nl ? nl + 1 : eof;
   }
   int64_t rows = (int64_t)starts.size();
-  starts.push_back(p);
 
   int nt = n_threads > 0 ? n_threads
                          : (int)std::thread::hardware_concurrency();
   if (nt < 1) nt = 1;
   if (nt > rows) nt = (int)rows;
+  if (nt < 1) nt = 1;
   std::vector<std::thread> th;
+  std::atomic<bool> bad(false);
   int64_t per = (rows + nt - 1) / nt;
   for (int t = 0; t < nt; t++) {
     int64_t lo = t * per, hi = std::min(rows, lo + per);
     if (lo >= hi) break;
     th.emplace_back([&, lo, hi]() {
       for (int64_t r = lo; r < hi; r++) {
-        const char* s = starts[(size_t)r];
-        const char* e = starts[(size_t)r + 1];
-        while (e > s && (e[-1] == '\n' || e[-1] == '\r')) e--;
-        parse_line(s, e, r, n_samples, mat, chroms, poss);
+        if (!parse_line(starts[(size_t)r], ends[(size_t)r], r, n_samples,
+                        mat, chroms, poss)) {
+          bad.store(true, std::memory_order_relaxed);
+          return;
+        }
       }
     });
   }
   for (auto& x : th) x.join();
+  if (bad.load()) return -2;
   return rows;
 }
 

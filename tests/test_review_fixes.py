@@ -230,3 +230,131 @@ class TestPermIdentityPath:
         out2 = emmax_perm_test(small_dataset["G"], small_dataset["y"],
                                K=None, num_perm=8, seed=0)
         np.testing.assert_allclose(out["min_ps"], out2["min_ps"])
+
+
+class TestDataLayerFixes:
+    """Second review batch: parser, packer, facade findings."""
+
+    def test_nucleotide_monomorphic_missing_N(self, tmp_path):
+        """Missing 'N' calls must stay missing — the 'N' major/minor
+        placeholder used to hand them real dosages, making monomorphic
+        SNPs polymorphic (perfectly correlated with missingness)."""
+        from mixmogam_tpu.data.parsers import parse_snp_data
+
+        p = tmp_path / "nt.csv"
+        p.write_text("Chromosome,Position,a,b,c,d\n"
+                     "1,100,A,A,A,N\n"      # monomorphic + missing
+                     "1,200,N,N,N,N\n"      # all missing
+                     "1,300,A,C,C,N\n")     # biallelic + missing
+        gd = parse_snp_data(str(p), data_format="nucleotides")
+        assert gd.matrix[0].tolist() == [0, 0, 0, -1]
+        assert gd.matrix[1].tolist() == [-1, -1, -1, -1]
+        assert gd.matrix[2].tolist() == [1, 0, 0, -1]
+
+    def test_native_parser_blank_lines(self, tmp_path):
+        from mixmogam_tpu import native
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        p = tmp_path / "g.csv"
+        p.write_text("Chromosome,Position,a,b,c\n"
+                     "1,100,0,1,2\n\n2,200,1,0,1\n\n")
+        mat, ch, po, n = native.parse_dosage_csv(str(p))
+        assert mat.shape == (2, 3)
+        assert ch.tolist() == [1, 2] and po.tolist() == [100, 200]
+
+    def test_native_parser_padded_tokens(self, tmp_path):
+        from mixmogam_tpu import native
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        p = tmp_path / "g.csv"
+        p.write_text("Chromosome,Position,a,b,c\n2,200, 1, 0 ,NA\n")
+        mat, _, _, _ = native.parse_dosage_csv(str(p))
+        assert mat[0].tolist() == [1, 0, -1]
+
+    def test_nonnumeric_chromosome_raises(self, tmp_path):
+        """Native path must NOT silently map 'X'/'Chr1' to 0/1; the
+        fallback Python parser raises."""
+        from mixmogam_tpu.data.parsers import parse_snp_data
+
+        p = tmp_path / "g.csv"
+        p.write_text("Chromosome,Position,a,b,c\nX,100,0,1,0\n")
+        with pytest.raises(ValueError):
+            parse_snp_data(str(p))
+
+    def test_garbage_token_raises(self, tmp_path):
+        from mixmogam_tpu.data.parsers import parse_snp_data
+
+        p = tmp_path / "g.csv"
+        p.write_text("Chromosome,Position,a,b,c\n1,100,0,zz,1\n")
+        with pytest.raises(ValueError):
+            parse_snp_data(str(p))
+
+    def test_pack_2bit_rejects_out_of_range(self):
+        from mixmogam_tpu import native
+
+        with pytest.raises(ValueError, match="0..2"):
+            native.pack_2bit(np.array([[0, 1, 2, 3]], dtype=np.int8))
+        rt = native.unpack_2bit(
+            native.pack_2bit(np.array([[0, 1, 2, -1]], dtype=np.int8)), 4)
+        assert rt[0].tolist() == [0, 1, 2, -1]
+
+    def test_result_write_roundtrip(self, tmp_path):
+        from mixmogam_tpu.results.result import Result
+
+        ps = np.array([1e-8, 0.5, 0.123456789012345, 1.0])
+        r = Result(ps, np.array([1, 1, 2, 2]),
+                   np.array([10, 20, 30, 40]),
+                   mafs=np.array([0.1, 0.2, 0.3, 0.4]),
+                   score_type="pvals")
+        f = tmp_path / "out.csv"
+        r.write_to_file(str(f))
+        lines = f.read_text().strip().split("\n")
+        assert len(lines) == 5  # header + 4 rows, no phantom rows
+        hdr = lines[0].split(",")
+        row0 = dict(zip(hdr, lines[1].split(",")))
+        assert float(row0["scores"]) == 1e-8  # sorted ascending p
+
+    def test_genotype_write_csv_roundtrip(self, tmp_path):
+        from mixmogam_tpu.data.genotype import GenotypeData
+        from mixmogam_tpu.data.parsers import parse_snp_data
+
+        G = np.array([[0, 1, -1], [2, 0, 1]], dtype=np.int8)
+        gd = GenotypeData(G, np.array([1, 2], np.int32),
+                          np.array([5, 9], np.int64), ["a", "b", "c"],
+                          ploidy=2)
+        f = tmp_path / "g.csv"
+        gd.write_csv(str(f))
+        gd2 = parse_snp_data(str(f), ploidy=2)
+        np.testing.assert_array_equal(gd2.matrix, G)
+        np.testing.assert_array_equal(gd2.positions, gd.positions)
+
+    def test_convert_to_averages_empty_pids_is_noop(self):
+        from mixmogam_tpu.data.phenotype import PhenotypeData
+
+        pd = PhenotypeData.from_arrays(1, "t", ["a", "a", "b"],
+                                       np.array([1.0, 3.0, 5.0]))
+        pd.convert_to_averages(pids=[])
+        assert len(pd.phen_dict[1].values) == 3  # untouched
+        pd.convert_to_averages()
+        assert len(pd.phen_dict[1].values) == 2  # replicates averaged
+
+    def test_run_gwas_covariates_rejected_for_anova(self, tmp_path):
+        from mixmogam_tpu.api import run_gwas
+        from mixmogam_tpu.data.genotype import GenotypeData
+        from mixmogam_tpu.data.phenotype import PhenotypeData
+
+        G, ch, po = simulate_genotypes(30, 40, seed=9)
+        gd = GenotypeData(G, ch, po, [f"a{i}" for i in range(30)])
+        gf = tmp_path / "g.csv"
+        gd.write_csv(str(gf))
+        rng = np.random.default_rng(0)
+        pf = tmp_path / "p.csv"
+        with open(pf, "w") as f:
+            f.write("ecotype_id,trait,cov\n")
+            for i in range(30):
+                f.write(f"a{i},{rng.normal()},{rng.normal()}\n")
+        with pytest.raises(ValueError, match="covariate"):
+            run_gwas(str(gf), str(pf), pid=1, method="anova",
+                     covariate_pids=[2], min_mac=1, plots=False)
