@@ -5,9 +5,13 @@ Formats:
 - 'binary'/'dosage' CSV: header 'Chromosome,Position,acc1,...'; rows of
   integer dosages (0/1 binary-coded inbred data like the reference's
   bundled Arabidopsis set, or 0/1/2 diploid), NA = missing.
-- 'nucleotides' CSV: same layout but A/C/G/T calls; decoded to 0/1 against
-  the per-SNP major allele (two most frequent alleles kept, others ->
-  missing), alleles recorded.
+- 'nucleotides' CSV: same layout but nucleotide calls; decoded to
+  minor-allele dosage against the per-SNP major allele (two most frequent
+  alleles kept, others -> missing), alleles recorded. Haploid single-letter
+  calls ('A') -> 0/1; diploid two-allele calls ('AT', 'A/T', 'A|T') and
+  IUPAC heterozygote codes (R/Y/S/W/K/M) -> 0/1/2 with ploidy=2. Ploidy is
+  auto-detected (any two-allele or IUPAC-het call makes the file diploid)
+  or forced via the ploidy kwarg.
 - HDF5: the framework's native container (see GenotypeData.read_hdf5).
 
 Parsing streams line-by-line into preallocated int8 — the entire genome is
@@ -16,7 +20,8 @@ lists)."""
 
 from __future__ import annotations
 
-from typing import List, Optional
+import dataclasses
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -41,11 +46,21 @@ def parse_snp_data(path: str, data_format: str = "binary",
     """Parse a genotype file into a GenotypeData
     (reference: dataParsers.parse_snp_data)."""
     if path.endswith((".h5", ".hdf5")):
-        return GenotypeData.read_hdf5(path)
+        gd = GenotypeData.read_hdf5(path)
+        if ploidy is not None and ploidy != gd.ploidy:
+            # explicit override of the container's stored ploidy (e.g. a
+            # 0/1-coded diploid file whose max dosage never exceeded 1 was
+            # auto-inferred haploid at write time); validate dosage range
+            if gd.matrix.max(initial=0) > ploidy:
+                raise ValueError(
+                    f"ploidy={ploidy} conflicts with dosages up to "
+                    f"{gd.matrix.max()} in {path}")
+            gd = dataclasses.replace(gd, ploidy=ploidy)
+        return gd
     if data_format in ("binary", "dosage", "int"):
         return _parse_dosage_csv(path, delimiter, ploidy)
     if data_format in ("nucleotides", "nt"):
-        return _parse_nucleotide_csv(path, delimiter)
+        return _parse_nucleotide_csv(path, delimiter, ploidy)
     raise ValueError(f"unknown data_format {data_format!r}")
 
 
@@ -98,11 +113,50 @@ def _parse_dosage_csv(path: str, delimiter: str,
                         accessions=accessions, ploidy=ploidy)
 
 
-def _parse_nucleotide_csv(path: str, delimiter: str) -> GenotypeData:
+# IUPAC ambiguity codes for heterozygous single-letter diploid calls
+# (reference's nucleotide formats are diploid-capable, SURVEY.md §2.1).
+_IUPAC_HET = {"R": "AG", "Y": "CT", "S": "CG", "W": "AT", "K": "GT",
+              "M": "AC"}
+_BASES = frozenset("ACGT")
+
+
+def _call_alleles(tok: str) -> Optional[Tuple[str, ...]]:
+    """Normalize one genotype call to its allele tuple, or None if missing.
+    'A' -> ('A',); 'AT' / 'A/T' / 'A|T' -> ('A','T'); IUPAC het 'R' ->
+    ('A','G'); anything else (incl. 'NN', 'N', '') -> None."""
+    t = tok.strip().upper().replace("/", "").replace("|", "")
+    if not t or t in _MISSING_TOKENS:
+        return None
+    if len(t) == 1:
+        if t in _BASES:
+            return (t,)
+        het = _IUPAC_HET.get(t)
+        return tuple(het) if het else None
+    if len(t) == 2 and t[0] in _BASES and t[1] in _BASES:
+        return (t[0], t[1])
+    return None
+
+
+def _parse_nucleotide_csv(path: str, delimiter: str,
+                          ploidy: Optional[int] = None) -> GenotypeData:
+    """Nucleotide CSV -> minor-allele dosages.
+
+    One pass over the file. Rows parsed before diploid evidence appears
+    (a two-allele or IUPAC-het call, when ploidy is auto) are coded with
+    per-call copy counts and retro-doubled at the end if the file turns
+    out diploid — exact, because a single-letter call under ploidy=2 is
+    homozygous (2 copies of that allele)."""
+    if ploidy not in (None, 1, 2):
+        raise ValueError(f"ploidy must be 1, 2 or None, got {ploidy!r}")
     chroms: List[int] = []
     poss: List[int] = []
     rows: List[np.ndarray] = []
     alleles: List[List[str]] = []
+    # True once a 2-allele call has been seen (or forced via ploidy=2)
+    diploid = ploidy == 2
+    # rows encoded while the file still looked haploid; their 0/1 dosages
+    # become 0/2 if diploid evidence appears later
+    haploid_coded: List[int] = []
     with open(path) as f:
         accessions = _read_header(f, delimiter)
         n = len(accessions)
@@ -113,28 +167,47 @@ def _parse_nucleotide_csv(path: str, delimiter: str) -> GenotypeData:
             parts = line.split(delimiter)
             chroms.append(int(parts[0]))
             poss.append(int(parts[1]))
-            calls = np.array([t.strip().upper() for t in parts[2:2 + n]])
-            obs = ~np.isin(calls, list(_MISSING_TOKENS))
-            vals, counts = np.unique(calls[obs], return_counts=True)
-            order = np.argsort(-counts)
-            # assign dosages on OBSERVED calls only: the 'N' placeholder
-            # recorded for absent major/minor alleles is also a missing
-            # token, so matching it against raw calls would hand real
-            # dosages to missing calls (monomorphic SNPs would gain a
-            # fake minor allele perfectly correlated with missingness)
+            calls = [_call_alleles(t) for t in parts[2:2 + n]]
+            if ploidy == 1:
+                # forced haploid: heterozygous calls are uninterpretable
+                # -> missing; homozygous two-letter calls collapse
+                calls = [None if (c and len(set(c)) > 1)
+                         else (c[:1] if c else None) for c in calls]
+            elif not diploid and any(c and len(c) == 2 for c in calls):
+                diploid = True
+            # rank alleles by copy count (ranking is invariant to the
+            # haploid-vs-diploid copy weight of single-letter calls
+            # within one row, so raw copies are fine)
+            counts: dict = {}
+            for c in calls:
+                if c:
+                    for a in c:
+                        counts[a] = counts.get(a, 0) + 1
+            ranked = sorted(counts, key=lambda a: (-counts[a], a))
+            major = ranked[0] if ranked else "N"
+            minor = ranked[1] if len(ranked) > 1 else "N"
+            keep = {major, minor} - {"N"}
+            call_ploidy = 2 if diploid else 1
             row = np.full(n, MISSING, dtype=np.int8)
-            major, minor = "N", "N"
-            if len(vals):
-                major = vals[order[0]]
-                row[obs & (calls == major)] = 0
-            if len(vals) > 1:
-                minor = vals[order[1]]
-                row[obs & (calls == minor)] = 1
+            for i, c in enumerate(calls):
+                if c is None or not set(c) <= keep:
+                    continue  # missing, or carries a 3rd allele
+                copies = sum(1 for a in c if a == minor)
+                # single-letter (homozygous) call under diploid = 2 copies
+                row[i] = copies * (call_ploidy // len(c))
+            if not diploid:
+                haploid_coded.append(len(rows))
             rows.append(row)
             alleles.append([major, minor])
     matrix = np.vstack(rows) if rows else np.zeros((0, n), dtype=np.int8)
+    out_ploidy = 2 if diploid else 1
+    if diploid and haploid_coded and ploidy is None:
+        # retro-fix rows parsed before the first diploid evidence
+        fix = np.asarray(haploid_coded, dtype=np.int64)
+        obs = matrix[fix] != MISSING
+        matrix[fix] = np.where(obs, matrix[fix] * 2, MISSING)
     return GenotypeData(matrix=matrix,
                         chromosomes=np.asarray(chroms, dtype=np.int32),
                         positions=np.asarray(poss, dtype=np.int64),
-                        accessions=accessions, ploidy=1,
+                        accessions=accessions, ploidy=out_ploidy,
                         alleles=np.asarray(alleles))

@@ -151,9 +151,10 @@ def _ibs_diploid_update(K_acc, C, W0, W2, m_eff):
 
 
 def _impute_chunk(chunk: np.ndarray, dtype) -> np.ndarray:
-    """(m, n) chunk -> float, per-SNP mean imputed (int8: -1 = missing;
-    float: NaN = missing — the normative rule shared with the oracle)."""
-    if chunk.dtype == np.int8:
+    """(m, n) chunk -> float, per-SNP mean imputed (signed integer: < 0 =
+    missing; float: NaN = missing — the normative rule shared with the
+    oracle)."""
+    if np.issubdtype(chunk.dtype, np.integer):
         miss = chunk < 0
         C = chunk.astype(np.float64)
         if miss.any():
@@ -196,7 +197,7 @@ def kinship(data, method: str = "ibs", ploidy: Optional[int] = None,
         from mixmogam_tpu import oracle
 
         Z = mat.astype(np.float64)
-        if mat.dtype == np.int8:
+        if np.issubdtype(mat.dtype, np.integer):
             Z[mat < 0] = np.nan
         return oracle.ibs_kinship(Z, ploidy=ploidy)
 
@@ -239,7 +240,7 @@ def _vanraden(mat: np.ndarray, ploidy: int, chunk: int, dtype,
     M, n = mat.shape
     if not use_device:
         Z = mat.astype(np.float64)
-        if mat.dtype == np.int8:
+        if np.issubdtype(mat.dtype, np.integer):
             Z[mat < 0] = np.nan
         return oracle.vanraden_kinship(Z, ploidy=ploidy)
     K = jnp.zeros((n, n), dtype=dtype)

@@ -53,10 +53,10 @@ def distributed_kinship(G, mesh: Optional[Mesh] = None,
         mesh = make_mesh()
     G = np.asarray(G)
     # normative missing handling — the same per-SNP mean-imputation rule
-    # as ops.kinship (_impute_chunk): int8 -1 / float NaN sentinels.
-    # Without this, -1 entries silently bias C'C and the allele
-    # frequencies below.
-    if ((G.dtype == np.int8 and (G < 0).any())
+    # as ops.kinship (_impute_chunk): negative sentinels in ANY signed
+    # integer dtype / float NaN. Without this, -1 entries silently bias
+    # C'C and the allele frequencies below.
+    if ((np.issubdtype(G.dtype, np.integer) and (G < 0).any())
             or (np.issubdtype(G.dtype, np.floating) and np.isnan(G).any())):
         from mixmogam_tpu.ops.kinship import _impute_chunk
 

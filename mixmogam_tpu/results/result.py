@@ -162,8 +162,11 @@ class Result:
         header = cols + extra
         order = self._order()
         # vectorized formatting: per-cell str() in a Python loop costs
-        # minutes at the 1M-SNP scale (~7M str calls on a 2-vCPU host)
-        str_cols = [np.asarray(arrs[k])[order].astype("U32").tolist()
+        # minutes at the 1M-SNP scale (~7M str calls on a 2-vCPU host).
+        # astype(str) sizes the unicode itemsize to the longest element —
+        # a fixed U32 would silently truncate long strings (e.g. marker
+        # names) in `additional` columns.
+        str_cols = [np.asarray(arrs[k])[order].astype(str).tolist()
                     for k in header]
         with open(path, "w") as f:
             f.write(",".join(header) + "\n")
