@@ -132,13 +132,54 @@ def anova(G, y, ploidy: Optional[int] = None, dtype=None
     return {"ps": ps, "f_stats": f, "dof1": d1, "dof2": d2}
 
 
-def kruskal_wallis(G, y, ploidy: Optional[int] = None, dtype=None
-                   ) -> Dict[str, np.ndarray]:
+@functools.partial(jax.jit, static_argnames=("n_classes", "fdt"))
+def _kw_missing_tile(Gs, a_idx, b_idx, starts, ends, n_classes: int,
+                     fdt=jnp.float64):
+    """Kruskal-Wallis for one tile of SNP rows with per-SNP missing
+    genotype subsets, fully vectorized (VERDICT r1 #8 — replaces an O(M)
+    host scipy loop).
+
+    Gs: (m, n) int8 classes, columns SORTED by y ascending (<0 missing).
+    a_idx/b_idx: (n,) start/end+1 position of each position's y-tie group.
+    starts/ends: (n_grp,) tie-group boundaries. Within the observed
+    subset of SNP j, the rank of an observed sample = (#observed before
+    its tie group) + (observed-in-group + 1)/2 — mid-ranks, exactly
+    scipy.stats.rankdata on the subset."""
+    O = (Gs >= 0).astype(fdt)
+    c = jnp.cumsum(O, axis=1)
+    c0 = jnp.concatenate(
+        [jnp.zeros((Gs.shape[0], 1), fdt), c], axis=1)  # exclusive prefix
+    cA = c0[:, a_idx]
+    cB = c0[:, b_idx]
+    ranks = cA + (cB - cA + 1.0) / 2.0  # (m, n), valid where observed
+    nj = c[:, -1]
+    hnum = jnp.zeros_like(nj)
+    kcls = jnp.zeros_like(nj)
+    for g in range(n_classes):
+        ind = (Gs == g).astype(fdt)
+        cnt_g = ind.sum(axis=1)
+        R_g = (ind * ranks).sum(axis=1)
+        hnum = hnum + jnp.where(cnt_g > 0,
+                                R_g * R_g / jnp.maximum(cnt_g, 1.0), 0.0)
+        kcls = kcls + (cnt_g > 0).astype(fdt)
+    denom = jnp.maximum(nj * (nj + 1.0), 1.0)
+    h = 12.0 / denom * hnum - 3.0 * (nj + 1.0)
+    # per-SNP tie correction over OBSERVED tie-group sizes
+    d = c0[:, ends] - c0[:, starts]  # (m, n_grp)
+    tie = 1.0 - (d**3 - d).sum(axis=1) / jnp.maximum(nj**3 - nj, 1.0)
+    # scipy.stats.kruskal's validity rule: >=2 groups and not all y tied
+    valid = (kcls >= 2) & (tie > 0)
+    h = jnp.where(valid, h / jnp.where(valid, tie, 1.0), 0.0)
+    return h, kcls, valid
+
+
+def kruskal_wallis(G, y, ploidy: Optional[int] = None, dtype=None,
+                   tile: int = 4096) -> Dict[str, np.ndarray]:
     """Per-SNP Kruskal-Wallis with tie correction (SURVEY.md A.6).
 
-    Fast path (no missing genotypes): one global rank vector + class-sum
-    matmuls. With missing genotypes the per-SNP sample sets differ, so
-    ranks are recomputed per SNP on host (exact, slower)."""
+    Fully-observed genotypes: one global rank vector + class-sum matmuls.
+    Missing genotypes: per-SNP subset ranks via sorted-order cumulative
+    sums + tie-group gathers — still no Python loop over SNPs."""
     import scipy.stats
 
     from mixmogam_tpu.data.genotype import GenotypeData
@@ -152,16 +193,39 @@ def kruskal_wallis(G, y, ploidy: Optional[int] = None, dtype=None
     C = ploidy + 1
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
     if (G < 0).any():
-        from mixmogam_tpu.oracle.glm import kruskal_wallis_scan
-
-        out = {"ps": np.ones(G.shape[0]), "stats": np.zeros(G.shape[0])}
-        for j in range(G.shape[0]):
-            keep = G[j] >= 0
-            r = kruskal_wallis_scan(G[j:j + 1, keep], y[keep])
-            out["ps"][j] = r["ps"][0]
-            out["stats"][j] = r["stats"][0]
-        return out
+        # sorted-order precompute depends on y only
+        order = np.argsort(y, kind="stable")
+        ys = y[order]
+        new_grp = np.r_[True, ys[1:] != ys[:-1]] if n else np.zeros(0, bool)
+        gid = np.cumsum(new_grp) - 1
+        starts = np.flatnonzero(new_grp)
+        ends = np.append(starts[1:], n)
+        a_idx = jnp.asarray(starts[gid])
+        b_idx = jnp.asarray(ends[gid])
+        st_d = jnp.asarray(starts)
+        en_d = jnp.asarray(ends)
+        Gsrt = G[:, order]
+        M = G.shape[0]
+        hs = np.empty(M)
+        ks = np.empty(M)
+        vs = np.empty(M, dtype=bool)
+        for s in range(0, M, tile):
+            e = min(s + tile, M)
+            chunk = Gsrt[s:e]
+            if e - s < tile:
+                chunk = np.vstack([chunk, np.full((tile - (e - s), n), -1,
+                                                  np.int8)])
+            h, k, v = _kw_missing_tile(jnp.asarray(chunk), a_idx, b_idx,
+                                       st_d, en_d, C, jnp.asarray(
+                                           np.zeros(0, dtype)).dtype)
+            hs[s:e] = np.asarray(h, dtype=np.float64)[: e - s]
+            ks[s:e] = np.asarray(k, dtype=np.float64)[: e - s]
+            vs[s:e] = np.asarray(v)[: e - s]
+        ps = np.where(vs, chi2_sf_host(hs, np.maximum(ks - 1, 1)), 1.0)
+        return {"ps": ps, "stats": np.where(vs, hs, 0.0)}
     if dtype is None:
         dtype = jnp.zeros(0).dtype
     ranks = scipy.stats.rankdata(y)

@@ -33,11 +33,11 @@ from mixmogam_tpu.ops.scan import build_rotated_null, emmax_scan_stats
 from mixmogam_tpu.ops.stats import f_sf_host
 
 
-@jax.jit
-def _impute_tile(t_i8: jnp.ndarray) -> jnp.ndarray:
-    """int8 tile (m, n) with -1 missing -> f32, per-SNP mean imputed
-    (device-side; same rule as oracle.kinship.mean_impute)."""
-    t = t_i8.astype(jnp.float32)
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _impute_tile(t_i8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """int8 tile (m, n) with -1 missing -> float (dtype), per-SNP mean
+    imputed (device-side; same rule as oracle.kinship.mean_impute)."""
+    t = t_i8.astype(dtype)
     miss = t_i8 < 0
     obs = jnp.where(miss, 0.0, t)
     cnt = jnp.maximum(jnp.sum(~miss, axis=1, keepdims=True), 1)
@@ -45,46 +45,92 @@ def _impute_tile(t_i8: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(miss, mu, t)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def _scan_tile_i8(t_i8, rot):
-    return emmax_scan_stats(_impute_tile(t_i8), rot)
+    return emmax_scan_stats(_impute_tile(t_i8, rot.sd.dtype), rot)
+
+
+def _host_float_tile(chunk: np.ndarray, dtype) -> np.ndarray:
+    """Float-source tile: NaN = missing, per-SNP mean imputed on host
+    (tiles hold COMPLETE SNP rows, so per-SNP imputation is tile-local)."""
+    C = np.asarray(chunk, dtype=np.float64)
+    miss = np.isnan(C)
+    if miss.any():
+        mu = np.nanmean(C, axis=1)
+        mu = np.where(np.isnan(mu), 0.0, mu)
+        idx = np.where(miss)
+        C[idx] = mu[idx[0]]
+    return C.astype(dtype)
 
 
 def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
                    eig_k=None, tile: int = 32_768, inflight: int = 4,
                    checkpoint_dir: Optional[str] = None,
                    ngrids: int = 100, llim: float = -10.0, ulim: float = 10.0,
-                   rotate_in_bf16=False,
+                   esp: float = 1e-6, rotate_in_bf16=False,
+                   precision: Optional[str] = None, dtype=None,
+                   host_eigh: bool = True, with_betas: bool = True,
                    ) -> Dict[str, np.ndarray]:
-    """EMMAX over a host-resident int8 genotype source.
+    """EMMAX over a host-resident genotype source.
 
-    matrix_source: (M, n) int8, sliceable by [start:stop] (numpy, memmap,
-    h5py dataset). Returns the same dict as models.emmax.
+    matrix_source: (M, n), sliceable by [start:stop] (numpy, memmap,
+    h5py dataset). int8 sources transfer as int8 (-1 = missing, imputed
+    on DEVICE); float sources are mean-imputed per tile on host (NaN =
+    missing). Returns the same dict as models.emmax.
 
     rotate_in_bf16 selects the same scan precision tiers as models.emmax
-    (False | True | 'x2' | 'x3' | 'int8x2' | 'int8x3' | 'int8x4'). The
+    (False | True | 'x2' | 'x3' | 'int8x2' | 'int8x3' | 'int8x4'), or
+    pass the unified precision= name ('exact'/'auto'/'high'/...). The
     int8 digit-plane tiers matter most HERE — the 1M x 10k streaming
     configuration is MXU-bound, where int8x3 measured 1.38x exact at
     fp32-grade accuracy — but they require a fully-observed source
     (missing dosages are mean-imputed to fractions the digit cast would
     round; tiles are checked host-side and refused).
     """
+    import contextlib
+
+    from mixmogam_tpu.ops.reml import esp_to_refine_iters
+    from mixmogam_tpu.ops.scan import normalize_rotate_tier, resolve_precision
+
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
     M = matrix_source.shape[0]
+    if matrix_source.shape[1] != n:
+        raise ValueError(
+            f"matrix_source is (M={M}, {matrix_source.shape[1]}) but y has "
+            f"{n} samples — expected an (M, n_samples) SNP-major source")
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
+    dtype = np.dtype(dtype)
     if X0 is None:
         X0 = np.ones((n, 1))
     X0 = _as_design(X0, n)
     q = X0.shape[1]
-    null = fit_null_model(y.astype(np.float32), X0.astype(np.float32),
+    matmul_precision = None
+    tier_name = None
+    if precision is not None:
+        if rotate_in_bf16:
+            raise ValueError("pass either precision= or the legacy "
+                             "rotate_in_bf16 kwarg, not both")
+        # 'auto' probes only the first tile (scanning the full multi-GB
+        # source would defeat streaming); int8-tier tiles are re-checked
+        # per tile below anyway
+        probe = np.asarray(matrix_source[:min(tile, M)])
+        rotate_in_bf16, matmul_precision, tier_name = resolve_precision(
+            precision, G=probe)
+    null = fit_null_model(y.astype(dtype), X0.astype(dtype),
                           K=K, eig_k=eig_k, ngrids=ngrids, llim=llim,
-                          ulim=ulim)
-    from mixmogam_tpu.ops.scan import normalize_rotate_tier
-
+                          ulim=ulim,
+                          refine_iters=esp_to_refine_iters(
+                              esp, ngrids, llim, ulim),
+                          host_eigh=host_eigh)
     rd = normalize_rotate_tier(rotate_in_bf16)
     int8_tier = isinstance(rd, str) and rd.startswith("int8")
     rot = build_rotated_null(null, rotate_dtype=rd)
     dof = n - q - 1
+    int8_source = np.dtype(getattr(matrix_source, "dtype", np.int8)) == np.int8
+    mp_ctx = (jax.default_matmul_precision(matmul_precision)
+              if matmul_precision else contextlib.nullcontext())
 
     # ---- checkpoint manifest ----
     # the key must change when the GENOTYPES change, not just the model:
@@ -95,12 +141,12 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
     # for any near-zero/near-total-heritability phenotype, so two traits
     # sharing a checkpoint_dir could otherwise collide.
     h = hashlib.sha256(f"{M}:{n}:{tile}:{float(null.delta):.10g}:{q}:"
-                       f"{rd}".encode())
+                       f"{rd}:{matmul_precision}:{dtype}".encode())
     h.update(np.ascontiguousarray(y).tobytes())
     h.update(np.ascontiguousarray(np.asarray(X0, np.float64)).tobytes())
     for r in sorted({0, M - 1, *range(0, M, max(M // 32, 1))}):
         h.update(np.ascontiguousarray(
-            np.asarray(matrix_source[r:r + 1], dtype=np.int8)).tobytes())
+            np.asarray(matrix_source[r:r + 1])).tobytes())
     run_key = h.hexdigest()[:12]
     done = set()
     if checkpoint_dir:
@@ -148,33 +194,58 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
             todo.append(t)
 
     # ---- async pipelined streaming ----
+    scan_jit = jax.jit(emmax_scan_stats)
     pending = []  # (tile_idx, device_out)
-    for t in todo:
-        s, e = t * tile, min((t + 1) * tile, M)
-        chunk = np.ascontiguousarray(np.asarray(matrix_source[s:e],
-                                                dtype=np.int8))
-        if int8_tier and chunk.min() < 0:
-            raise ValueError(
-                f"rotate_in_bf16={rotate_in_bf16!r} requires a fully-"
-                f"observed genotype source (tile {t} has missing "
-                "dosages; mean-imputed fractions would be rounded by "
-                "the digit-plane cast). Use the exact/bf16 tiers.")
-        if e - s < tile:
-            chunk = np.vstack(
-                [chunk, np.zeros((tile - (e - s), n), np.int8)])
-        out = (emmax_scan_stats(jnp.asarray(chunk), rot) if int8_tier
-               else _scan_tile_i8(jnp.asarray(chunk), rot))
-        pending.append((t, out))
-        if len(pending) >= inflight:
-            t0, o0 = pending.pop(0)
-            store(t0, jax.device_get(o0))
+    with mp_ctx:
+        for t in todo:
+            s, e = t * tile, min((t + 1) * tile, M)
+            if int8_source:
+                chunk = np.ascontiguousarray(
+                    np.asarray(matrix_source[s:e], dtype=np.int8))
+                if int8_tier and chunk.min() < 0:
+                    raise ValueError(
+                        f"rotate_in_bf16={rotate_in_bf16!r} requires a "
+                        f"fully-observed genotype source (tile {t} has "
+                        "missing dosages; mean-imputed fractions would be "
+                        "rounded by the digit-plane cast). Use the "
+                        "exact/bf16 tiers.")
+                if e - s < tile:
+                    chunk = np.vstack(
+                        [chunk, np.zeros((tile - (e - s), n), np.int8)])
+                out = (scan_jit(jnp.asarray(chunk), rot) if int8_tier
+                       else _scan_tile_i8(jnp.asarray(chunk), rot))
+            else:
+                # float source: host-side per-SNP mean imputation (NaN =
+                # missing); tiles hold complete SNP rows so the rule is
+                # tile-local and matches the oracle
+                chunk = _host_float_tile(matrix_source[s:e], dtype)
+                if int8_tier and not np.array_equal(chunk,
+                                                    np.round(chunk)):
+                    raise ValueError(
+                        f"rotate_in_bf16={rotate_in_bf16!r} requires "
+                        f"integer dosages (tile {t} has fractional "
+                        "values). Use the exact/bf16 tiers.")
+                if e - s < tile:
+                    chunk = np.vstack(
+                        [chunk, np.zeros((tile - (e - s), n), dtype)])
+                out = scan_jit(jnp.asarray(chunk), rot)
+            pending.append((t, out))
+            if len(pending) >= inflight:
+                t0, o0 = pending.pop(0)
+                store(t0, jax.device_get(o0))
     for t0, o0 in pending:
         store(t0, jax.device_get(o0))
 
     ps = np.where(mask, f_sf_host(f_stats, 1.0, dof), 1.0)
-    return {"ps": ps, "f_stats": f_stats, "betas": betas,
-            "var_perc": var_perc, "mask": mask, "dof": dof,
-            "pseudo_heritability": float(null.pseudo_heritability),
-            "delta": float(null.delta),
-            "sigma_g2": float(null.sigma_g2),
-            "sigma_e2": float(null.sigma_e2)}
+    out = {"ps": ps, "f_stats": f_stats, "mask": mask, "dof": dof,
+           "pseudo_heritability": float(null.pseudo_heritability),
+           "delta": float(null.delta),
+           "sigma_g2": float(null.sigma_g2),
+           "sigma_e2": float(null.sigma_e2), "ll_null": float(null.ll),
+           "precision_tier": tier_name if tier_name is not None else (
+               rd if isinstance(rd, str)
+               else ("bf16" if rd is not None else "exact"))}
+    if with_betas:
+        out["betas"] = betas
+        out["var_perc"] = var_perc
+    return out

@@ -32,8 +32,17 @@ def emmax_two_snps(G, y, K=None, focal_idx: Optional[Sequence[int]] = None,
                    X0: Optional[np.ndarray] = None, eig_k=None,
                    ngrids: int = 100, llim: float = -10.0, ulim: float = 10.0,
                    dtype=None, tile: int = 8192,
-                   refit_delta_per_focal: bool = False) -> Dict[str, np.ndarray]:
+                   refit_delta_per_focal: bool = False,
+                   from_result=None, top_k: int = 32
+                   ) -> Dict[str, np.ndarray]:
     """Pairwise scan of each focal SNP against all M partners.
+
+    The focal set must be chosen explicitly: pass focal_idx (SNP row
+    indices), or from_result (a prior scan's p-value array or dict with
+    'ps', or a results.Result) to take its top_k hits. Passing neither
+    raises — silently scanning an arbitrary subset would misreport the
+    epistasis surface (all-pairs is O(M^2); restrict A like the
+    reference does, to top hits or a candidate region).
 
     Returns dict with 'cond_ps' and 'inter_ps' of shape (|A|, M), plus
     'focal_idx'. delta is fit once on the global null (EMMAX convention);
@@ -46,8 +55,28 @@ def emmax_two_snps(G, y, K=None, focal_idx: Optional[Sequence[int]] = None,
     Gf = _as_dosage(G, dtype)
     M = Gf.shape[0]
     if focal_idx is None:
-        focal_idx = np.arange(min(M, 32))  # safety default, not all-pairs
+        if from_result is None:
+            raise ValueError(
+                "emmax_two_snps needs an explicit focal set: pass "
+                "focal_idx=[...] (SNP row indices) or "
+                "from_result=<prior scan> to use its top_k hits")
+        ps = from_result
+        if isinstance(ps, dict):
+            ps = ps["ps"]
+        elif hasattr(ps, "scores"):  # results.Result
+            ps = (ps.scores if ps.score_type == "pvals"
+                  else np.power(10.0, -np.asarray(ps.scores)))
+        ps = np.asarray(ps, dtype=np.float64).ravel()
+        if ps.shape[0] != M:
+            raise ValueError(
+                f"from_result has {ps.shape[0]} p-values but G has {M} "
+                "SNPs — the prior scan must cover the same SNP set")
+        focal_idx = np.argsort(ps, kind="stable")[:min(top_k, M)]
     focal_idx = np.asarray(list(focal_idx), dtype=np.int64)
+    if focal_idx.size == 0:
+        raise ValueError("focal_idx is empty")
+    if focal_idx.min() < 0 or focal_idx.max() >= M:
+        raise ValueError(f"focal_idx out of range [0, {M})")
     if X0 is None:
         X0 = np.ones((n, 1))
     X0 = _as_design(X0, n)
