@@ -70,10 +70,23 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
     """EMMAX over T phenotypes sharing one kinship/eigenbasis.
 
     Y: (T, n) trait matrix (rows = traits, aligned to G's samples).
-    Returns ps/f_stats/betas of shape (T, M) + per-trait deltas and h2.
+    Missing phenotype values (NaN) are supported: traits are grouped by
+    missingness pattern, each group runs on its observed sample subset
+    with the kinship sub-block (prepare_k semantics) and its own
+    eigenbasis — exact, one host eigh per DISTINCT pattern (the
+    reference's multi-phenotype files typically have few). Fully
+    observed input keeps the single shared eigenbasis.
+
+    Returns ps/f_stats/betas of shape (T, M) + per-trait deltas and h2;
+    'dof' is a scalar when all traits share the sample set, else a (T,)
+    per-trait array.
     """
     Y = np.atleast_2d(np.asarray(Y, dtype=np.float64))
     T, n = Y.shape
+    if np.isnan(Y).any():
+        return _multi_trait_grouped(G, Y, K=K, X0=X0, ngrids=ngrids,
+                                    llim=llim, ulim=ulim, dtype=dtype,
+                                    tile=tile, tile_budget=tile_budget)
     if dtype is None:
         dtype = jnp.zeros(0).dtype
     Gf = _as_dosage(G, dtype)
@@ -130,3 +143,63 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
             remls["pseudo_heritability"], dtype=np.float64),
         "dof": dof,
     }
+
+
+def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
+                         llim: float = -10.0, ulim: float = 10.0,
+                         dtype=None, tile=None,
+                         tile_budget: int = 1 << 27) -> Dict[str, np.ndarray]:
+    """Per-trait missing phenotypes: group traits by missingness pattern;
+    each group = one sample subset, one kinship sub-block, one shared
+    eigenbasis, one batched scan. SNP degeneracy on a subset is handled by
+    the kernel's per-SNP mask (p = 1), matching the package-wide rule."""
+    T, n = Y.shape
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    Gf = _as_dosage(G, np.float64)
+    M = Gf.shape[0]
+    if X0 is None:
+        X0 = np.ones((n, 1))
+    X0 = _as_design(X0, n)
+    q = X0.shape[1]
+    if K is None:
+        raise ValueError("per-trait missing phenotypes need an explicit "
+                         "(n, n) kinship matrix (eig_k cannot be shared "
+                         "across different sample subsets)")
+    K = np.asarray(K, dtype=np.float64)
+
+    groups: Dict[bytes, list] = {}
+    obs = ~np.isnan(Y)
+    for t in range(T):
+        groups.setdefault(obs[t].tobytes(), []).append(t)
+
+    ps = np.ones((T, M))
+    fs = np.zeros((T, M))
+    betas = np.zeros((T, M))
+    masks = np.zeros((T, M), dtype=bool)
+    deltas = np.empty(T)
+    h2s = np.empty(T)
+    dofs = np.empty(T, dtype=np.int64)
+    for key, tids in groups.items():
+        keep = np.frombuffer(key, dtype=bool)
+        ns = int(keep.sum())
+        if ns < q + 3:
+            raise ValueError(
+                f"traits {tids} have only {ns} observed samples "
+                f"(need at least q+3 = {q + 3})")
+        sub = emmax_multi_trait(
+            np.ascontiguousarray(Gf[:, keep]), Y[np.ix_(tids, np.flatnonzero(keep))],
+            K=K[np.ix_(keep, keep)], X0=X0[keep], ngrids=ngrids,
+            llim=llim, ulim=ulim, dtype=dtype, tile=tile,
+            tile_budget=tile_budget)
+        ps[tids] = sub["ps"]
+        fs[tids] = sub["f_stats"]
+        betas[tids] = sub["betas"]
+        masks[tids] = sub["mask"]
+        deltas[tids] = sub["deltas"]
+        h2s[tids] = sub["pseudo_heritabilities"]
+        dofs[tids] = sub["dof"]
+    one = len(groups) == 1
+    return {"ps": ps, "f_stats": fs, "betas": betas, "mask": masks,
+            "deltas": deltas, "pseudo_heritabilities": h2s,
+            "dof": int(dofs[0]) if one else dofs}

@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mixmogam_tpu.ops.reml import fit_null_model
 from mixmogam_tpu.ops.scan import RotatedNull, build_rotated_null
 from mixmogam_tpu.parallel.mesh import (make_mesh, pad_to_multiple,
+                                        put_global, put_global_tree,
                                         replicated, snp_sharding)
 
 
@@ -64,7 +65,7 @@ def distributed_kinship(G, mesh: Optional[Mesh] = None,
     M = G.shape[0]
     nshard = mesh.shape["snp"]
     Gp, M0 = pad_to_multiple(G, nshard, axis=0)
-    Gd = jax.device_put(Gp, snp_sharding(mesh))
+    Gd = put_global(Gp, snp_sharding(mesh))
 
     if method == "ibs":
         if (G.max(initial=0) if not np.issubdtype(G.dtype, np.floating)
@@ -92,7 +93,7 @@ def distributed_kinship(G, mesh: Optional[Mesh] = None,
         denom = float(ploidy * np.sum(pf[:M0] * (1.0 - pf[:M0])))
         Wp = Gp - (ploidy * pf)[:, None]
         Wp[M0:] = 0.0
-        Wd = jax.device_put(Wp, snp_sharding(mesh))
+        Wd = put_global(Wp, snp_sharding(mesh))
 
         @functools.partial(jax.jit, out_shardings=replicated(mesh))
         def compute(Wd):
@@ -114,6 +115,24 @@ def _scan_sharded(Gd, rot: RotatedNull, pre_rotated: bool = False):
     from mixmogam_tpu.ops.scan import emmax_scan_stats
 
     return emmax_scan_stats(Gd, rot, pre_rotated=pre_rotated)
+
+
+_SCAN_GATHERED_CACHE: Dict = {}
+
+
+def _scan_sharded_gathered(mesh: Mesh):
+    """Like _scan_sharded but with REPLICATED outputs — the run's single
+    all_gather (SURVEY §2.3), and the form every process can read when the
+    mesh spans multiple processes (sharded outputs are only partially
+    addressable there). Jitted once per mesh."""
+    fn = _SCAN_GATHERED_CACHE.get(mesh)
+    if fn is None:
+        from mixmogam_tpu.ops.scan import emmax_scan_stats
+
+        fn = jax.jit(lambda Gd, rot: emmax_scan_stats(Gd, rot),
+                     out_shardings=replicated(mesh))
+        _SCAN_GATHERED_CACHE[mesh] = fn
+    return fn
 
 
 def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
@@ -160,11 +179,12 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
             "(digit-plane matmuls round genotypes to int8)")
     rot = build_rotated_null(null, rotate_dtype=rd)
     # replicate the null model; shard the genotypes
-    rot = jax.device_put(rot, replicated(mesh))
+    rot = put_global_tree(rot, replicated(mesh))
     nshard = mesh.shape["snp"]
     Gp, M0 = pad_to_multiple(Gf, nshard, axis=0)
-    Gd = jax.device_put(Gp, snp_sharding(mesh))
-    d = _scan_sharded(Gd, rot)
+    Gd = put_global(Gp, snp_sharding(mesh))
+    d = (_scan_sharded(Gd, rot) if jax.process_count() == 1
+         else _scan_sharded_gathered(mesh)(Gd, rot))
     f_stats = np.asarray(d["f_stats"], dtype=np.float64)[:M0]
     mask = np.asarray(d["mask"])[:M0]
     dof = int(null.y.shape[0] - X0.shape[1] - 1)
@@ -198,8 +218,8 @@ def distributed_train_step(mesh: Mesh, G: np.ndarray, Y: np.ndarray,
     T, n = Y.shape
     nshard = mesh.shape["snp"]
     Gp, M0 = pad_to_multiple(G, nshard, axis=0)
-    Gd = jax.device_put(Gp, snp_sharding(mesh))
-    Yd = jax.device_put(Y, replicated(mesh))
+    Gd = put_global(Gp, snp_sharding(mesh))
+    Yd = put_global(Y, replicated(mesh))
     pad = Gp.shape[0] - M0
 
     # K via psum (on-device, sharded in / replicated out)
@@ -212,11 +232,11 @@ def distributed_train_step(mesh: Mesh, G: np.ndarray, Y: np.ndarray,
     phi, U = eigen_k(np.asarray(K, dtype=np.float64), host=True)
     X0 = np.ones((n, 1), dtype=np.float32)
     xi, V = projected_spectrum(np.asarray(K, np.float64), X0, host=True)
-    phi = jax.device_put(jnp.asarray(phi, jnp.float32), replicated(mesh))
-    U = jax.device_put(jnp.asarray(U, jnp.float32), replicated(mesh))
-    xi = jax.device_put(jnp.asarray(xi, jnp.float32), replicated(mesh))
-    V = jax.device_put(jnp.asarray(V, jnp.float32), replicated(mesh))
-    X0d = jax.device_put(jnp.asarray(X0), replicated(mesh))
+    phi = put_global(jnp.asarray(phi, jnp.float32), replicated(mesh))
+    U = put_global(jnp.asarray(U, jnp.float32), replicated(mesh))
+    xi = put_global(jnp.asarray(xi, jnp.float32), replicated(mesh))
+    V = put_global(jnp.asarray(V, jnp.float32), replicated(mesh))
+    X0d = put_global(jnp.asarray(X0), replicated(mesh))
 
     @functools.partial(
         jax.jit,

@@ -42,6 +42,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """device_put that also works when the mesh spans MULTIPLE PROCESSES:
+    every process holds the same full host array and contributes only its
+    addressable shards (jax.device_put requires fully-addressable target
+    shardings; make_array_from_callback slices per addressable shard)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def put_global_tree(tree, sharding: NamedSharding):
+    """put_global over a pytree (e.g. a RotatedNull replicated to every
+    device of a multi-process mesh)."""
+    return jax.tree.map(lambda v: put_global(v, sharding), tree)
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0
                     ) -> Tuple[np.ndarray, int]:
     """Pad axis to a multiple (sharding needs even splits); returns

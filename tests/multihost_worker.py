@@ -1,0 +1,89 @@
+"""Worker process for the REAL 2-process jax.distributed test
+(tests/test_multihost_real.py). Each process owns 4 virtual CPU devices;
+together they form an 8-device global mesh over localhost.
+
+Run: python multihost_worker.py <process_id> <num_processes> <port>
+Prints 'WORKER_OK <pid>' on success; any assertion failure exits nonzero.
+"""
+
+import os
+import sys
+
+# must precede first backend use; sitecustomize already imported jax, so
+# configure via jax.config (see tests/conftest.py for why)
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4"
+                           ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+
+    from mixmogam_tpu.parallel.multihost import (
+        host_snp_range, initialize_multihost, make_global_snp_array)
+
+    initialize_multihost(coordinator_address=f"localhost:{port}",
+                         num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == 4 * nproc, len(jax.devices())
+
+    from mixmogam_tpu.data.simulate import simulate_genotypes, simulate_phenotype
+    from mixmogam_tpu.parallel.distributed import (
+        distributed_emmax, distributed_kinship)
+    from mixmogam_tpu.parallel.mesh import make_mesh, replicated
+
+    n, M = 64, 256
+    G, ch, po = simulate_genotypes(n, M, seed=33)  # (M, n), deterministic
+    Gf = G.astype(np.float64)
+    y, _ = simulate_phenotype(G, h2=0.5, n_causal=4, seed=33)
+
+    mesh = make_mesh()  # (8, 1) over both processes
+
+    # ---- 1) kinship psum across processes vs host oracle ----
+    from mixmogam_tpu.ops.kinship import kinship as host_kinship
+
+    Kd = distributed_kinship(Gf, mesh=mesh, method="vanraden")
+    Kh = host_kinship(G, method="vanraden", use_device=False)
+    np.testing.assert_allclose(Kd, Kh, atol=1e-10)
+
+    # ---- 2) per-host loading: each process assembles the global array
+    # from ONLY its own row block ----
+    lo, hi = host_snp_range(M, nproc, pid, tile=M // (4 * nproc))
+    arr = make_global_snp_array(Gf[lo:hi], M, mesh)
+    assert arr.shape == (M, n)
+    gathered = jax.jit(lambda x: x, out_shardings=replicated(mesh))(arr)
+    np.testing.assert_array_equal(np.asarray(gathered), Gf)
+
+    # ---- 3) distributed EMMAX across 2 processes vs single-device ----
+    from mixmogam_tpu.models.emmax import emmax
+
+    K = Kh / np.diag(Kh).mean()
+    d = distributed_emmax(Gf, y, K=K, mesh=mesh)
+    ref = emmax(Gf, y, K=K, stream=False)
+    np.testing.assert_allclose(d["ps"], ref["ps"], atol=1e-9)
+    np.testing.assert_array_equal(d["mask"], ref["mask"])
+    assert abs(d["delta"] - ref["delta"]) < 1e-9
+
+    # ---- 4) the full train step (kinship psum + vmapped REML + sharded
+    # multi-trait scan + device top-k) across processes ----
+    from mixmogam_tpu.parallel.distributed import distributed_train_step
+
+    Y = np.stack([y, np.roll(y, 3)])
+    out = distributed_train_step(mesh, Gf.astype(np.float32), Y, top_k=4)
+    assert out["top_f"].shape == (2, 4)
+    assert np.isfinite(out["top_f"]).all()
+
+    print(f"WORKER_OK {pid}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

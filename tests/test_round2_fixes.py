@@ -341,3 +341,54 @@ class TestTwoSnpApi:
             F = (rss_n - rss_f) / (rss_f / dof)
             p_ref = scipy.stats.f.sf(F, 1, dof)
             assert abs(r["inter_ps"][0, b] - p_ref) < 1e-8, (b, p_ref)
+
+
+class TestMultiTraitMissing:
+    """Per-trait missing phenotypes (round-1 'weak' item): grouped by
+    missingness pattern, each group exact vs single-trait emmax on the
+    observed subset."""
+
+    def test_nan_traits_match_per_trait_subsets(self, small_dataset,
+                                                kinship_small):
+        from mixmogam_tpu.models import emmax
+        from mixmogam_tpu.models.multitrait import emmax_multi_trait
+
+        rng = np.random.default_rng(13)
+        G = small_dataset["G"]
+        y = small_dataset["y"]
+        n = len(y)
+        Y = np.stack([y, y + rng.normal(size=n), rng.normal(size=n)])
+        # trait 1 and 2 share a missing pattern; trait 0 fully observed
+        hole = rng.random(n) < 0.15
+        Y[1, hole] = np.nan
+        Y[2, hole] = np.nan
+        K = kinship_small
+        out = emmax_multi_trait(G, Y, K=K)
+        assert out["dof"].shape == (3,)
+        for t in range(3):
+            keep = ~np.isnan(Y[t])
+            ref = emmax(np.ascontiguousarray(G[:, keep]), Y[t][keep],
+                        K=K[np.ix_(keep, keep)], stream=False)
+            # SNPs monomorphic on the subset are masked (p=1) in both;
+            # rtol: the two paths refine REML delta to slightly different
+            # depths (esp-driven vs default grid refinement)
+            np.testing.assert_allclose(out["ps"][t], ref["ps"],
+                                       rtol=1e-5, atol=1e-8)
+            assert abs(out["deltas"][t] - ref["delta"]) < 1e-4
+
+    def test_fully_observed_unchanged(self, small_dataset, kinship_small):
+        from mixmogam_tpu.models.multitrait import emmax_multi_trait
+
+        y = small_dataset["y"]
+        Y = np.stack([y, np.roll(y, 5)])
+        out = emmax_multi_trait(small_dataset["G"], Y, K=kinship_small)
+        assert np.isscalar(out["dof"]) or np.ndim(out["dof"]) == 0
+
+    def test_too_few_observed_raises(self, small_dataset, kinship_small):
+        from mixmogam_tpu.models.multitrait import emmax_multi_trait
+
+        y = small_dataset["y"].copy()
+        y[3:] = np.nan  # 3 observed samples
+        with pytest.raises(ValueError, match="observed"):
+            emmax_multi_trait(small_dataset["G"], y[None, :],
+                              K=kinship_small)
