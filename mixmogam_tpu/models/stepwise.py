@@ -67,11 +67,16 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
                     ngrids: int = 100, llim: float = -10.0,
                     ulim: float = 10.0, esp: float = 1e-6,
                     dtype=None, tile: int = 8192, eig_k=None,
-                    save_scans: bool = False,
+                    save_scans: bool = False, early_stop: bool = False,
                     rot_budget_bytes: int = 8 << 30) -> Dict:
     """Returns {'steps': [...], 'selected': {criterion: {...}},
     'bonf_threshold': float} — same schema as the oracle
     (oracle.mlmm_step_wise), parity-tested.
+
+    early_stop=True stops the forward phase once the scan's min p-value
+    exceeds the Bonferroni threshold (the reference's stop rule);
+    default False always runs max_steps and lets the selection criteria
+    pick the best step (the oracle-parity behavior).
 
     Memory strategy: when the rotated genotype matrix fits in
     rot_budget_bytes of HBM it is stored once (per-step scans are then
@@ -254,6 +259,12 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
         if save_scans:
             step["scan_ps"] = ps
         steps.append(step)
+        if early_stop and step["min_p"] > bonf:
+            # reference stop rule: no genome-wide-significant SNP left to
+            # add. Default (False) runs all max_steps like the oracle —
+            # model selection then picks the best step, which can differ
+            # from stop-at-first-nonsignificant on non-monotone paths.
+            break
         cof = cof + [jmin]
 
     step, _, _ = record(cof, "forward")

@@ -117,6 +117,29 @@ def _scan_sharded(Gd, rot: RotatedNull, pre_rotated: bool = False):
     return emmax_scan_stats(Gd, rot, pre_rotated=pre_rotated)
 
 
+def rot_shardings(mesh: Mesh, rot: RotatedNull):
+    """Shardings for the RotatedNull pytree (SURVEY §2.3 TP row).
+
+    With a 1-wide 'sample' axis everything replicates (the DP default).
+    With sample > 1 the (n, n) rotate+whiten operator W — the HBM hog at
+    large n (fp32 W alone is 10 GB at n = 50k) — is sharded over its
+    CONTRACTION rows, matching G's column sharding in snp_sharding:
+    each chip holds W[rows_s, :] and G[:, rows_s], computes the partial
+    rotation locally, and XLA psums the (tile, n) partials over the
+    'sample' axis — the classic tensor-parallel matmul. comm/compute =
+    S/n per tile: negligible for n >> mesh width. The small n-vectors
+    (sd, y_res) and (n, q) Q0 stay replicated."""
+    if mesh.shape["sample"] == 1:
+        return jax.tree.map(lambda _: replicated(mesh), rot)
+    rep = replicated(mesh)
+    w_spec = (P(None, "sample", None) if rot.W.ndim == 3  # (k, n, n) tiers
+              else P("sample", None))
+    return RotatedNull(
+        W=NamedSharding(mesh, w_spec), sd=rep, Q0=rep, y_res=rep,
+        rss0=rep, dof=rep,
+        w_scale=None if rot.w_scale is None else rep)
+
+
 _SCAN_GATHERED_CACHE: Dict = {}
 
 
@@ -178,8 +201,9 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
             f"rotate_in_bf16={rotate_in_bf16!r} requires integer dosages "
             "(digit-plane matmuls round genotypes to int8)")
     rot = build_rotated_null(null, rotate_dtype=rd)
-    # replicate the null model; shard the genotypes
-    rot = put_global_tree(rot, replicated(mesh))
+    # null model: replicated on a DP mesh; W row-sharded over 'sample'
+    # on a TP mesh (see rot_shardings); genotypes SNP-sharded either way
+    rot = jax.tree.map(put_global, rot, rot_shardings(mesh, rot))
     nshard = mesh.shape["snp"]
     Gp, M0 = pad_to_multiple(Gf, nshard, axis=0)
     Gd = put_global(Gp, snp_sharding(mesh))

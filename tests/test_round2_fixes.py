@@ -392,3 +392,24 @@ class TestMultiTraitMissing:
         with pytest.raises(ValueError, match="observed"):
             emmax_multi_trait(small_dataset["G"], y[None, :],
                               K=kinship_small)
+
+
+class TestStepwiseEarlyStop:
+    def test_early_stop_halts_forward(self, small_dataset, kinship_small):
+        from mixmogam_tpu.models.stepwise import emmax_step_wise
+
+        G, y, K = (small_dataset["G"], small_dataset["y"], kinship_small)
+        full = emmax_step_wise(G, y, K=K, max_steps=6)
+        es = emmax_step_wise(G, y, K=K, max_steps=6, early_stop=True)
+        fwd_full = [s for s in full["steps"] if s["phase"] == "forward"
+                    and np.isfinite(s.get("min_p", np.nan))]
+        fwd_es = [s for s in es["steps"] if s["phase"] == "forward"
+                  and np.isfinite(s.get("min_p", np.nan))]
+        assert len(fwd_es) <= len(fwd_full)
+        # identical prefix: early stop must not change the steps it runs
+        for a, b in zip(fwd_es, fwd_full):
+            assert a["min_p_snp"] == b["min_p_snp"]
+        # stopped exactly at the first non-significant scan (if it did)
+        bonf = es["bonf_threshold"]
+        for s in fwd_es[:-1]:
+            assert s["min_p"] <= bonf
