@@ -66,7 +66,9 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
                       eig_k: Optional[Tuple] = None, ngrids: int = 100,
                       llim: float = -10.0, ulim: float = 10.0,
                       dtype=None, tile: Optional[int] = None,
-                      tile_budget: int = 1 << 27) -> Dict[str, np.ndarray]:
+                      tile_budget: int = 1 << 27,
+                      stream_budget_bytes: int = 4 << 30
+                      ) -> Dict[str, np.ndarray]:
     """EMMAX over T phenotypes sharing one kinship/eigenbasis.
 
     Y: (T, n) trait matrix (rows = traits, aligned to G's samples).
@@ -89,8 +91,22 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
                                     tile=tile, tile_budget=tile_budget)
     if dtype is None:
         dtype = jnp.zeros(0).dtype
-    Gf = _as_dosage(G, dtype)
-    M = Gf.shape[0]
+    # big-M routing (mirrors models.emmax): stream SNP tiles from host
+    # instead of materializing G (+ its float copy) on device — config #4
+    # is 1M x 10k x 50 traits, where the rotation is paid ONCE per tile
+    # and shared by every trait (the whole point of the shared-eigenbasis
+    # batch: 50 traits for ~1.07x the single-trait scan cost)
+    if hasattr(G, "matrix"):
+        G_src = G.matrix
+    elif hasattr(G, "shape") and hasattr(G, "dtype"):
+        G_src = G  # ndarray / memmap / h5py dataset — keep lazy
+    else:
+        G_src = np.asarray(G)
+    M = G_src.shape[0]
+    g_item = 1 if np.dtype(G_src.dtype) == np.int8 else np.dtype(dtype).itemsize
+    streamed = M * n * (np.dtype(dtype).itemsize + g_item) > stream_budget_bytes
+    int8_source = np.dtype(G_src.dtype) == np.int8
+    Gf = None if streamed else _as_dosage(G, dtype)
     if X0 is None:
         X0 = np.ones((n, 1))
     X0 = _as_design(X0, n)
@@ -118,22 +134,53 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
 
     if tile is None:
         tile = max(64, min(8192, tile_budget // max(T * n, 1)))
-    Gd = jnp.asarray(Gf)
+    Gd = None if streamed else jnp.asarray(Gf)
     fs = np.empty((T, M))
     betas = np.empty((T, M))
     masks = np.empty((T, M), dtype=bool)
-    for s in range(0, M, tile):
-        e = min(s + tile, M)
-        Gt = Gd[s:e]
-        if e - s < tile:
-            Gt = jnp.pad(Gt, ((0, tile - (e - s)), (0, 0)))
-        G_rot_tile = Gt @ U
-        f, b, mk = _scan_tile_multitrait(G_rot_tile, sd, X0s, L, y_res,
-                                         rss0, float(dof))
+    rotate = jax.jit(lambda t, U: t.astype(U.dtype) @ U)
+    pending = []
+
+    def drain(s, e, out):
+        f, b, mk = jax.device_get(out)
         m = e - s
         fs[:, s:e] = np.asarray(f)[:, :m]
         betas[:, s:e] = np.asarray(b)[:, :m]
         masks[:, s:e] = np.asarray(mk)[:, :m]
+
+    for s in range(0, M, tile):
+        e = min(s + tile, M)
+        if streamed:
+            if int8_source:
+                chunk = np.ascontiguousarray(
+                    np.asarray(G_src[s:e], dtype=np.int8))
+                if e - s < tile:
+                    chunk = np.vstack(
+                        [chunk, np.zeros((tile - (e - s), n), np.int8)])
+                from mixmogam_tpu.models.streaming import _impute_tile
+
+                Gt = _impute_tile(jnp.asarray(chunk), np.dtype(dtype).name)
+            else:
+                from mixmogam_tpu.models.streaming import _host_float_tile
+
+                chunk = _host_float_tile(G_src[s:e], np.dtype(dtype))
+                if e - s < tile:
+                    chunk = np.vstack(
+                        [chunk,
+                         np.zeros((tile - (e - s), n), np.dtype(dtype))])
+                Gt = jnp.asarray(chunk)
+        else:
+            Gt = Gd[s:e]
+            if e - s < tile:
+                Gt = jnp.pad(Gt, ((0, tile - (e - s)), (0, 0)))
+        G_rot_tile = rotate(Gt, U)
+        out = _scan_tile_multitrait(G_rot_tile, sd, X0s, L, y_res,
+                                    rss0, float(dof))
+        pending.append((s, e, out))
+        if len(pending) >= 4:
+            drain(*pending.pop(0))
+    for item in pending:
+        drain(*item)
 
     ps = np.where(masks, f_sf_host(fs, 1.0, dof), 1.0)
     return {

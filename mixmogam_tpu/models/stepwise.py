@@ -119,8 +119,17 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
               else U.T @ jnp.asarray(X0, dtype=dtype))
     if use_stored:
         # rotate genotypes ONCE; every scan afterwards is elementwise
-        Gf = _as_dosage(G, dtype)
-        G_rot = jnp.asarray(Gf) if identity_k else jnp.asarray(Gf) @ U
+        if identity_k:
+            G_rot = jnp.asarray(_as_dosage(G, dtype))
+        else:
+            # tiled device-side build: peak HBM = G_rot + one tile (a
+            # full float G alongside G_rot would be 2x and OOM at
+            # config-#5 scale, 262k+ x 10k)
+            from mixmogam_tpu.models.streaming import (
+                rotate_streamed_to_device)
+
+            G_src = G.matrix if hasattr(G, "matrix") else np.asarray(G)
+            G_rot = rotate_streamed_to_device(G_src, U, dtype)
         G_i8 = None
     else:
         G_rot = None

@@ -50,6 +50,42 @@ def _scan_tile_i8(t_i8, rot):
     return emmax_scan_stats(_impute_tile(t_i8, rot.sd.dtype), rot)
 
 
+def rotate_streamed_to_device(G_src, U, dtype=None,
+                              tile: int = 16_384) -> jnp.ndarray:
+    """Build the rotated genotype matrix G_rot = impute(G) @ U ON DEVICE,
+    tile-by-tile from a host source — the 'rotate once, scan many' asset
+    for stepwise/EMMA/permutation at scale (BASELINE config #5). Peak
+    device footprint = G_rot (M x n x itemsize) + one tile + U; the float
+    G is never materialized on device (a full Gf + G_rot would be 2x).
+
+    G_src: (M, n) sliceable host source, int8 (-1 missing, device
+    imputation) or float (NaN missing, host per-tile imputation)."""
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    M, n = G_src.shape
+    int8_source = np.dtype(getattr(G_src, "dtype", np.int8)) == np.int8
+    out = jnp.zeros((M, n), dtype=dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def upd(out, td, U, s):
+        rot = jnp.dot(td.astype(U.dtype), U,
+                      preferred_element_type=out.dtype)
+        return jax.lax.dynamic_update_slice(
+            out, rot, (s, jnp.zeros((), s.dtype)))
+
+    U = jnp.asarray(U, dtype=dtype)
+    for s in range(0, M, tile):
+        e = min(s + tile, M)
+        if int8_source:
+            chunk = np.ascontiguousarray(np.asarray(G_src[s:e],
+                                                    dtype=np.int8))
+            td = _impute_tile(jnp.asarray(chunk), np.dtype(dtype).name)
+        else:
+            td = jnp.asarray(_host_float_tile(G_src[s:e], np.dtype(dtype)))
+        out = upd(out, td, U, jnp.asarray(s, jnp.int32))
+    return out
+
+
 def _host_float_tile(chunk: np.ndarray, dtype) -> np.ndarray:
     """Float-source tile: NaN = missing, per-SNP mean imputed on host
     (tiles hold COMPLETE SNP rows, so per-SNP imputation is tile-local)."""

@@ -413,3 +413,64 @@ class TestStepwiseEarlyStop:
         bonf = es["bonf_threshold"]
         for s in fwd_es[:-1]:
             assert s["min_p"] <= bonf
+
+
+class TestStreamedRotation:
+    def test_rotate_streamed_matches_dense(self, small_dataset,
+                                           kinship_small):
+        import scipy.linalg
+
+        from mixmogam_tpu.models.streaming import rotate_streamed_to_device
+
+        G = small_dataset["G_int"].copy()
+        rng = np.random.default_rng(4)
+        G[rng.random(G.shape) < 0.1] = -1
+        phi, U = scipy.linalg.eigh(kinship_small)
+        got = np.asarray(rotate_streamed_to_device(G, U, np.float64,
+                                                   tile=96))
+        from mixmogam_tpu.models.emmax import _as_dosage
+
+        want = _as_dosage(G, np.float64) @ U
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+    def test_stepwise_stored_path_unchanged(self, small_dataset,
+                                            kinship_small):
+        """The tiled stored-rotation build gives the same stepwise path
+        as before (oracle parity is covered in test_models)."""
+        from mixmogam_tpu.models.stepwise import emmax_step_wise
+
+        G, y, K = (small_dataset["G"], small_dataset["y"], kinship_small)
+        stored = emmax_step_wise(G, y, K=K, max_steps=3)
+        streamed = emmax_step_wise(G, y, K=K, max_steps=3,
+                                   rot_budget_bytes=1)
+        for a, b in zip(stored["steps"], streamed["steps"]):
+            assert a["cofactors"] == b["cofactors"]
+            if np.isfinite(a.get("min_p", np.nan)):
+                assert abs(a["min_p"] - b["min_p"]) < 1e-9
+
+
+class TestMultiTraitStreamed:
+    def test_streamed_matches_incore(self, small_dataset, kinship_small):
+        from mixmogam_tpu.models.multitrait import emmax_multi_trait
+
+        G = small_dataset["G_int"]
+        y = small_dataset["y"]
+        Y = np.stack([y, np.roll(y, 7), np.roll(y, 13)])
+        K = kinship_small
+        ref = emmax_multi_trait(G, Y, K=K)
+        st = emmax_multi_trait(G, Y, K=K, stream_budget_bytes=1024)
+        np.testing.assert_allclose(st["ps"], ref["ps"], atol=1e-9)
+        np.testing.assert_array_equal(st["mask"], ref["mask"])
+
+    def test_streamed_float_nan_source(self, small_dataset, kinship_small):
+        from mixmogam_tpu.models.multitrait import emmax_multi_trait
+
+        rng = np.random.default_rng(9)
+        Gf = small_dataset["G"].copy()
+        Gf[rng.random(Gf.shape) < 0.08] = np.nan
+        y = small_dataset["y"]
+        Y = np.stack([y, np.roll(y, 3)])
+        ref = emmax_multi_trait(Gf, Y, K=kinship_small)
+        st = emmax_multi_trait(Gf, Y, K=kinship_small,
+                               stream_budget_bytes=1024)
+        np.testing.assert_allclose(st["ps"], ref["ps"], atol=1e-9)
