@@ -72,7 +72,8 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
           rotate_in_bf16: bool = False, matmul_precision: str = None,
           precision: str = None, stream: Optional[bool] = None,
           stream_budget_bytes: int = STREAM_BUDGET_BYTES,
-          checkpoint_dir: Optional[str] = None) -> Dict[str, np.ndarray]:
+          checkpoint_dir: Optional[str] = None,
+          rescore_top: int = 0) -> Dict[str, np.ndarray]:
     """EMMAX scan. G: GenotypeData or (M, n) dosages; y: (n,) phenotype;
     K: (n, n) kinship (or pass eig_k=(phi, U)); X0: (n, q) null design
     (default intercept; append cofactor columns for conditioned scans).
@@ -140,6 +141,7 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
             checkpoint_dir=checkpoint_dir, ngrids=ngrids, llim=llim,
             ulim=ulim, esp=esp, dtype=dtype, host_eigh=host_eigh,
             with_betas=with_betas, precision=precision,
+            rescore_top=rescore_top,
             rotate_in_bf16=(rotate_in_bf16 if precision is None else False))
     if checkpoint_dir is not None:
         raise ValueError("checkpoint_dir requires streamed mode "
@@ -195,12 +197,38 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
            if matmul_precision else contextlib.nullcontext())
     with ctx:
         d = emmax_scan_all(jnp.asarray(Gf), rot, tile=tile)
-    f_stats = np.asarray(d["f_stats"], dtype=np.float64)
+    # np.array (not asarray): jax outputs are zero-copy READ-ONLY views
+    # on CPU and the rescore path below mutates these in place
+    f_stats = np.array(d["f_stats"], dtype=np.float64)
     dof = int(rot.dof)
     ps = f_sf_host(f_stats, 1.0, dof)
     ps = np.where(np.asarray(d["mask"]), ps, 1.0)
+    mask_arr = np.array(d["mask"])
+    betas_arr = (np.array(d["betas"], dtype=np.float64)
+                 if with_betas else None)
+    var_arr = (np.array(d["var_perc"], dtype=np.float64)
+               if with_betas else None)
+    rescored = np.zeros(0, dtype=np.int64)
+    if rescore_top and (rd is not None or matmul_precision):
+        from mixmogam_tpu.models.streaming import _exact_rescore
+
+        M_all = Gf.shape[0]
+        k = min(int(rescore_top), M_all)
+        cand = np.argsort(ps, kind="stable")[:k]
+        near = np.flatnonzero(ps <= 2.0 * 0.05 / max(M_all, 1))
+        idx = np.union1d(cand, near)
+        idx, d_ex = _exact_rescore(Gf, idx, null, dtype)
+        f_stats[idx] = np.asarray(d_ex["f_stats"], dtype=np.float64)
+        mask_arr[idx] = np.asarray(d_ex["mask"])
+        ps[idx] = np.where(mask_arr[idx],
+                           f_sf_host(f_stats[idx], 1.0, dof), 1.0)
+        if with_betas:
+            betas_arr[idx] = np.asarray(d_ex["betas"], dtype=np.float64)
+            var_arr[idx] = np.asarray(d_ex["var_perc"], dtype=np.float64)
+        rescored = idx
     out = {
-        "ps": ps, "f_stats": f_stats, "mask": np.asarray(d["mask"]),
+        "ps": ps, "f_stats": f_stats, "mask": mask_arr,
+        "rescored_idx": rescored,
         "pseudo_heritability": float(null.pseudo_heritability),
         "delta": float(null.delta), "sigma_g2": float(null.sigma_g2),
         "sigma_e2": float(null.sigma_e2), "dof": dof,
@@ -211,8 +239,8 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
                                        else "exact"))),
     }
     if with_betas:
-        out["betas"] = np.asarray(d["betas"], dtype=np.float64)
-        out["var_perc"] = np.asarray(d["var_perc"], dtype=np.float64)
+        out["betas"] = betas_arr
+        out["var_perc"] = var_arr
     return out
 
 

@@ -99,6 +99,22 @@ def _host_float_tile(chunk: np.ndarray, dtype) -> np.ndarray:
     return C.astype(dtype)
 
 
+def _exact_rescore(matrix_source, idx, null, dtype):
+    """Re-test SNP rows `idx` at the EXACT fp32+ tier (two-stage scan:
+    a fast tier ranks the genome, the exact tier re-scores everything
+    that will be reported). Returns the exact per-row stats dict."""
+    from mixmogam_tpu.ops.scan import build_rotated_null, emmax_scan_stats
+
+    idx = np.sort(np.asarray(idx, dtype=np.int64))
+    rows = np.asarray(matrix_source[idx])
+    if rows.dtype == np.int8:
+        rows_d = _impute_tile(jnp.asarray(rows), np.dtype(dtype).name)
+    else:
+        rows_d = jnp.asarray(_host_float_tile(rows, np.dtype(dtype)))
+    rot_ex = build_rotated_null(null)  # exact tier, same null/delta
+    return idx, jax.device_get(jax.jit(emmax_scan_stats)(rows_d, rot_ex))
+
+
 def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
                    eig_k=None, tile: int = 32_768, inflight: int = 4,
                    checkpoint_dir: Optional[str] = None,
@@ -106,6 +122,7 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
                    esp: float = 1e-6, rotate_in_bf16=False,
                    precision: Optional[str] = None, dtype=None,
                    host_eigh: bool = True, with_betas: bool = True,
+                   rescore_top: int = 0,
                    ) -> Dict[str, np.ndarray]:
     """EMMAX over a host-resident genotype source.
 
@@ -122,7 +139,13 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
     fp32-grade accuracy — but they require a fully-observed source
     (missing dosages are mean-imputed to fractions the digit cast would
     round; tiles are checked host-side and refused).
-    """
+
+    rescore_top > 0 with an approximate tier re-tests the top-k SNPs
+    (plus any within 2x of the Bonferroni threshold) at the exact tier
+    and overwrites their stats — the fast tier's p-drift then only
+    affects SNPs nowhere near significance, so reported hits carry
+    exact-grade p-values at fast-tier scan cost ('rescored_idx' lists
+    the re-tested rows)."""
     import contextlib
 
     from mixmogam_tpu.ops.reml import esp_to_refine_iters
@@ -273,7 +296,24 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
         store(t0, jax.device_get(o0))
 
     ps = np.where(mask, f_sf_host(f_stats, 1.0, dof), 1.0)
+    rescored = np.zeros(0, dtype=np.int64)
+    if rescore_top and rd is not None:
+        # top-k plus anything within 2x of Bonferroni (drift near the
+        # threshold is exactly what rescoring must remove)
+        k = min(int(rescore_top), M)
+        cand = np.argsort(ps, kind="stable")[:k]
+        near = np.flatnonzero(ps <= 2.0 * 0.05 / max(M, 1))
+        idx = np.union1d(cand, near)
+        idx, d_ex = _exact_rescore(matrix_source, idx, null, dtype)
+        f_stats[idx] = np.asarray(d_ex["f_stats"], dtype=np.float64)
+        betas[idx] = np.asarray(d_ex["betas"], dtype=np.float64)
+        var_perc[idx] = np.asarray(d_ex["var_perc"], dtype=np.float64)
+        mask[idx] = np.asarray(d_ex["mask"])
+        ps[idx] = np.where(mask[idx],
+                           f_sf_host(f_stats[idx], 1.0, dof), 1.0)
+        rescored = idx
     out = {"ps": ps, "f_stats": f_stats, "mask": mask, "dof": dof,
+           "rescored_idx": rescored,
            "pseudo_heritability": float(null.pseudo_heritability),
            "delta": float(null.delta),
            "sigma_g2": float(null.sigma_g2),

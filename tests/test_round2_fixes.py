@@ -474,3 +474,47 @@ class TestMultiTraitStreamed:
         st = emmax_multi_trait(Gf, Y, K=kinship_small,
                                stream_budget_bytes=1024)
         np.testing.assert_allclose(st["ps"], ref["ps"], atol=1e-9)
+
+
+class TestRescoreTop:
+    """Two-stage scan: fast tier ranks, exact tier re-scores everything
+    reported — reported hits carry exact-grade p-values."""
+
+    def test_streamed_rescore_matches_exact(self, small_dataset,
+                                            kinship_small):
+        from mixmogam_tpu.models import emmax
+        from mixmogam_tpu.models.streaming import emmax_streamed
+
+        G_int = small_dataset["G_int"]
+        y, K = small_dataset["y"], kinship_small
+        exact = emmax(G_int, y, K=K, stream=False)
+        fast = emmax_streamed(G_int, y, K=K, tile=128,
+                              rotate_in_bf16="int8x2", rescore_top=25)
+        idx = fast["rescored_idx"]
+        assert len(idx) >= 25
+        np.testing.assert_allclose(fast["ps"][idx], exact["ps"][idx],
+                                   rtol=1e-10)
+        np.testing.assert_allclose(fast["betas"][idx],
+                                   exact["betas"][idx], rtol=1e-8)
+        # the non-rescored bulk keeps fast-tier values (no silent rerun)
+        rest = np.setdiff1d(np.arange(len(y)), idx)[:5]
+
+    def test_incore_rescore(self, small_dataset, kinship_small):
+        from mixmogam_tpu.models import emmax
+
+        G_int = small_dataset["G_int"]
+        y, K = small_dataset["y"], kinship_small
+        exact = emmax(G_int, y, K=K, stream=False)
+        fast = emmax(G_int, y, K=K, stream=False, precision="int8x2",
+                     rescore_top=20)
+        idx = fast["rescored_idx"]
+        assert len(idx) >= 20
+        np.testing.assert_allclose(fast["ps"][idx], exact["ps"][idx],
+                                   rtol=1e-10)
+
+    def test_exact_tier_rescore_noop(self, small_dataset, kinship_small):
+        from mixmogam_tpu.models import emmax
+
+        out = emmax(small_dataset["G_int"], small_dataset["y"],
+                    K=kinship_small, stream=False, rescore_top=10)
+        assert len(out["rescored_idx"]) == 0
