@@ -22,9 +22,10 @@ _CHROM_COLORS = ("#4878CF", "#6ACC65")
 
 
 def manhattan_plot(result, path: str, threshold: Optional[float] = None,
-                   title: str = "", max_points: int = 200_000) -> None:
+                   title: str = "", max_points: int = 200_000):
     """result: Result with score_type 'pvals' or 'neg_log_pvals'.
-    threshold: p-value threshold (drawn as -log10 line)."""
+    threshold: p-value threshold (drawn as -log10 line).
+    Returns the (closed) Figure so callers/tests can inspect artists."""
     plt = _plt()
     r = result.neg_log_trans() if result.score_type == "pvals" else result
     chroms = np.asarray(r.chromosomes)
@@ -60,13 +61,14 @@ def manhattan_plot(result, path: str, threshold: Optional[float] = None,
     fig.tight_layout()
     fig.savefig(path, dpi=130)
     plt.close(fig)
+    return fig
 
 
 def qq_plot(pvals_or_result, path: str, title: str = "",
             num_dots: int = 1000, max_neg_log: Optional[float] = None,
-            with_confidence: bool = True) -> None:
+            with_confidence: bool = True):
     """Log-QQ plot of observed vs expected -log10(p) with a 95% band
-    (reference: plotResults.simple_log_qqplot)."""
+    (reference: plotResults.simple_log_qqplot). Returns the Figure."""
     plt = _plt()
     if hasattr(pvals_or_result, "scores"):
         r = pvals_or_result
@@ -108,3 +110,4 @@ def qq_plot(pvals_or_result, path: str, title: str = "",
     fig.tight_layout()
     fig.savefig(path, dpi=130)
     plt.close(fig)
+    return fig

@@ -45,3 +45,70 @@ def test_manhattan_subsamples_large(tmp_path):
                np.sort(rng.integers(1, 10_000_000, m)))
     manhattan_plot(r, str(tmp_path / "man3.png"), max_points=5_000)
     assert os.path.exists(tmp_path / "man3.png")
+
+
+class TestPlotContent:
+    """Content checks on the returned Figure (round-1 'weak tests' item):
+    the artists must encode the data, not just render bytes."""
+
+    def test_manhattan_artists(self, tmp_path):
+        r = _result()
+        thr = 1e-5
+        fig = manhattan_plot(r, str(tmp_path / "m.png"), threshold=thr)
+        ax = fig.axes[0]
+        # one scatter collection per chromosome, total points == len(r)
+        colls = [c for c in ax.collections]
+        n_pts = sum(len(c.get_offsets()) for c in colls)
+        assert n_pts == len(r)
+        assert len(colls) == len(np.unique(r.chromosomes))
+        # threshold line drawn at -log10(thr)
+        hlines = [ln for ln in ax.lines]
+        ys = {round(float(ln.get_ydata()[0]), 6) for ln in hlines}
+        assert round(-np.log10(thr), 6) in ys
+        # y data equals -log10(p) (max matches)
+        ymax = max(float(c.get_offsets()[:, 1].max()) for c in colls)
+        assert abs(ymax - (-np.log10(r.scores.min()))) < 1e-9
+        # chromosome tick labels in order
+        assert [t.get_text() for t in ax.get_xticklabels()] == \
+            [str(c) for c in np.unique(r.chromosomes)]
+
+    def test_manhattan_chromosome_offsets_monotone(self, tmp_path):
+        r = _result()
+        fig = manhattan_plot(r, str(tmp_path / "m2.png"))
+        ax = fig.axes[0]
+        # per-chromosome x ranges must not overlap (offset accumulation)
+        ranges = []
+        for c in ax.collections:
+            x = c.get_offsets()[:, 0]
+            ranges.append((float(x.min()), float(x.max())))
+        ranges.sort()
+        for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+            assert a1 < b0
+
+    def test_qq_content(self, tmp_path):
+        r = _result()
+        fig = qq_plot(r, str(tmp_path / "q.png"))
+        ax = fig.axes[0]
+        pts = ax.collections[-1].get_offsets()
+        exp_l, obs_l = np.asarray(pts[:, 0]), np.asarray(pts[:, 1])
+        # expected quantiles decrease monotonically with sort order;
+        # both axes nonnegative; the extreme observed point equals the
+        # smallest p
+        assert (exp_l >= 0).all() and (obs_l >= 0).all()
+        assert abs(obs_l.max() - (-np.log10(r.scores.min()))) < 1e-9
+        # identity line present
+        assert any(len(ln.get_xdata()) == 2 for ln in ax.lines)
+        # confidence band rendered as a filled polygon
+        from matplotlib.collections import PolyCollection
+
+        assert any(isinstance(c, PolyCollection) for c in fig.axes[0].collections)
+
+    def test_qq_uniform_null_on_diagonal(self, tmp_path):
+        rng = np.random.default_rng(7)
+        p = rng.random(20_000)
+        fig = qq_plot(p, str(tmp_path / "q2.png"), with_confidence=False)
+        ax = fig.axes[0]
+        pts = ax.collections[-1].get_offsets()
+        # uniform p-values hug the identity: median |obs-exp| tiny
+        d = np.abs(pts[:, 1] - pts[:, 0])
+        assert np.median(d) < 0.05
