@@ -60,6 +60,17 @@ def _add_run(sub):
                         "bf16x2=split-W 2-pass (~1e-5, ~1.3x); "
                         "int8x2=digit planes (~1e-4, fast); "
                         "bf16=1-pass (~6e-3 p-drift, ~1.6-2x)")
+    p.add_argument("--rescore-top", type=int, default=0,
+                   help="with a fast --precision tier: re-test the top-K "
+                        "SNPs (+ anything near Bonferroni) at the exact "
+                        "tier so reported hits carry exact-grade p-values")
+    p.add_argument("--stream", default=None, choices=["auto", "on", "off"],
+                   help="stream SNP tiles from host (default auto: "
+                        "streams when the device footprint exceeds "
+                        "~4 GiB; emmax only)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="tile-granular resume directory for streamed "
+                        "emmax scans")
 
 
 def _add_kinship(sub):
@@ -115,6 +126,19 @@ def main(argv=None) -> int:
                 ap.error(f"--precision {args.precision} is only supported "
                          f"for --method emmax (got {args.method})")
             tier_kw["precision"] = args.precision
+        if args.rescore_top:
+            if args.method != "emmax":
+                ap.error("--rescore-top requires --method emmax")
+            tier_kw["rescore_top"] = args.rescore_top
+        if args.stream in ("on", "off"):
+            if args.method != "emmax":
+                ap.error("--stream requires --method emmax")
+            tier_kw["stream"] = args.stream == "on"
+        if args.checkpoint_dir:
+            if args.method != "emmax":
+                ap.error("--checkpoint-dir requires --method emmax")
+            tier_kw["checkpoint_dir"] = args.checkpoint_dir
+            tier_kw.setdefault("stream", True)
         ctx = debug_nans(True) if args.debug_nans else contextlib.nullcontext()
         with ctx:
             out = run_gwas(
