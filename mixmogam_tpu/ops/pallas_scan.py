@@ -249,6 +249,157 @@ def pallas_rotate_scan(G, rot, tm: int = 256, nb: int = 512,
             "mask": maskf > 0.5}
 
 
+def _make_int8_rotate_scan_kernel(num_planes: int):
+    """int8 digit-plane fused rotate+scan: G stays int8 in VMEM and is
+    read from HBM ONCE per scan (XLA's int8xK tier re-reads it once per
+    plane and round-trips Xs through HBM); each plane dot accumulates
+    exactly in int32 (2x bf16 MXU rate on v5e), recombined base-256 in
+    f32 and column-scaled by w_scale. Epilogue identical to the bf16
+    kernel. All dots UNCONDITIONAL (Mosaic rejects predicated dots on
+    this toolchain) with precision=DEFAULT pinned (the package-global
+    'highest' would stamp contract_precision<fp32> on int8 dots, which
+    Mosaic rejects — CLAUDE.md 'Mosaic HTTP 500' note)."""
+
+    def kernel(scal_ref, g_ref, *rest):
+        w_refs = rest[:num_planes]
+        (wscale_ref, yres_ref, q0_ref, out_ref,
+         xs_acc, ss_acc, xy_acc, cc_acc) = rest[num_planes:]
+        j = pl.program_id(1)
+        k = pl.program_id(2)
+        nj = pl.num_programs(1)
+        nk = pl.num_programs(2)
+
+        @pl.when((j == 0) & (k == 0))
+        def _():
+            ss_acc[:] = jnp.zeros_like(ss_acc)
+            xy_acc[:] = jnp.zeros_like(xy_acc)
+            cc_acc[:] = jnp.zeros_like(cc_acc)
+
+        g = g_ref[:]                                 # int8 (tm, nb)
+        prec = jax.lax.Precision.DEFAULT
+        pxs = None
+        for p in range(num_planes):
+            d = jnp.dot(g, w_refs[p][:],
+                        preferred_element_type=jnp.int32, precision=prec)
+            term = d.astype(jnp.float32) * (256.0 ** p)
+            pxs = term if pxs is None else pxs + term
+        pxs = pxs * wscale_ref[:]                    # per-column scale
+        xs_acc[:] = jnp.where(k == 0, pxs, xs_acc[:] + pxs)
+        cc_acc[:] += jnp.dot(pxs, q0_ref[:],
+                             preferred_element_type=jnp.float32)
+        xy_acc[:] += jnp.sum(pxs * yres_ref[:], axis=1, keepdims=True)
+
+        @pl.when(k == nk - 1)
+        def _():
+            xs = xs_acc[:]
+            ss_acc[:] += jnp.sum(xs * xs, axis=1, keepdims=True)
+
+        @pl.when((j == nj - 1) & (k == nk - 1))
+        def _():
+            rss0 = scal_ref[0]
+            dof = scal_ref[1]
+            ss = ss_acc[:][:, 0]
+            xy = xy_acc[:][:, 0]
+            cc = cc_acc[:]
+            xx = ss - jnp.sum(cc * cc, axis=1)
+            eps = 100.0 * jnp.finfo(jnp.float32).eps
+            tiny = jnp.finfo(jnp.float32).tiny
+            mask = xx > eps * jnp.maximum(ss, tiny)
+            xx_safe = jnp.where(mask, xx, 1.0)
+            expl = jnp.where(mask, jnp.minimum(xy * xy / xx_safe, rss0),
+                             0.0)
+            rss1 = jnp.maximum(rss0 - expl, tiny)
+            out_ref[0, :] = jnp.where(mask, expl * dof / rss1, 0.0)
+            out_ref[1, :] = jnp.where(mask, xy / xx_safe, 0.0)
+            out_ref[2, :] = jnp.where(mask, expl / rss0, 0.0)
+            out_ref[3, :] = mask.astype(jnp.float32)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_planes", "tm", "nb", "interpret"))
+def _int8_rotate_scan_padded(G, W_planes, wscale_row, yres_row, Q0p,
+                             scalars, num_planes: int, tm: int, nb: int,
+                             interpret: bool = False):
+    Mp, np_in = G.shape
+    grid = (Mp // tm, np_in // nb, np_in // nb)
+    in_specs = [pl.BlockSpec((tm, nb), lambda i, j, k, s: (i, k),
+                             memory_space=pltpu.VMEM)]
+    for _ in range(num_planes):
+        in_specs.append(pl.BlockSpec((nb, nb), lambda i, j, k, s: (k, j),
+                                     memory_space=pltpu.VMEM))
+    in_specs += [
+        pl.BlockSpec((1, nb), lambda i, j, k, s: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nb), lambda i, j, k, s: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, QPAD), lambda i, j, k, s: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((4, tm), lambda i, j, k, s: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tm, nb), jnp.float32),
+            pltpu.VMEM((tm, 1), jnp.float32),
+            pltpu.VMEM((tm, 1), jnp.float32),
+            pltpu.VMEM((tm, QPAD), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _make_int8_rotate_scan_kernel(num_planes),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, Mp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * np_in * np_in * (num_planes // 2 + 1),
+            bytes_accessed=Mp * np_in + 16 * Mp
+            + num_planes * np_in * np_in,
+            transcendentals=0),
+        interpret=interpret,
+    )(scalars, G, *W_planes, wscale_row, yres_row, Q0p)
+
+
+def pallas_rotate_scan_int8(G_int8, rot, tm: int = 256, nb: int = 512,
+                            interpret=None) -> Dict[str, jnp.ndarray]:
+    """Fused int8 digit-plane rotate+whiten+GLS scan over RAW int8
+    genotype rows. Requires an int8-tier RotatedNull
+    (build_rotated_null(rotate_dtype='int8x2'/'int8x3'/'int8x4')):
+    rot.W is (k, n, n) int8 digit planes, rot.w_scale the per-column
+    power-of-two. Numerics identical to ops.scan.emmax_scan_stats on the
+    same rot (parity-tested); candidate to beat XLA's int8 tier by
+    reading G from HBM once (vs once per plane) and keeping Xs in VMEM."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if getattr(rot.W, "ndim", 2) != 3 or rot.W.dtype != jnp.int8:
+        raise ValueError("pallas_rotate_scan_int8 needs an int8-tier rot "
+                         "(build_rotated_null(rotate_dtype='int8x3'))")
+    num_planes = int(rot.W.shape[0])
+    M, n = G_int8.shape
+    Mp = -(-M // tm) * tm
+    np_ = -(-n // nb) * nb
+    Gp = jnp.pad(jnp.asarray(G_int8, jnp.int8), ((0, Mp - M), (0, np_ - n)))
+    W_planes = [jnp.pad(rot.W[p], ((0, np_ - n), (0, np_ - n)))
+                for p in range(num_planes)]
+    wscale = jnp.pad(jnp.asarray(rot.w_scale, jnp.float32),
+                     (0, np_ - n), constant_values=1.0)[None, :]
+    yres = jnp.pad(jnp.asarray(rot.y_res, jnp.float32),
+                   (0, np_ - n))[None, :]
+    Q0 = jnp.asarray(rot.Q0, jnp.float32)
+    Q0p = jnp.pad(Q0, ((0, np_ - n), (0, QPAD - Q0.shape[1])))
+    scalars = jnp.asarray(
+        [jnp.float32(rot.rss0), jnp.float32(rot.dof)], dtype=jnp.float32)
+    out = _int8_rotate_scan_padded(Gp, W_planes, wscale, yres, Q0p,
+                                   scalars, num_planes, tm, nb,
+                                   interpret=interpret)
+    f, beta, vp, maskf = out[0, :M], out[1, :M], out[2, :M], out[3, :M]
+    return {"f_stats": f, "betas": beta, "var_perc": vp,
+            "mask": maskf > 0.5}
+
+
 def pallas_scan_stats(G_rot, rot, tm: int = 256, tn: int = 512,
                       interpret=None) -> Dict[str, jnp.ndarray]:
     """Fused scan over pre-rotated SNP rows. Mirrors

@@ -327,3 +327,40 @@ class TestPrecisionRouting:
         G, y, K = small_dataset["G_int"], small_dataset["y"], kinship_small
         with pytest.raises(ValueError, match="not both"):
             emmax(G, y, K=K, precision="bf16", rotate_in_bf16=True)
+
+
+class TestPallasInt8RotateScan:
+    def test_int8_fused_parity(self, small_dataset, kinship_small):
+        """pallas_rotate_scan_int8 (raw int8 G, digit-plane dots fused
+        with the epilogue) vs the XLA int8x3 tier on the SAME rot."""
+        from mixmogam_tpu.ops.pallas_scan import pallas_rotate_scan_int8
+        from mixmogam_tpu.ops.reml import fit_null_model
+        from mixmogam_tpu.ops.scan import build_rotated_null, emmax_scan_all
+
+        G = small_dataset["G_int"]
+        y = small_dataset["y"].astype(np.float32)
+        K = kinship_small.astype(np.float32)
+        null = fit_null_model(y, np.ones((len(y), 1), np.float32), K=K)
+        rot = build_rotated_null(null, rotate_dtype="int8x3")
+        ref = emmax_scan_all(jnp.asarray(G), rot, tile=256)
+        pal = pallas_rotate_scan_int8(G, rot, tm=128, nb=128)
+        np.testing.assert_array_equal(np.asarray(ref["mask"]),
+                                      np.asarray(pal["mask"]))
+        np.testing.assert_allclose(np.asarray(pal["f_stats"]),
+                                   np.asarray(ref["f_stats"]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(pal["betas"]),
+                                   np.asarray(ref["betas"]), atol=1e-5)
+
+    def test_int8_fused_rejects_float_rot(self, small_dataset,
+                                          kinship_small):
+        from mixmogam_tpu.ops.pallas_scan import pallas_rotate_scan_int8
+        from mixmogam_tpu.ops.reml import fit_null_model
+        from mixmogam_tpu.ops.scan import build_rotated_null
+
+        y = small_dataset["y"].astype(np.float32)
+        null = fit_null_model(y, np.ones((len(y), 1), np.float32),
+                              K=kinship_small.astype(np.float32))
+        with pytest.raises(ValueError):
+            pallas_rotate_scan_int8(small_dataset["G_int"],
+                                    build_rotated_null(null))
