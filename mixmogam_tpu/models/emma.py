@@ -60,9 +60,12 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
          eig_k: Optional[Tuple] = None, ngrids: int = 100,
          llim: float = -10.0, ulim: float = 10.0, esp: float = 1e-6,
          tile: int = 2048, dtype=None, test: str = "f",
+         stream_budget_bytes: int = 4 << 30,
          ) -> Dict[str, np.ndarray]:
     """EMMA exact scan. Same signature family as emmax(); additionally
-    returns per-SNP 'deltas' and 'pseudo_heritabilities'."""
+    returns per-SNP 'deltas' and 'pseudo_heritabilities'. Sources larger
+    than stream_budget_bytes stream SNP tiles from host (the per-tile
+    cost is rotation-dominated, so streaming costs the same matmuls)."""
     from mixmogam_tpu.ops.reml import esp_to_refine_iters
 
     refine_iters = esp_to_refine_iters(esp, ngrids, llim, ulim)
@@ -70,8 +73,19 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
     n = y.shape[0]
     if dtype is None:
         dtype = jnp.zeros(0).dtype
-    Gf = _as_dosage(G, dtype)
-    M = Gf.shape[0]
+    if hasattr(G, "matrix"):
+        G_src = G.matrix
+    elif hasattr(G, "shape") and hasattr(G, "dtype"):
+        G_src = G  # ndarray / memmap / h5py — keep lazy
+    else:
+        G_src = np.asarray(G)
+    M = G_src.shape[0]
+    g_item = (1 if np.dtype(G_src.dtype) == np.int8
+              else np.dtype(dtype).itemsize)
+    streamed = (M * n * (np.dtype(dtype).itemsize + g_item)
+                > stream_budget_bytes)
+    int8_source = np.dtype(G_src.dtype) == np.int8
+    Gf = None if streamed else _as_dosage(G, dtype)
     if X0 is None:
         X0 = np.ones((n, 1))
     X0 = _as_design(X0, n)
@@ -95,12 +109,33 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
     fstats = np.empty(M)
     betas = np.empty(M)
     masks = np.empty(M, dtype=bool)
-    Gd = jnp.asarray(Gf)
+    Gd = None if streamed else jnp.asarray(Gf)
     for s in range(0, M, tile):
         e = min(s + tile, M)
-        Gt_raw = Gd[s:e]
-        if e - s < tile:  # pad to the static tile shape (single compile)
-            Gt_raw = jnp.pad(Gt_raw, ((0, tile - (e - s)), (0, 0)))
+        if streamed:
+            if int8_source:
+                from mixmogam_tpu.models.streaming import _impute_tile
+
+                chunk = np.ascontiguousarray(
+                    np.asarray(G_src[s:e], dtype=np.int8))
+                if e - s < tile:
+                    chunk = np.vstack(
+                        [chunk, np.zeros((tile - (e - s), n), np.int8)])
+                Gt_raw = _impute_tile(jnp.asarray(chunk),
+                                      np.dtype(dtype).name)
+            else:
+                from mixmogam_tpu.models.streaming import _host_float_tile
+
+                chunk = _host_float_tile(G_src[s:e], np.dtype(dtype))
+                if e - s < tile:
+                    chunk = np.vstack(
+                        [chunk,
+                         np.zeros((tile - (e - s), n), np.dtype(dtype))])
+                Gt_raw = jnp.asarray(chunk)
+        else:
+            Gt_raw = Gd[s:e]
+            if e - s < tile:  # pad to the static tile shape (one compile)
+                Gt_raw = jnp.pad(Gt_raw, ((0, tile - (e - s)), (0, 0)))
         Gt = Gt_raw @ U
         ld_xtx = _logdet_xtx_tile(Gt, X0_rot)
         r = emma_delta_scan(Gt, X0_rot, y_rot, phi, ld_xtx, ngrids=ngrids,

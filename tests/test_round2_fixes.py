@@ -518,3 +518,25 @@ class TestRescoreTop:
         out = emmax(small_dataset["G_int"], small_dataset["y"],
                     K=kinship_small, stream=False, rescore_top=10)
         assert len(out["rescored_idx"]) == 0
+
+
+class TestEmmaStreamed:
+    def test_emma_streamed_matches_incore(self, tiny_dataset, kinship_tiny):
+        from mixmogam_tpu.models.emma import emma
+
+        G, y, K = (tiny_dataset["G"], tiny_dataset["y"], kinship_tiny)
+        ref = emma(G, y, K=K, tile=64)
+        st = emma(G, y, K=K, tile=64, stream_budget_bytes=1)
+        np.testing.assert_allclose(st["ps"], ref["ps"], atol=1e-10)
+        np.testing.assert_allclose(st["deltas"], ref["deltas"], rtol=1e-8)
+
+    def test_emma_streamed_int8_missing(self, kinship_small, small_dataset):
+        from mixmogam_tpu.models.emma import emma
+
+        rng = np.random.default_rng(6)
+        G = small_dataset["G_int"][:120].copy()
+        G[rng.random(G.shape) < 0.1] = -1
+        y = small_dataset["y"]
+        ref = emma(G, y, K=kinship_small, tile=64)
+        st = emma(G, y, K=kinship_small, tile=64, stream_budget_bytes=1)
+        np.testing.assert_allclose(st["ps"], ref["ps"], atol=1e-10)
