@@ -115,14 +115,17 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
         if streamed:
             if int8_source:
                 from mixmogam_tpu.models.streaming import _impute_tile
+                from mixmogam_tpu.ops.pack2 import (default_pack_transfer,
+                                                    ship_int8_tile)
 
                 chunk = np.ascontiguousarray(
                     np.asarray(G_src[s:e], dtype=np.int8))
                 if e - s < tile:
                     chunk = np.vstack(
                         [chunk, np.zeros((tile - (e - s), n), np.int8)])
-                Gt_raw = _impute_tile(jnp.asarray(chunk),
-                                      np.dtype(dtype).name)
+                Gt_raw = _impute_tile(
+                    ship_int8_tile(chunk, n, default_pack_transfer()),
+                    np.dtype(dtype).name)
             else:
                 from mixmogam_tpu.models.streaming import _host_float_tile
 

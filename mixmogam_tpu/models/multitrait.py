@@ -158,8 +158,12 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
                     chunk = np.vstack(
                         [chunk, np.zeros((tile - (e - s), n), np.int8)])
                 from mixmogam_tpu.models.streaming import _impute_tile
+                from mixmogam_tpu.ops.pack2 import (default_pack_transfer,
+                                                    ship_int8_tile)
 
-                Gt = _impute_tile(jnp.asarray(chunk), np.dtype(dtype).name)
+                Gt = _impute_tile(
+                    ship_int8_tile(chunk, n, default_pack_transfer()),
+                    np.dtype(dtype).name)
             else:
                 from mixmogam_tpu.models.streaming import _host_float_tile
 

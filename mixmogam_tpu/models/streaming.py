@@ -64,6 +64,9 @@ def rotate_streamed_to_device(G_src, U, dtype=None,
         dtype = jnp.zeros(0).dtype
     M, n = G_src.shape
     int8_source = np.dtype(getattr(G_src, "dtype", np.int8)) == np.int8
+    from mixmogam_tpu.ops.pack2 import default_pack_transfer, ship_int8_tile
+
+    pack = default_pack_transfer()
     out = jnp.zeros((M, n), dtype=dtype)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -79,7 +82,8 @@ def rotate_streamed_to_device(G_src, U, dtype=None,
         if int8_source:
             chunk = np.ascontiguousarray(np.asarray(G_src[s:e],
                                                     dtype=np.int8))
-            td = _impute_tile(jnp.asarray(chunk), np.dtype(dtype).name)
+            td = _impute_tile(ship_int8_tile(chunk, n, pack),
+                              np.dtype(dtype).name)
         else:
             td = jnp.asarray(_host_float_tile(G_src[s:e], np.dtype(dtype)))
         out = upd(out, td, U, jnp.asarray(s, jnp.int32))
@@ -122,7 +126,7 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
                    esp: float = 1e-6, rotate_in_bf16=False,
                    precision: Optional[str] = None, dtype=None,
                    host_eigh: bool = True, with_betas: bool = True,
-                   rescore_top: int = 0,
+                   rescore_top: int = 0, pack_transfer=None,
                    ) -> Dict[str, np.ndarray]:
     """EMMAX over a host-resident genotype source.
 
@@ -188,6 +192,10 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
     rot = build_rotated_null(null, rotate_dtype=rd)
     dof = n - q - 1
     int8_source = np.dtype(getattr(matrix_source, "dtype", np.int8)) == np.int8
+    from mixmogam_tpu.ops.pack2 import default_pack_transfer, ship_int8_tile
+
+    if pack_transfer is None:
+        pack_transfer = default_pack_transfer()
     mp_ctx = (jax.default_matmul_precision(matmul_precision)
               if matmul_precision else contextlib.nullcontext())
 
@@ -271,8 +279,9 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
                 if e - s < tile:
                     chunk = np.vstack(
                         [chunk, np.zeros((tile - (e - s), n), np.int8)])
-                out = (scan_jit(jnp.asarray(chunk), rot) if int8_tier
-                       else _scan_tile_i8(jnp.asarray(chunk), rot))
+                td = ship_int8_tile(chunk, n, pack_transfer)
+                out = (scan_jit(td, rot) if int8_tier
+                       else _scan_tile_i8(td, rot))
             else:
                 # float source: host-side per-SNP mean imputation (NaN =
                 # missing); tiles hold complete SNP rows so the rule is

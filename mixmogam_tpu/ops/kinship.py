@@ -73,8 +73,16 @@ def _ibs_int8_update(S_acc, C, m_eff):
     return S_acc + 2 * d - s[:, None] - s[None, :] + m_eff
 
 
-def _ibs_int8_streamed(mat: np.ndarray, chunk: int) -> np.ndarray:
-    """Streaming int8 IBS for fully-observed binary genotypes."""
+def _ibs_int8_streamed(mat: np.ndarray, chunk: int,
+                       pack_transfer=None) -> np.ndarray:
+    """Streaming int8 IBS for fully-observed binary genotypes. Tiles ship
+    2-bit packed by default on accelerators (4x less host->device
+    traffic — the bottleneck behind this image's TPU tunnel) and are
+    unpacked on device (ops.pack2)."""
+    from mixmogam_tpu.ops.pack2 import default_pack_transfer, ship_int8_tile
+
+    if pack_transfer is None:
+        pack_transfer = default_pack_transfer()
     M, n = mat.shape
     S = jnp.zeros((n, n), dtype=jnp.int32)
     for s in range(0, M, chunk):
@@ -82,7 +90,8 @@ def _ibs_int8_streamed(mat: np.ndarray, chunk: int) -> np.ndarray:
         C = np.ascontiguousarray(mat[s:e])
         if e - s < chunk:
             C = np.vstack([C, np.zeros((chunk - (e - s), n), np.int8)])
-        S = _ibs_int8_update(S, jnp.asarray(C), int(e - s))
+        S = _ibs_int8_update(S, ship_int8_tile(C, n, pack_transfer),
+                             int(e - s))
     return np.asarray(S).astype(np.float64) / M
 
 
@@ -103,22 +112,29 @@ def _ibs_diploid_int8_update(S2_acc, C, m_eff):
     return S2_acc + 2 * m_eff - absd
 
 
-def _ibs_diploid_int8_streamed(mat: np.ndarray, chunk: int) -> np.ndarray:
-    """Streaming integer-exact diploid IBS (fully observed 0/1/2)."""
+def _ibs_diploid_int8_streamed(mat: np.ndarray, chunk: int,
+                               pack_transfer=None) -> np.ndarray:
+    """Streaming integer-exact diploid IBS (fully observed 0/1/2). Tiles
+    ship 2-bit packed by default on accelerators (ops.pack2)."""
+    from mixmogam_tpu.ops.pack2 import default_pack_transfer, ship_int8_tile
+
+    if pack_transfer is None:
+        pack_transfer = default_pack_transfer()
     M, n = mat.shape
     S2 = jnp.zeros((n, n), dtype=jnp.int32)
     for s in range(0, M, chunk):
         e = min(s + chunk, M)
         C = np.ascontiguousarray(mat[s:e])
         if e - s < chunk:
-            # pad rows are 0: C'C/a2 unaffected, but W0 pad rows are 1 —
-            # handled by counting only e-s rows in the 2m term and
-            # subtracting the pad contribution to corr via masking
-            pad = np.full((chunk - (e - s), n), 3, dtype=np.int8)
-            C = np.vstack([C, pad])  # 3 is in no indicator class; 3^2=9
-            # (a-b)^2 for pad rows cancels: a2 and CtC both include them
-            # consistently, and d2 pad contribution = (9+9-2*9)=0 per pair
-        S2 = _ibs_diploid_int8_update(S2, jnp.asarray(C), int(e - s))
+            # pad rows use -1 (2-bit packable): in no indicator class
+            # (W0/W2 are 0), and the (a-b)^2 pad contribution cancels —
+            # a2=1, CtC pad pair = +1, d2 = 1+1-2 = 0 — so only the
+            # 2*m_eff term (which counts real rows) sees the pad
+            pad = np.full((chunk - (e - s), n), -1, dtype=np.int8)
+            C = np.vstack([C, pad])
+        S2 = _ibs_diploid_int8_update(S2, ship_int8_tile(C, n,
+                                                         pack_transfer),
+                                      int(e - s))
     return np.asarray(S2).astype(np.float64) / (2.0 * M)
 
 
@@ -172,7 +188,8 @@ def _impute_chunk(chunk: np.ndarray, dtype) -> np.ndarray:
 
 def kinship(data, method: str = "ibs", ploidy: Optional[int] = None,
             chunk: int = 2048, dtype=jnp.float32,
-            use_device: bool = True) -> np.ndarray:
+            use_device: bool = True,
+            pack_transfer: Optional[bool] = None) -> np.ndarray:
     """Build a kinship matrix from a GenotypeData or an (M, n) dosage array.
 
     method: 'ibs' (allele sharing) or 'vanraden' (a.k.a. 'ibd' in the
@@ -205,9 +222,9 @@ def kinship(data, method: str = "ibs", ploidy: Optional[int] = None,
     # sharing counts (see _ibs_int8_update / ops.pallas_kinship)
     if mat.dtype == np.int8 and not (mat < 0).any():
         if ploidy == 1:
-            return _ibs_int8_streamed(mat, chunk)
+            return _ibs_int8_streamed(mat, chunk, pack_transfer)
         if ploidy == 2:
-            return _ibs_diploid_int8_streamed(mat, chunk)
+            return _ibs_diploid_int8_streamed(mat, chunk, pack_transfer)
 
     K = jnp.zeros((n, n), dtype=dtype)
     for s in range(0, M, chunk):

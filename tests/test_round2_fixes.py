@@ -540,3 +540,47 @@ class TestEmmaStreamed:
         ref = emma(G, y, K=kinship_small, tile=64)
         st = emma(G, y, K=kinship_small, tile=64, stream_budget_bytes=1)
         np.testing.assert_allclose(st["ps"], ref["ps"], atol=1e-10)
+
+
+class TestPackedTransport:
+    """2-bit device-side unpack (ops.pack2): 4x less host->device traffic
+    for streamed int8 tiles; bit-exact vs raw int8 transfers."""
+
+    def test_unpack_device_roundtrip(self):
+        from mixmogam_tpu import native
+        from mixmogam_tpu.ops.pack2 import unpack_2bit_device
+
+        rng = np.random.default_rng(0)
+        G = rng.integers(0, 3, size=(37, 53)).astype(np.int8)
+        G[rng.random(G.shape) < 0.2] = -1
+        import jax.numpy as jnp
+
+        out = np.asarray(unpack_2bit_device(jnp.asarray(native.pack_2bit(G)),
+                                            G.shape[1]))
+        np.testing.assert_array_equal(out, G)
+
+    def test_kinship_packed_matches_raw(self, small_dataset):
+        from mixmogam_tpu.ops.kinship import kinship
+
+        G = small_dataset["G_int"]
+        a = kinship(G, method="ibs", chunk=128, pack_transfer=False)
+        b = kinship(G, method="ibs", chunk=128, pack_transfer=True)
+        np.testing.assert_array_equal(a, b)  # integer-exact either way
+
+    def test_kinship_diploid_packed(self):
+        from mixmogam_tpu.data.simulate import simulate_genotypes
+        from mixmogam_tpu.ops.kinship import kinship
+
+        G, _, _ = simulate_genotypes(30, 100, ploidy=2, seed=5)
+        a = kinship(G, method="ibs", chunk=33, pack_transfer=False)
+        b = kinship(G, method="ibs", chunk=33, pack_transfer=True)
+        np.testing.assert_array_equal(a, b)
+
+    def test_streamed_scan_packed(self, small_dataset, kinship_small):
+        from mixmogam_tpu.models.streaming import emmax_streamed
+
+        G_int = small_dataset["G_int"]
+        y, K = small_dataset["y"], kinship_small
+        a = emmax_streamed(G_int, y, K=K, tile=64, pack_transfer=False)
+        b = emmax_streamed(G_int, y, K=K, tile=64, pack_transfer=True)
+        np.testing.assert_allclose(a["ps"], b["ps"], atol=0)
