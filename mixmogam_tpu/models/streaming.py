@@ -261,42 +261,66 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
             todo.append(t)
 
     # ---- async pipelined streaming ----
+    # host-side tile prep (memmap read, validation, imputation, 2-bit
+    # pack) runs in a PREFETCH thread so it overlaps the previous tile's
+    # host->device transfer — numpy and the ctypes packer release the
+    # GIL, and the tunnel transfer is the measured bottleneck here
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mixmogam_tpu.ops.pack2 import packable
+
+    def prep(t):
+        s, e = t * tile, min((t + 1) * tile, M)
+        if int8_source:
+            chunk = np.ascontiguousarray(
+                np.asarray(matrix_source[s:e], dtype=np.int8))
+            if int8_tier and chunk.min() < 0:
+                raise ValueError(
+                    f"rotate_in_bf16={rotate_in_bf16!r} requires a "
+                    f"fully-observed genotype source (tile {t} has "
+                    "missing dosages; mean-imputed fractions would be "
+                    "rounded by the digit-plane cast). Use the "
+                    "exact/bf16 tiers.")
+            if e - s < tile:
+                chunk = np.vstack(
+                    [chunk, np.zeros((tile - (e - s), n), np.int8)])
+            if pack_transfer and packable(chunk):
+                from mixmogam_tpu import native
+
+                return "packed", native.pack_2bit(chunk)
+            return "int8", chunk
+        # float source: host-side per-SNP mean imputation (NaN = missing);
+        # tiles hold complete SNP rows so the rule is tile-local
+        chunk = _host_float_tile(matrix_source[s:e], dtype)
+        if int8_tier and not np.array_equal(chunk, np.round(chunk)):
+            raise ValueError(
+                f"rotate_in_bf16={rotate_in_bf16!r} requires integer "
+                f"dosages (tile {t} has fractional values). Use the "
+                "exact/bf16 tiers.")
+        if e - s < tile:
+            chunk = np.vstack(
+                [chunk, np.zeros((tile - (e - s), n), dtype)])
+        return "float", chunk
+
     scan_jit = jax.jit(emmax_scan_stats)
     pending = []  # (tile_idx, device_out)
-    with mp_ctx:
-        for t in todo:
-            s, e = t * tile, min((t + 1) * tile, M)
-            if int8_source:
-                chunk = np.ascontiguousarray(
-                    np.asarray(matrix_source[s:e], dtype=np.int8))
-                if int8_tier and chunk.min() < 0:
-                    raise ValueError(
-                        f"rotate_in_bf16={rotate_in_bf16!r} requires a "
-                        f"fully-observed genotype source (tile {t} has "
-                        "missing dosages; mean-imputed fractions would be "
-                        "rounded by the digit-plane cast). Use the "
-                        "exact/bf16 tiers.")
-                if e - s < tile:
-                    chunk = np.vstack(
-                        [chunk, np.zeros((tile - (e - s), n), np.int8)])
-                td = ship_int8_tile(chunk, n, pack_transfer)
+    with mp_ctx, ThreadPoolExecutor(max_workers=1) as ex:
+        futs = {t: ex.submit(prep, t) for t in todo[:2]}
+        for i, t in enumerate(todo):
+            for t_next in todo[i + 2:i + 3]:
+                futs[t_next] = ex.submit(prep, t_next)
+            kind, host_arr = futs.pop(t).result()
+            if kind == "packed":
+                from mixmogam_tpu.ops.pack2 import unpack_2bit_device
+
+                td = unpack_2bit_device(jnp.asarray(host_arr), n)
+            else:
+                td = jnp.asarray(host_arr)
+            if kind == "float":
+                out = scan_jit(td, rot)
+            else:
                 out = (scan_jit(td, rot) if int8_tier
                        else _scan_tile_i8(td, rot))
-            else:
-                # float source: host-side per-SNP mean imputation (NaN =
-                # missing); tiles hold complete SNP rows so the rule is
-                # tile-local and matches the oracle
-                chunk = _host_float_tile(matrix_source[s:e], dtype)
-                if int8_tier and not np.array_equal(chunk,
-                                                    np.round(chunk)):
-                    raise ValueError(
-                        f"rotate_in_bf16={rotate_in_bf16!r} requires "
-                        f"integer dosages (tile {t} has fractional "
-                        "values). Use the exact/bf16 tiers.")
-                if e - s < tile:
-                    chunk = np.vstack(
-                        [chunk, np.zeros((tile - (e - s), n), dtype)])
-                out = scan_jit(jnp.asarray(chunk), rot)
             pending.append((t, out))
             if len(pending) >= inflight:
                 t0, o0 = pending.pop(0)
