@@ -186,8 +186,50 @@ def example_reference_classes():
     print("min p =", f"{res['ps'].min():.2e}")
 
 
+def example_streaming_at_scale():
+    """Round-2 scale features on a small cohort: (a) emmax streams SNP
+    tiles from host with checkpoint/resume when the device budget is
+    exceeded (here forced), (b) a fast int8 tier with exact rescoring of
+    the top hits, (c) per-trait missing phenotypes in the multi-trait
+    batch (grouped by missingness pattern, exact)."""
+    import numpy as np
+
+    from mixmogam_tpu.data.parsers import parse_snp_data
+    from mixmogam_tpu.models import emmax
+    from mixmogam_tpu.models.multitrait import emmax_multi_trait
+    from mixmogam_tpu.oracle.kinship import scale_k
+    from mixmogam_tpu.ops.kinship import kinship
+
+    g, p = _simulate_files(missing_rate=0.0, tag="scale")
+    gd = parse_snp_data(g)
+    K = scale_k(kinship(gd))
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=gd.num_samples) + gd.matrix[7].astype(float)
+
+    # (a) force streamed mode + checkpointing (auto-triggers at ~4 GiB)
+    ck = os.path.join(OUT, "scale_ck")
+    st = emmax(gd, y, K=K, stream=True, checkpoint_dir=ck)
+    print("streamed scan min p:", f"{st['ps'].min():.2e}",
+          "(resume manifest in", ck + ")")
+
+    # (b) fast int8x2 tier + exact rescore: the reported hits' p-values
+    # are exact-grade, the genome-wide pass ran at fast-tier cost
+    fast = emmax(gd, y, K=K, precision="int8x2", rescore_top=50)
+    ex = emmax(gd, y, K=K)
+    idx = fast["rescored_idx"]
+    print(f"rescored {len(idx)} hits; max |p - exact| on them:",
+          f"{np.abs(fast['ps'][idx] - ex['ps'][idx]).max():.2e}")
+
+    # (c) multi-trait with per-trait missing phenotypes
+    Y = np.stack([y, y + rng.normal(size=len(y))])
+    Y[1, rng.random(len(y)) < 0.2] = np.nan
+    mt = emmax_multi_trait(gd, Y, K=K)
+    print("multi-trait dofs (per-trait sample subsets):", mt["dof"])
+
+
 EXAMPLES = {
     "emmax": example_emmax,
+    "streaming_at_scale": example_streaming_at_scale,
     "precision_tiers": example_precision_tiers,
     "lm": example_linear_model,
     "transforms": example_transformations,

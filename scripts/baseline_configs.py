@@ -230,6 +230,51 @@ def phase3():
     return K, eig
 
 
+def phase3b():
+    """Config #3 rerun with the round-2 transport stack: 2-bit packed
+    tiles + prefetch-threaded host prep (before/after vs phase3)."""
+    from mixmogam_tpu.models.streaming import emmax_streamed
+    from mixmogam_tpu.ops.eigen import eigen_k
+    from mixmogam_tpu.ops.kinship import kinship
+    from mixmogam_tpu.oracle.kinship import scale_k
+
+    n, M = (1024, 65_536) if SMALL else (10_240, 1_048_576)
+    G, y, causal = big_dataset(n, M)
+    out = {"n": n, "M": M}
+    t0 = time.time()
+    K = scale_k(kinship(G, method="ibs", chunk=32_768, pack_transfer=True))
+    out["kinship_packed_s"] = time.time() - t0
+    out["kinship_packed_snps_per_s"] = M / out["kinship_packed_s"]
+    log(f"#3b kinship (2-bit transport): {out['kinship_packed_s']:.0f}s "
+        f"= {out['kinship_packed_snps_per_s']:,.0f} SNPs/s")
+    kpath = os.path.join(CACHE, f"K_{n}x{M}.npy")
+    if os.path.exists(kpath):
+        Kref = np.load(kpath)
+        out["kinship_max_abs_diff_vs_phase3"] = float(
+            np.abs(K - Kref).max())
+    phi, U = eigen_k(K.astype(np.float32), host=True)
+    ck = os.path.join(CACHE, f"ck2_{n}x{M}")
+    for tier, key in (("int8x3", "int8x3"), ("int8x2", "int8x2")):
+        t0 = time.time()
+        st = emmax_streamed(G, y, eig_k=(phi, U), tile=32_768, inflight=4,
+                            checkpoint_dir=(ck if tier == "int8x3"
+                                            else None),
+                            dtype=np.float32, rotate_in_bf16=tier,
+                            rescore_top=(1024 if tier == "int8x2" else 0),
+                            pack_transfer=True)
+        dt = time.time() - t0
+        out[f"scan_{key}_packed_s"] = dt
+        out[f"scan_{key}_packed_tests_per_s"] = M / dt
+        log(f"#3b scan {tier} (packed+prefetch) FULL: {dt:.0f}s = "
+            f"{M/dt:,.0f} tests/s/chip"
+            + (f"; rescored {len(st['rescored_idx'])} top hits exact"
+               if tier == "int8x2" else ""))
+        top = np.argsort(st["ps"])[:100]
+        out[f"causal_in_top100_{key}"] = int(
+            len(set(top.tolist()) & set(causal.tolist())))
+    record("config3b_packed_transport", out)
+
+
 def phase4(K=None, eig=None):
     """Config #4: 50 traits x 1M x 10k, shared eigenbasis, streamed."""
     from mixmogam_tpu.models.multitrait import emmax_multi_trait
@@ -291,8 +336,8 @@ def phase5():
 
 
 def main():
-    phases = [a for a in sys.argv[1:] if a in ("2", "3", "4", "5")] or \
-        ["2", "3", "4", "5"]
+    phases = [a for a in sys.argv[1:] if a in ("2", "3", "3b", "4", "5")] \
+        or ["2", "3", "4", "5"]
     claim_device()
     K = eig = None
     for p in phases:
@@ -302,6 +347,8 @@ def main():
                 phase2()
             elif p == "3":
                 K, eig = phase3()
+            elif p == "3b":
+                phase3b()
             elif p == "4":
                 phase4(K, eig)
             elif p == "5":
