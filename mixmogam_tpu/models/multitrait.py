@@ -207,8 +207,16 @@ def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
     T, n = Y.shape
     if dtype is None:
         dtype = jnp.zeros(0).dtype
-    Gf = _as_dosage(G, np.float64)
-    M = Gf.shape[0]
+    # keep the source in its native dtype (int8 at scale); each group
+    # subsets COLUMNS and recurses — a full float64 copy here would be
+    # 80 GB at the 1M x 10k configuration
+    if hasattr(G, "matrix"):
+        G_src = G.matrix
+    elif hasattr(G, "shape") and hasattr(G, "dtype"):
+        G_src = G
+    else:
+        G_src = np.asarray(G)
+    M = G_src.shape[0]
     if X0 is None:
         X0 = np.ones((n, 1))
     X0 = _as_design(X0, n)
@@ -239,7 +247,8 @@ def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
                 f"traits {tids} have only {ns} observed samples "
                 f"(need at least q+3 = {q + 3})")
         sub = emmax_multi_trait(
-            np.ascontiguousarray(Gf[:, keep]), Y[np.ix_(tids, np.flatnonzero(keep))],
+            np.ascontiguousarray(np.asarray(G_src)[:, keep]),
+            Y[np.ix_(tids, np.flatnonzero(keep))],
             K=K[np.ix_(keep, keep)], X0=X0[keep], ngrids=ngrids,
             llim=llim, ulim=ulim, dtype=dtype, tile=tile,
             tile_budget=tile_budget)
