@@ -107,14 +107,38 @@ def main():
     t_eigh = time.time() - t0
     log(f"REML eigh wall-time (host scipy, n={N}): {t_eigh:.1f}s")
 
-    from mixmogam_tpu.ops.reml import fit_null_model
+    from mixmogam_tpu.ops.reml import NullModel, fit_null_model
     from mixmogam_tpu.ops.scan import build_rotated_null, emmax_scan_all
 
+    # the REML delta fit costs one projected-spectrum host eigh at n=10k
+    # (~200 s on 2 vCPUs) + several n^2-sized host matmuls — cache the
+    # fitted delta so repeat bench runs rebuild the rotated null from
+    # (phi, U, delta) directly
+    dpath = os.path.join(CACHE, f"null_delta_{N}.json")
     t0 = time.time()
-    null = fit_null_model(y.astype(np.float32), np.ones((N, 1), np.float32),
-                          eig_k=(phi, U))
-    log(f"REML fit: {time.time()-t0:.1f}s delta={float(null.delta):.4g} "
-        f"h2={float(null.pseudo_heritability):.3f}")
+    if os.path.exists(dpath):
+        with open(dpath) as f:
+            cached = json.load(f)
+        delta, h2 = cached["delta"], cached["h2"]
+        import jax.numpy as _j
+
+        z = _j.asarray(0.0, _j.float32)
+        null = NullModel(phi=phi, U=U, delta=_j.asarray(delta, _j.float32),
+                         log_delta=_j.asarray(np.log(delta), _j.float32),
+                         ll=z, sigma_g2=z, sigma_e2=z,
+                         pseudo_heritability=_j.asarray(h2, _j.float32),
+                         y=_j.asarray(y, _j.float32),
+                         X0=_j.ones((N, 1), _j.float32))
+        log(f"REML null from cache: delta={delta:.4g} h2={h2:.3f}")
+    else:
+        null = fit_null_model(y.astype(np.float32),
+                              np.ones((N, 1), np.float32),
+                              K=K.astype(np.float32), eig_k=(phi, U))
+        with open(dpath, "w") as f:
+            json.dump({"delta": float(null.delta),
+                       "h2": float(null.pseudo_heritability)}, f)
+        log(f"REML fit: {time.time()-t0:.1f}s delta={float(null.delta):.4g} "
+            f"h2={float(null.pseudo_heritability):.3f}")
 
     # device-resident int8 genotypes (exact storage, 4x less HBM)
     Gd = jax.device_put(jnp.asarray(G))
@@ -140,6 +164,10 @@ def main():
     r_x2 = rate(build_rotated_null(null, rotate_dtype="int8x2"),
                 "int8x2 (~5e-4 drift; + exact rescore of top hits "
                 "= exact-grade reported p-values)")
+    import jax.numpy as jnp2
+
+    rate(build_rotated_null(null, rotate_dtype=jnp2.bfloat16),
+         "bf16 1-pass (~6e-3 drift)")
 
     headline = max(r_exact, r_x3 if r_x3 > r_exact else 0.0)
     # headline counts fp32-grade tiers only (exact and int8x3, whose
