@@ -73,25 +73,59 @@ def _ibs_int8_update(S_acc, C, m_eff):
     return S_acc + 2 * d - s[:, None] - s[None, :] + m_eff
 
 
+def _streamed_int8_chunks(mat: np.ndarray, chunk: int, pack_transfer,
+                          pad_value: int):
+    """Generator of (device int8 chunk, m_eff) with the host-side prep
+    (memmap read, padding, 2-bit pack) running ONE chunk ahead in a
+    worker thread — the link is this image's bottleneck and numpy/ctypes
+    release the GIL, so prep overlaps the previous chunk's transfer."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mixmogam_tpu.ops.pack2 import packable
+
+    M, n = mat.shape
+
+    def prep(s):
+        e = min(s + chunk, M)
+        C = np.ascontiguousarray(mat[s:e])
+        if e - s < chunk:
+            C = np.vstack([C, np.full((chunk - (e - s), n), pad_value,
+                                      np.int8)])
+        if pack_transfer and packable(C):
+            from mixmogam_tpu import native
+
+            return "packed", native.pack_2bit(C), e - s
+        return "int8", C, e - s
+
+    starts = list(range(0, M, chunk))
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futs = {s: ex.submit(prep, s) for s in starts[:2]}
+        for i, s in enumerate(starts):
+            for s_next in starts[i + 2:i + 3]:
+                futs[s_next] = ex.submit(prep, s_next)
+            kind, host_arr, m_eff = futs.pop(s).result()
+            if kind == "packed":
+                from mixmogam_tpu.ops.pack2 import unpack_2bit_device
+
+                yield unpack_2bit_device(jnp.asarray(host_arr), n), m_eff
+            else:
+                yield jnp.asarray(host_arr), m_eff
+
+
 def _ibs_int8_streamed(mat: np.ndarray, chunk: int,
                        pack_transfer=None) -> np.ndarray:
     """Streaming int8 IBS for fully-observed binary genotypes. Tiles ship
     2-bit packed by default on accelerators (4x less host->device
-    traffic — the bottleneck behind this image's TPU tunnel) and are
-    unpacked on device (ops.pack2)."""
-    from mixmogam_tpu.ops.pack2 import default_pack_transfer, ship_int8_tile
+    traffic — the bottleneck behind this image's TPU tunnel), are
+    unpacked on device (ops.pack2), and host prep is prefetch-threaded."""
+    from mixmogam_tpu.ops.pack2 import default_pack_transfer
 
     if pack_transfer is None:
         pack_transfer = default_pack_transfer()
     M, n = mat.shape
     S = jnp.zeros((n, n), dtype=jnp.int32)
-    for s in range(0, M, chunk):
-        e = min(s + chunk, M)
-        C = np.ascontiguousarray(mat[s:e])
-        if e - s < chunk:
-            C = np.vstack([C, np.zeros((chunk - (e - s), n), np.int8)])
-        S = _ibs_int8_update(S, ship_int8_tile(C, n, pack_transfer),
-                             int(e - s))
+    for Cd, m_eff in _streamed_int8_chunks(mat, chunk, pack_transfer, 0):
+        S = _ibs_int8_update(S, Cd, m_eff)
     return np.asarray(S).astype(np.float64) / M
 
 
@@ -115,26 +149,19 @@ def _ibs_diploid_int8_update(S2_acc, C, m_eff):
 def _ibs_diploid_int8_streamed(mat: np.ndarray, chunk: int,
                                pack_transfer=None) -> np.ndarray:
     """Streaming integer-exact diploid IBS (fully observed 0/1/2). Tiles
-    ship 2-bit packed by default on accelerators (ops.pack2)."""
-    from mixmogam_tpu.ops.pack2 import default_pack_transfer, ship_int8_tile
+    ship 2-bit packed by default on accelerators (ops.pack2), prefetch-
+    threaded. Pad rows use -1 (2-bit packable): in no indicator class
+    (W0/W2 are 0), and the (a-b)^2 pad contribution cancels — a2=1, CtC
+    pad pair = +1, d2 = 1+1-2 = 0 — so only the 2*m_eff term (which
+    counts real rows) sees the pad."""
+    from mixmogam_tpu.ops.pack2 import default_pack_transfer
 
     if pack_transfer is None:
         pack_transfer = default_pack_transfer()
     M, n = mat.shape
     S2 = jnp.zeros((n, n), dtype=jnp.int32)
-    for s in range(0, M, chunk):
-        e = min(s + chunk, M)
-        C = np.ascontiguousarray(mat[s:e])
-        if e - s < chunk:
-            # pad rows use -1 (2-bit packable): in no indicator class
-            # (W0/W2 are 0), and the (a-b)^2 pad contribution cancels —
-            # a2=1, CtC pad pair = +1, d2 = 1+1-2 = 0 — so only the
-            # 2*m_eff term (which counts real rows) sees the pad
-            pad = np.full((chunk - (e - s), n), -1, dtype=np.int8)
-            C = np.vstack([C, pad])
-        S2 = _ibs_diploid_int8_update(S2, ship_int8_tile(C, n,
-                                                         pack_transfer),
-                                      int(e - s))
+    for Cd, m_eff in _streamed_int8_chunks(mat, chunk, pack_transfer, -1):
+        S2 = _ibs_diploid_int8_update(S2, Cd, m_eff)
     return np.asarray(S2).astype(np.float64) / (2.0 * M)
 
 
