@@ -228,18 +228,74 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
 
 def run_gwas_multi(genotype_file: str, phenotype_file: str,
                    pids: Optional[Sequence[int]] = None,
-                   out_prefix: Optional[str] = None, **kw) -> Dict[int, Dict]:
+                   out_prefix: Optional[str] = None,
+                   batched: bool = False, data_format: str = "binary",
+                   min_mac: int = 15, kinship_method: str = "ibs",
+                   cache_dir: Optional[str] = None,
+                   **kw) -> Dict[int, Dict]:
     """Run a scan for every phenotype id in the file (reference pattern:
     looping the facade over a multi-phenotype file). The kinship cache
     keys on genotype content, so K is computed once across traits that
-    share the sample set; for many traits on one sample set prefer
-    emmax_multi_trait (shared eigenbasis, one batched scan)."""
+    share the sample set.
+
+    batched=True runs ONE shared-eigenbasis multi-trait scan instead
+    (emmax_multi_trait): genotypes are coordinated once against the
+    union of phenotyped samples, per-trait missing phenotypes become
+    NaN rows (handled exactly by missingness-pattern grouping), and the
+    per-tile rotation is shared by all traits — at 50 traits this costs
+    ~the single-trait wall (measured, PERFORMANCE.md config #4)."""
     phend = parse_phenotype_file(phenotype_file)
-    out = {}
     # pids=[] means "no phenotypes", not "all" (an empty filter result
     # must not fan out a full GWAS per phenotype in the file)
-    for pid in (pids if pids is not None else phend.phenotype_ids()):
-        prefix = f"{out_prefix}.pid{pid}" if out_prefix else None
-        out[pid] = run_gwas(genotype_file, phenotype_file, pid=pid,
-                            out_prefix=prefix, **kw)
+    pid_list = list(pids if pids is not None else phend.phenotype_ids())
+    if not batched:
+        out = {}
+        for pid in pid_list:
+            prefix = f"{out_prefix}.pid{pid}" if out_prefix else None
+            out[pid] = run_gwas(genotype_file, phenotype_file, pid=pid,
+                                out_prefix=prefix,
+                                data_format=data_format, min_mac=min_mac,
+                                kinship_method=kinship_method,
+                                cache_dir=cache_dir, **kw)
+        return out
+
+    gd = parse_snp_data(genotype_file, data_format=data_format)
+    maps = {pid: phend.value_dict(pid) for pid in pid_list}
+    keep = [i for i, a in enumerate(gd.accessions)
+            if any(a in m for m in maps.values())]
+    if not keep:
+        raise ValueError("no sample overlaps any requested phenotype")
+    gd2 = gd.select_samples(keep).filter_monomorphic_snps()
+    if min_mac:
+        gd2 = gd2.filter_mac_snps(min_mac)
+    Y = np.full((len(pid_list), gd2.num_samples), np.nan)
+    for t, pid in enumerate(pid_list):
+        m = maps[pid]
+        for j, a in enumerate(gd2.accessions):
+            if a in m:
+                Y[t, j] = np.mean(m[a])
+    K = cached_kinship(gd2, kinship_method, cache_dir=cache_dir)
+    mt = emmax_multi_trait(gd2, Y, K=K, **kw)
+    out = {}
+    dofs = np.broadcast_to(np.asarray(mt["dof"]), (len(pid_list),))
+    for t, pid in enumerate(pid_list):
+        result = Result(mt["ps"][t], gd2.chromosomes, gd2.positions,
+                        mafs=gd2.get_mafs(), macs=gd2.get_macs(),
+                        additional={"betas": mt["betas"][t],
+                                    "f_stats": mt["f_stats"][t]},
+                        score_type="pvals")
+        files = {}
+        if out_prefix:
+            csv = f"{out_prefix}.pid{pid}.pvals.csv"
+            result.write_to_file(csv)
+            files["pvals"] = csv
+        out[pid] = {
+            "result": result, "files": files,
+            "scan": {"ps": mt["ps"][t], "f_stats": mt["f_stats"][t],
+                     "betas": mt["betas"][t], "mask": mt["mask"][t],
+                     "delta": float(mt["deltas"][t]),
+                     "pseudo_heritability":
+                         float(mt["pseudo_heritabilities"][t]),
+                     "dof": int(dofs[t])},
+        }
     return out

@@ -584,3 +584,59 @@ class TestPackedTransport:
         a = emmax_streamed(G_int, y, K=K, tile=64, pack_transfer=False)
         b = emmax_streamed(G_int, y, K=K, tile=64, pack_transfer=True)
         np.testing.assert_allclose(a["ps"], b["ps"], atol=0)
+
+
+class TestRunGwasMultiBatched:
+    def _files(self, tmp_path, with_missing):
+        from mixmogam_tpu.data.genotype import GenotypeData
+        from mixmogam_tpu.data.phenotype import PhenotypeData
+        from mixmogam_tpu.data.simulate import (simulate_genotypes,
+                                                simulate_phenotype)
+
+        G, ch, po = simulate_genotypes(80, 800, seed=31)
+        gd = GenotypeData(G, ch, po, [f"a{i}" for i in range(80)])
+        g = str(tmp_path / "g.csv")
+        gd.write_csv(g)
+        rng = np.random.default_rng(31)
+        rows = ["ecotype_id,t1,t2"]
+        y1, _ = simulate_phenotype(G, h2=0.6, n_causal=4, seed=31)
+        y2 = rng.normal(size=80)
+        for i in range(80):
+            v2 = "" if (with_missing and rng.random() < 0.2) \
+                else f"{y2[i]:.6f}"
+            rows.append(f"a{i},{y1[i]:.6f},{v2}")
+        p = str(tmp_path / "p.csv")
+        with open(p, "w") as f:
+            f.write("\n".join(rows) + "\n")
+        return g, p
+
+    def test_batched_matches_loop(self, tmp_path):
+        from mixmogam_tpu.api import run_gwas_multi
+
+        g, p = self._files(tmp_path, with_missing=False)
+        loop = run_gwas_multi(g, p, min_mac=5, plots=False)
+        bat = run_gwas_multi(g, p, min_mac=5, batched=True)
+        for pid in loop:
+            np.testing.assert_allclose(bat[pid]["scan"]["ps"],
+                                       loop[pid]["scan"]["ps"],
+                                       rtol=1e-5, atol=1e-8)
+
+    def test_batched_with_missing_trait_values(self, tmp_path):
+        from mixmogam_tpu.api import run_gwas, run_gwas_multi
+
+        g, p = self._files(tmp_path, with_missing=True)
+        bat = run_gwas_multi(g, p, min_mac=5, batched=True,
+                             out_prefix=str(tmp_path / "o"))
+        # per-pid reference run coordinates to ITS observed subset;
+        # compare on the shared SNP set via positions
+        ref = run_gwas(g, p, pid=2, min_mac=5, plots=False)
+        r2 = bat[2]["result"]
+        pos_ref = {int(q): i for i, q in
+                   enumerate(ref["genotype"].positions)}
+        sel = [i for i, q in enumerate(r2.positions)
+               if int(q) in pos_ref]
+        ref_idx = [pos_ref[int(q)] for q in r2.positions[sel]]
+        lp_a = -np.log10(np.maximum(r2.scores[sel], 1e-300))
+        lp_b = -np.log10(np.maximum(ref["scan"]["ps"][ref_idx], 1e-300))
+        assert np.corrcoef(lp_a, lp_b)[0, 1] > 0.999
+        assert (tmp_path / "o.pid1.pvals.csv").exists()
