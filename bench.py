@@ -114,7 +114,11 @@ def main():
     # (~200 s on 2 vCPUs) + several n^2-sized host matmuls — cache the
     # fitted delta so repeat bench runs rebuild the rotated null from
     # (phi, U, delta) directly
-    dpath = os.path.join(CACHE, f"null_delta_{N}.json")
+    import hashlib
+
+    ykey = hashlib.sha256(np.ascontiguousarray(y).tobytes()
+                          + K[:4].tobytes()).hexdigest()[:10]
+    dpath = os.path.join(CACHE, f"null_delta_{N}_{ykey}.json")
     t0 = time.time()
     if os.path.exists(dpath):
         with open(dpath) as f:

@@ -175,14 +175,18 @@ def _parse_nucleotide_csv(path: str, delimiter: str,
                          else (c[:1] if c else None) for c in calls]
             elif not diploid and any(c and len(c) == 2 for c in calls):
                 diploid = True
-            # rank alleles by copy count (ranking is invariant to the
-            # haploid-vs-diploid copy weight of single-letter calls
-            # within one row, so raw copies are fine)
+            # rank alleles by TRUE copy count: under diploid a
+            # single-letter (homozygous) call carries 2 copies — raw
+            # per-call counts would misrank 3+-allele sites (e.g.
+            # A,A,A,GT,GT,GT,GT: true copies A=6 > G=T=4, but raw
+            # counts A=3 < 4 would drop A as the "3rd" allele)
+            cp = 2 if diploid else 1
             counts: dict = {}
             for c in calls:
                 if c:
+                    w = cp // len(c)
                     for a in c:
-                        counts[a] = counts.get(a, 0) + 1
+                        counts[a] = counts.get(a, 0) + w
             ranked = sorted(counts, key=lambda a: (-counts[a], a))
             major = ranked[0] if ranked else "N"
             minor = ranked[1] if len(ranked) > 1 else "N"

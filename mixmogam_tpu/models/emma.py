@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mixmogam_tpu.models.emmax import _as_design, _as_dosage
+from mixmogam_tpu.models.emmax import (STREAM_BUDGET_BYTES,
+                                       _as_design, _as_dosage)
 from mixmogam_tpu.ops.eigen import eigen_k
 from mixmogam_tpu.ops.reml import fit_null_model
 from mixmogam_tpu.ops.stats import f_sf_host, chi2_sf_host
@@ -60,7 +61,7 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
          eig_k: Optional[Tuple] = None, ngrids: int = 100,
          llim: float = -10.0, ulim: float = 10.0, esp: float = 1e-6,
          tile: int = 2048, dtype=None, test: str = "f",
-         stream_budget_bytes: int = 4 << 30,
+         stream_budget_bytes: int = STREAM_BUDGET_BYTES,
          ) -> Dict[str, np.ndarray]:
     """EMMA exact scan. Same signature family as emmax(); additionally
     returns per-SNP 'deltas' and 'pseudo_heritabilities'. Sources larger

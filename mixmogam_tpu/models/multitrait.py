@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mixmogam_tpu.models.emmax import _as_design, _as_dosage
+from mixmogam_tpu.models.emmax import (STREAM_BUDGET_BYTES,
+                                       _as_design, _as_dosage)
 from mixmogam_tpu.ops.eigen import eigen_k, projected_spectrum
 from mixmogam_tpu.ops.reml import reml_from_spectrum
 from mixmogam_tpu.ops.stats import f_sf_host
@@ -67,7 +68,7 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
                       llim: float = -10.0, ulim: float = 10.0,
                       dtype=None, tile: Optional[int] = None,
                       tile_budget: int = 1 << 27,
-                      stream_budget_bytes: int = 4 << 30
+                      stream_budget_bytes: int = STREAM_BUDGET_BYTES
                       ) -> Dict[str, np.ndarray]:
     """EMMAX over T phenotypes sharing one kinship/eigenbasis.
 

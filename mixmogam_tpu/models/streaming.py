@@ -110,13 +110,20 @@ def _exact_rescore(matrix_source, idx, null, dtype):
     from mixmogam_tpu.ops.scan import build_rotated_null, emmax_scan_stats
 
     idx = np.sort(np.asarray(idx, dtype=np.int64))
-    rows = np.asarray(matrix_source[idx])
+    k = len(idx)
+    # pad the row count to a power-of-two bucket: static shapes under
+    # jit (repo convention), so varying hit counts reuse a handful of
+    # compiled programs instead of retracing per run
+    bucket = max(256, 1 << (max(k, 1) - 1).bit_length())
+    idx_pad = np.concatenate([idx, np.repeat(idx[:1], bucket - k)])
+    rows = np.asarray(matrix_source[idx_pad])
     if rows.dtype == np.int8:
         rows_d = _impute_tile(jnp.asarray(rows), np.dtype(dtype).name)
     else:
         rows_d = jnp.asarray(_host_float_tile(rows, np.dtype(dtype)))
     rot_ex = build_rotated_null(null)  # exact tier, same null/delta
-    return idx, jax.device_get(jax.jit(emmax_scan_stats)(rows_d, rot_ex))
+    out = jax.device_get(jax.jit(emmax_scan_stats)(rows_d, rot_ex))
+    return idx, {kk: v[:k] for kk, v in out.items()}
 
 
 def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
@@ -175,10 +182,27 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
         if rotate_in_bf16:
             raise ValueError("pass either precision= or the legacy "
                              "rotate_in_bf16 kwarg, not both")
-        # 'auto' probes only the first tile (scanning the full multi-GB
-        # source would defeat streaming); int8-tier tiles are re-checked
-        # per tile below anyway
-        probe = np.asarray(matrix_source[:min(tile, M)])
+        probe = None
+        if str(precision) == "auto":
+            # 'auto' + int8 source: the int8 tiers are only usable when
+            # the WHOLE source is fully observed (mean imputation makes
+            # fractions the digit cast would round), so check for the
+            # missing sentinel in chunks — one sequential pass over data
+            # we are about to read anyway; any hit resolves to 'exact'
+            # instead of crashing mid-scan
+            if np.dtype(getattr(matrix_source, "dtype",
+                                np.float64)) == np.int8:
+                has_missing = False
+                for s0 in range(0, M, 65_536):
+                    if (np.asarray(matrix_source[s0:s0 + 65_536])
+                            < 0).any():
+                        has_missing = True
+                        break
+                probe = (np.full((1, 1), np.nan)  # forces 'exact'
+                         if has_missing
+                         else np.zeros((1, 1), dtype=np.int8))
+            else:
+                probe = np.asarray(matrix_source[:min(4096, M)])
         rotate_in_bf16, matmul_precision, tier_name = resolve_precision(
             precision, G=probe)
     null = fit_null_model(y.astype(dtype), X0.astype(dtype),
@@ -330,13 +354,17 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
 
     ps = np.where(mask, f_sf_host(f_stats, 1.0, dof), 1.0)
     rescored = np.zeros(0, dtype=np.int64)
-    if rescore_top and rd is not None:
+    if rescore_top and (rd is not None or matmul_precision):
         # top-k plus anything within 2x of Bonferroni (drift near the
-        # threshold is exactly what rescoring must remove)
+        # threshold is exactly what rescoring must remove); the near set
+        # is capped at 8k so a strong-signal genome cannot make the
+        # rescore dispatch unbounded
         k = min(int(rescore_top), M)
         cand = np.argsort(ps, kind="stable")[:k]
         near = np.flatnonzero(ps <= 2.0 * 0.05 / max(M, 1))
         idx = np.union1d(cand, near)
+        if len(idx) > 8 * k:
+            idx = idx[np.argsort(ps[idx], kind="stable")[:8 * k]]
         idx, d_ex = _exact_rescore(matrix_source, idx, null, dtype)
         f_stats[idx] = np.asarray(d_ex["f_stats"], dtype=np.float64)
         betas[idx] = np.asarray(d_ex["betas"], dtype=np.float64)

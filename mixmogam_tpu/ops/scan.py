@@ -99,7 +99,9 @@ def is_integer_dosage(G) -> bool:
 
     G = np.asarray(G)
     if np.issubdtype(G.dtype, np.integer):
-        return bool(G.min(initial=0) >= -128 and G.max(initial=0) <= 127)
+        # negative entries are the MISSING sentinel: imputation turns
+        # them into fractional dosages, so the int8 tiers are not exact
+        return bool(G.min(initial=0) >= 0 and G.max(initial=0) <= 127)
     if not np.issubdtype(G.dtype, np.floating):
         return False
     if G.size and (np.isnan(G).any() or np.abs(G).max() > 127):

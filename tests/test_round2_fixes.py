@@ -640,3 +640,58 @@ class TestRunGwasMultiBatched:
         lp_b = -np.log10(np.maximum(ref["scan"]["ps"][ref_idx], 1e-300))
         assert np.corrcoef(lp_a, lp_b)[0, 1] > 0.999
         assert (tmp_path / "o.pid1.pvals.csv").exists()
+
+
+class TestReviewRound2Fixes:
+    """Fixes from the round-2 self-review."""
+
+    def test_triallelic_diploid_ranking(self, tmp_path):
+        """True copy counts rank alleles: homozygous single-letter calls
+        carry 2 copies under diploid (A=6 beats G=T=4 here)."""
+        p = tmp_path / "nt.csv"
+        p.write_text("Chromosome,Position,a,b,c,d,e,f,g\n"
+                     "1,50,A,T,AT,AT,AT,AT,AT\n"  # diploid evidence first
+                     "1,100,A,A,A,GT,GT,GT,GT\n")
+        gd = parse_snp_data(str(p), data_format="nucleotides")
+        assert gd.alleles[1].tolist()[0] == "A"  # major by true copies
+        # homozygous-A samples keep dosage 0; GT carries the dropped
+        # third allele -> missing
+        assert gd.matrix[1].tolist()[:3] == [0, 0, 0]
+        assert set(gd.matrix[1].tolist()[3:]) == {-1}
+
+    def test_auto_streamed_missing_int8_resolves_exact(self, small_dataset,
+                                                       kinship_small):
+        """precision='auto' on a streamed int8 source WITH missing data
+        must fall back to exact (used to resolve int8x3 and crash)."""
+        from mixmogam_tpu.models.streaming import emmax_streamed
+
+        rng = np.random.default_rng(8)
+        G = small_dataset["G_int"].copy()
+        G[rng.random(G.shape) < 0.1] = -1
+        y, K = small_dataset["y"], kinship_small
+        out = emmax_streamed(G, y, K=K, tile=64, precision="auto")
+        assert out["precision_tier"] == "exact"
+        assert np.isfinite(out["ps"]).all()
+
+    def test_is_integer_dosage_rejects_missing_sentinel(self):
+        from mixmogam_tpu.ops.scan import is_integer_dosage
+
+        assert not is_integer_dosage(np.array([[0, 1, -1]], np.int8))
+        assert is_integer_dosage(np.array([[0, 1, 2]], np.int8))
+
+    def test_streamed_high_tier_rescore_runs(self, small_dataset,
+                                             kinship_small):
+        """rescore_top must fire for precision='high' in streamed mode
+        (gate used to check only the rotate tier)."""
+        from mixmogam_tpu.models import emmax
+        from mixmogam_tpu.models.streaming import emmax_streamed
+
+        G_int = small_dataset["G_int"]
+        y, K = small_dataset["y"], kinship_small
+        st = emmax_streamed(G_int, y, K=K, tile=64, precision="high",
+                            rescore_top=15)
+        assert len(st["rescored_idx"]) >= 15
+        ref = emmax(G_int, y, K=K, stream=False)
+        idx = st["rescored_idx"]
+        np.testing.assert_allclose(st["ps"][idx], ref["ps"][idx],
+                                   rtol=1e-9)
