@@ -45,3 +45,79 @@ def test_two_process_distributed_parity():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"WORKER_OK {i}" in out, f"worker {i} output:\n{out}"
+
+
+@pytest.mark.slow
+def test_streamed_scan_survives_sigkill(tmp_path):
+    """Failure recovery (SURVEY §5): SIGKILL a streamed scan mid-run,
+    then resume from the tile manifest and match the uninterrupted run."""
+    import signal
+    import time as _time
+
+    import numpy as np
+
+    ck = str(tmp_path / "ck")
+    data = str(tmp_path / "d.npz")
+    worker = f"""
+import os, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+z = np.load({data!r})
+from mixmogam_tpu.models.streaming import emmax_streamed
+
+def slow(src):
+    class S:
+        shape = src.shape
+        dtype = src.dtype
+        def __getitem__(self, k):
+            time.sleep(0.4)   # pace tiles so the kill lands mid-run
+            return src[k]
+    return S()
+
+print("START", flush=True)
+emmax_streamed(slow(z["G"]), z["y"], K=z["K"], tile=32,
+               checkpoint_dir={ck!r}, inflight=1)
+print("DONE", flush=True)
+"""
+    from mixmogam_tpu.data.simulate import simulate_genotypes, simulate_phenotype
+
+    G, _, _ = simulate_genotypes(50, 320, seed=44)
+    y, _ = simulate_phenotype(G, h2=0.5, n_causal=3, seed=44)
+    from mixmogam_tpu.oracle.kinship import scale_k
+    from mixmogam_tpu.oracle import ibs_kinship
+
+    K = scale_k(ibs_kinship(G.astype(np.float64)))
+    np.savez(data, G=G, y=y, K=K)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = ""
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen([sys.executable, "-c", worker],
+                            stdout=subprocess.PIPE, text=True, env=env)
+    # wait until at least one tile checkpoint exists, then SIGKILL
+    import glob
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if glob.glob(os.path.join(ck, "tile_*.npz")):
+            break
+        _time.sleep(0.2)
+    else:
+        proc.kill()
+        pytest.fail("no tile checkpoint appeared before the deadline")
+    proc.send_signal(signal.SIGKILL)  # exact PID of the child we spawned
+    proc.wait(timeout=60)
+    assert proc.returncode != 0
+    n_done_after_kill = len(glob.glob(os.path.join(ck, "tile_*.npz")))
+    assert 0 < n_done_after_kill < 10  # killed mid-run, not at the end
+
+    # resume in-process and compare to an uninterrupted run
+    from mixmogam_tpu.models.streaming import emmax_streamed
+
+    resumed = emmax_streamed(G, y, K=K, tile=32, checkpoint_dir=ck)
+    clean = emmax_streamed(G, y, K=K, tile=32)
+    np.testing.assert_allclose(resumed["ps"], clean["ps"], atol=1e-12)
