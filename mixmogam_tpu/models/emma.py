@@ -74,18 +74,11 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
     n = y.shape[0]
     if dtype is None:
         dtype = jnp.zeros(0).dtype
-    if hasattr(G, "matrix"):
-        G_src = G.matrix
-    elif hasattr(G, "shape") and hasattr(G, "dtype"):
-        G_src = G  # ndarray / memmap / h5py — keep lazy
-    else:
-        G_src = np.asarray(G)
+    from mixmogam_tpu.models.source import resolve_source, should_stream
+
+    G_src = resolve_source(G)
     M = G_src.shape[0]
-    g_item = (1 if np.dtype(G_src.dtype) == np.int8
-              else np.dtype(dtype).itemsize)
-    streamed = (M * n * (np.dtype(dtype).itemsize + g_item)
-                > stream_budget_bytes)
-    int8_source = np.dtype(G_src.dtype) == np.int8
+    streamed = should_stream(G_src, n, dtype, stream_budget_bytes)
     Gf = None if streamed else _as_dosage(G, dtype)
     if X0 is None:
         X0 = np.ones((n, 1))
@@ -114,28 +107,11 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
     for s in range(0, M, tile):
         e = min(s + tile, M)
         if streamed:
-            if int8_source:
-                from mixmogam_tpu.models.streaming import _impute_tile
-                from mixmogam_tpu.ops.pack2 import (default_pack_transfer,
-                                                    ship_int8_tile)
+            from mixmogam_tpu.models.source import fetch_tile
+            from mixmogam_tpu.ops.pack2 import default_pack_transfer
 
-                chunk = np.ascontiguousarray(
-                    np.asarray(G_src[s:e], dtype=np.int8))
-                if e - s < tile:
-                    chunk = np.vstack(
-                        [chunk, np.zeros((tile - (e - s), n), np.int8)])
-                Gt_raw = _impute_tile(
-                    ship_int8_tile(chunk, n, default_pack_transfer()),
-                    np.dtype(dtype).name)
-            else:
-                from mixmogam_tpu.models.streaming import _host_float_tile
-
-                chunk = _host_float_tile(G_src[s:e], np.dtype(dtype))
-                if e - s < tile:
-                    chunk = np.vstack(
-                        [chunk,
-                         np.zeros((tile - (e - s), n), np.dtype(dtype))])
-                Gt_raw = jnp.asarray(chunk)
+            Gt_raw = fetch_tile(G_src, s, e, tile, n, dtype,
+                                default_pack_transfer())
         else:
             Gt_raw = Gd[s:e]
             if e - s < tile:  # pad to the static tile shape (one compile)

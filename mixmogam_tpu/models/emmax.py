@@ -117,17 +117,11 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     # ---- big-M routing: decide BEFORE _as_dosage materializes a full
     # float copy (40 GB at 1M x 10k); lazy sources (np.memmap, h5py
     # datasets) are left unmaterialized for the streamed path ----
-    if hasattr(G, "matrix"):
-        G_src = G.matrix
-    elif hasattr(G, "shape") and hasattr(G, "dtype"):
-        G_src = G  # ndarray / memmap / h5py dataset — keep lazy
-    else:
-        G_src = np.asarray(G)
-    M_src, n_src = G_src.shape
-    g_item = 1 if G_src.dtype == np.int8 else np.dtype(dtype).itemsize
-    est_bytes = M_src * n_src * (np.dtype(dtype).itemsize + g_item)
+    from mixmogam_tpu.models.source import resolve_source, should_stream
+
+    G_src = resolve_source(G)
     if stream is None:
-        stream = est_bytes > stream_budget_bytes
+        stream = should_stream(G_src, n, dtype, stream_budget_bytes)
     if stream:
         from mixmogam_tpu.models.streaming import emmax_streamed
 

@@ -97,16 +97,11 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
     # is 1M x 10k x 50 traits, where the rotation is paid ONCE per tile
     # and shared by every trait (the whole point of the shared-eigenbasis
     # batch: 50 traits for ~1.07x the single-trait scan cost)
-    if hasattr(G, "matrix"):
-        G_src = G.matrix
-    elif hasattr(G, "shape") and hasattr(G, "dtype"):
-        G_src = G  # ndarray / memmap / h5py dataset — keep lazy
-    else:
-        G_src = np.asarray(G)
+    from mixmogam_tpu.models.source import resolve_source, should_stream
+
+    G_src = resolve_source(G)
     M = G_src.shape[0]
-    g_item = 1 if np.dtype(G_src.dtype) == np.int8 else np.dtype(dtype).itemsize
-    streamed = M * n * (np.dtype(dtype).itemsize + g_item) > stream_budget_bytes
-    int8_source = np.dtype(G_src.dtype) == np.int8
+    streamed = should_stream(G_src, n, dtype, stream_budget_bytes)
     Gf = None if streamed else _as_dosage(G, dtype)
     if X0 is None:
         X0 = np.ones((n, 1))
@@ -152,28 +147,11 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
     for s in range(0, M, tile):
         e = min(s + tile, M)
         if streamed:
-            if int8_source:
-                chunk = np.ascontiguousarray(
-                    np.asarray(G_src[s:e], dtype=np.int8))
-                if e - s < tile:
-                    chunk = np.vstack(
-                        [chunk, np.zeros((tile - (e - s), n), np.int8)])
-                from mixmogam_tpu.models.streaming import _impute_tile
-                from mixmogam_tpu.ops.pack2 import (default_pack_transfer,
-                                                    ship_int8_tile)
+            from mixmogam_tpu.models.source import fetch_tile
+            from mixmogam_tpu.ops.pack2 import default_pack_transfer
 
-                Gt = _impute_tile(
-                    ship_int8_tile(chunk, n, default_pack_transfer()),
-                    np.dtype(dtype).name)
-            else:
-                from mixmogam_tpu.models.streaming import _host_float_tile
-
-                chunk = _host_float_tile(G_src[s:e], np.dtype(dtype))
-                if e - s < tile:
-                    chunk = np.vstack(
-                        [chunk,
-                         np.zeros((tile - (e - s), n), np.dtype(dtype))])
-                Gt = jnp.asarray(chunk)
+            Gt = fetch_tile(G_src, s, e, tile, n, dtype,
+                            default_pack_transfer())
         else:
             Gt = Gd[s:e]
             if e - s < tile:
@@ -211,12 +189,9 @@ def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
     # keep the source in its native dtype (int8 at scale); each group
     # subsets COLUMNS and recurses — a full float64 copy here would be
     # 80 GB at the 1M x 10k configuration
-    if hasattr(G, "matrix"):
-        G_src = G.matrix
-    elif hasattr(G, "shape") and hasattr(G, "dtype"):
-        G_src = G
-    else:
-        G_src = np.asarray(G)
+    from mixmogam_tpu.models.source import resolve_source
+
+    G_src = resolve_source(G)
     M = G_src.shape[0]
     if X0 is None:
         X0 = np.ones((n, 1))

@@ -1,0 +1,51 @@
+"""Shared host-genotype-source plumbing for the streamed model paths
+(emmax/emma/multi-trait/rotation): source normalization, the
+device-footprint streaming decision, and per-tile fetch+impute —
+extracted so the big-M routing cannot drift between entry points."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def resolve_source(G):
+    """GenotypeData -> its int8 matrix; lazy array-likes (ndarray,
+    np.memmap, h5py datasets) pass through unmaterialized."""
+    if hasattr(G, "matrix"):
+        return G.matrix
+    if hasattr(G, "shape") and hasattr(G, "dtype"):
+        return G
+    return np.asarray(G)
+
+
+def should_stream(G_src, n: int, dtype, budget_bytes: int) -> bool:
+    """True when the in-core scan's device footprint (G + the rotated
+    G @ W at compute dtype) would exceed the budget."""
+    g_item = (1 if np.dtype(G_src.dtype) == np.int8
+              else np.dtype(dtype).itemsize)
+    return (G_src.shape[0] * n * (np.dtype(dtype).itemsize + g_item)
+            > budget_bytes)
+
+
+def fetch_tile(G_src, s: int, e: int, tile: int, n: int, dtype,
+               pack: bool) -> jnp.ndarray:
+    """One (tile, n) float tile on device from a host source: int8
+    sources ship (2-bit packed when pack) and mean-impute ON DEVICE;
+    float sources mean-impute per tile on host (NaN = missing). Rows
+    past e are zero-padded to the static tile shape."""
+    from mixmogam_tpu.models.streaming import _host_float_tile, _impute_tile
+    from mixmogam_tpu.ops.pack2 import ship_int8_tile
+
+    if np.dtype(G_src.dtype) == np.int8:
+        chunk = np.ascontiguousarray(np.asarray(G_src[s:e], dtype=np.int8))
+        if e - s < tile:
+            chunk = np.vstack(
+                [chunk, np.zeros((tile - (e - s), n), np.int8)])
+        return _impute_tile(ship_int8_tile(chunk, n, pack),
+                            np.dtype(dtype).name)
+    chunk = _host_float_tile(G_src[s:e], np.dtype(dtype))
+    if e - s < tile:
+        chunk = np.vstack(
+            [chunk, np.zeros((tile - (e - s), n), np.dtype(dtype))])
+    return jnp.asarray(chunk)
