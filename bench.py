@@ -28,7 +28,7 @@ import numpy as np
 
 CACHE = os.path.expanduser("~/.cache/mixmogam_bench")
 N = 10_240          # BASELINE-defined sample count
-M_RATE = 32_768     # SNPs per rate measurement (rotation-bound regime)
+M_RATE = 65_536     # SNPs per rate measurement (rotation-bound regime)
 
 
 def log(*a):
@@ -149,11 +149,11 @@ def main():
     jax.block_until_ready(Gd)
 
     def rate(rot, label, repeats=2):
-        jax.block_until_ready(emmax_scan_all(Gd, rot, tile=8192))  # compile
+        jax.block_until_ready(emmax_scan_all(Gd, rot, tile=16_384))  # compile
         best = np.inf
         for _ in range(repeats):
             t0 = time.time()
-            jax.block_until_ready(emmax_scan_all(Gd, rot, tile=8192))
+            jax.block_until_ready(emmax_scan_all(Gd, rot, tile=16_384))
             best = min(best, time.time() - t0)
         r = M_RATE / best
         fl = 2 * M_RATE * N * N / best
