@@ -49,8 +49,8 @@ def _add_run(sub):
                    help="comma-separated phenotype ids used as fixed-"
                         "effect covariates (e.g. '2,3')")
     p.add_argument("--precision", default="exact",
-                   choices=["exact", "auto", "int8x3", "high", "bf16x2",
-                            "int8x2", "bf16"],
+                   choices=["exact", "auto", "fast", "int8x3", "high",
+                            "bf16x2", "int8x2", "bf16"],
                    help="EMMAX scan tier: exact=true fp32 (default); "
                         "auto=int8x3 on TPU for integer dosages, exact "
                         "otherwise (fastest tier within the fp32 "
@@ -59,7 +59,9 @@ def _add_run(sub):
                         "high=3-pass emulation (~2e-5 p-drift, ~1.2x); "
                         "bf16x2=split-W 2-pass (~1e-5, ~1.3x); "
                         "int8x2=digit planes (~1e-4, fast); "
-                        "bf16=1-pass (~6e-3 p-drift, ~1.6-2x)")
+                        "bf16=1-pass (~6e-3 p-drift, ~1.6-2x); "
+                        "fast=highest-throughput tier + automatic exact "
+                        "rescore of the top 1024 hits")
     p.add_argument("--rescore-top", type=int, default=0,
                    help="with a fast --precision tier: re-test the top-K "
                         "SNPs (+ anything near Bonferroni) at the exact "

@@ -113,6 +113,10 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     n = y.shape[0]
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
+    if str(precision) == "fast" and not rescore_top:
+        # 'fast' = highest-throughput tier + exact rescore of everything
+        # reported (the measured >10M-aggregate configuration)
+        rescore_top = 1024
 
     # ---- big-M routing: decide BEFORE _as_dosage materializes a full
     # float copy (40 GB at 1M x 10k); lazy sources (np.memmap, h5py

@@ -165,6 +165,8 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
     M = matrix_source.shape[0]
+    if str(precision) == "fast" and not rescore_top:
+        rescore_top = 1024  # see models.emmax: 'fast' implies rescore
     if matrix_source.shape[1] != n:
         raise ValueError(
             f"matrix_source is (M={M}, {matrix_source.shape[1]}) but y has "

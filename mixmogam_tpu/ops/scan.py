@@ -135,16 +135,23 @@ def resolve_precision(precision: str, G=None, backend=None):
     On CPU/GPU or for imputed fractional dosages 'auto' == 'exact'.
     """
     p = str(precision)
-    if p == "auto":
+    if p in ("auto", "fast"):
         if backend is None:
             backend = jax.default_backend()
         on_tpu = backend in ("tpu", "axon") or "tpu" in str(backend).lower()
-        p = ("int8x3" if (on_tpu and G is not None and is_integer_dosage(G))
-             else "exact")
+        int_ok = on_tpu and G is not None and is_integer_dosage(G)
+        if p == "auto":
+            p = "int8x3" if int_ok else "exact"
+        else:
+            # 'fast': the measured highest-throughput tier — int8x2 for
+            # integer dosages (exact int32 accumulation, ~5e-4 drift),
+            # bf16 otherwise; callers pair it with rescore_top so every
+            # reported hit is re-tested at the exact tier
+            p = "int8x2" if int_ok else ("bf16" if on_tpu else "exact")
     if p not in PRECISION_TIERS:
         raise ValueError(
             f"unknown precision tier {precision!r}; choose from "
-            f"{['auto'] + sorted(PRECISION_TIERS)}")
+            f"{['auto', 'fast'] + sorted(PRECISION_TIERS)}")
     rb, mp = PRECISION_TIERS[p]
     return rb, mp, p
 

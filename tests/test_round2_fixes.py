@@ -695,3 +695,31 @@ class TestReviewRound2Fixes:
         idx = st["rescored_idx"]
         np.testing.assert_allclose(st["ps"][idx], ref["ps"][idx],
                                    rtol=1e-9)
+
+
+class TestFastTier:
+    def test_fast_implies_rescore_and_exact_hits(self, small_dataset,
+                                                 kinship_small):
+        from mixmogam_tpu.models import emmax
+
+        G_int = small_dataset["G_int"]
+        y, K = small_dataset["y"], kinship_small
+        fast = emmax(G_int, y, K=K, stream=False, precision="fast")
+        # on CPU 'fast' resolves to exact (no TPU): rescore is a no-op
+        # but the call must succeed and return a tier name
+        assert fast["precision_tier"] in ("exact", "int8x2", "bf16")
+        ref = emmax(G_int, y, K=K, stream=False)
+        if fast["precision_tier"] == "exact":
+            np.testing.assert_allclose(fast["ps"], ref["ps"], atol=1e-12)
+        else:
+            idx = fast["rescored_idx"]
+            assert len(idx) > 0
+            np.testing.assert_allclose(fast["ps"][idx], ref["ps"][idx],
+                                       rtol=1e-9)
+
+    def test_fast_streamed(self, small_dataset, kinship_small):
+        from mixmogam_tpu.models.streaming import emmax_streamed
+
+        out = emmax_streamed(small_dataset["G_int"], small_dataset["y"],
+                             K=kinship_small, tile=64, precision="fast")
+        assert np.isfinite(out["ps"]).all()
