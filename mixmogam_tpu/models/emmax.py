@@ -68,7 +68,7 @@ STREAM_BUDGET_BYTES = 4 << 30
 def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
           ngrids: int = 100, llim: float = -10.0, ulim: float = 10.0,
           esp: float = 1e-6, with_betas: bool = True,
-          dtype=None, tile: int = 8192, host_eigh: bool = True,
+          dtype=None, tile: int = 16_384, host_eigh: bool = True,
           rotate_in_bf16: bool = False, matmul_precision: str = None,
           precision: str = None, stream: Optional[bool] = None,
           stream_budget_bytes: int = STREAM_BUDGET_BYTES,
