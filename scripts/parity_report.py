@@ -35,6 +35,14 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
+    # the 1e-6 oracle gate is defined on the x64 device path; without
+    # this, jnp silently downcasts the dtype=float64 arguments to f32
+    # and the report measures the f32 envelope instead
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
     from mixmogam_tpu import oracle
     from mixmogam_tpu.data.simulate import (simulate_genotypes,
                                             simulate_phenotype)
