@@ -174,9 +174,9 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
                              "not both")
         rotate_in_bf16, matmul_precision, tier_name = resolve_precision(
             precision, G=Gf)
-        # 'auto' only resolves to an int8 tier after is_integer_dosage
-        # passed — don't re-scan the whole matrix below
-        int8_verified = (str(precision) == "auto"
+        # 'auto'/'fast' only resolve to an int8 tier after
+        # is_integer_dosage passed — don't re-scan the whole matrix below
+        int8_verified = (str(precision) in ("auto", "fast")
                          and tier_name.startswith("int8"))
     else:
         tier_name = None

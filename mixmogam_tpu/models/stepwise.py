@@ -273,13 +273,20 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
             # add. Default (False) runs all max_steps like the oracle —
             # model selection then picks the best step, which can differ
             # from stop-at-first-nonsignificant on non-monotone paths.
+            stopped_early = True
             break
         cof = cof + [jmin]
+    else:
+        stopped_early = False
 
-    step, _, _ = record(cof, "forward")
-    step["min_p"] = np.nan
-    step["min_p_snp"] = -1
-    steps.append(step)
+    if not stopped_early:
+        # record the model WITH the last added cofactor (the early-stop
+        # break leaves `cof` identical to the step just recorded — a
+        # final record would duplicate it)
+        step, _, _ = record(cof, "forward")
+        step["min_p"] = np.nan
+        step["min_p_snp"] = -1
+        steps.append(step)
 
     while cof:
         last = steps[-1]

@@ -77,8 +77,19 @@ def rotate_streamed_to_device(G_src, U, dtype=None,
             out, rot, (s, jnp.zeros((), s.dtype)))
 
     U = jnp.asarray(U, dtype=dtype)
-    for s in range(0, M, tile):
-        e = min(s + tile, M)
+    # single compiled shape: when M % tile != 0 the FINAL window is
+    # [M - tile, M), overlapping the previous tile — recomputing the
+    # overlap is idempotent (same inputs -> same rotated rows) and
+    # avoids a second minutes-slow remote compile of the big matmul
+    if M <= tile:
+        starts = [0]
+        tile = M
+    else:
+        starts = list(range(0, M - tile + 1, tile))
+        if starts[-1] + tile < M:
+            starts.append(M - tile)
+    for s in starts:
+        e = s + tile
         if int8_source:
             chunk = np.ascontiguousarray(np.asarray(G_src[s:e],
                                                     dtype=np.int8))
@@ -185,8 +196,8 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
             raise ValueError("pass either precision= or the legacy "
                              "rotate_in_bf16 kwarg, not both")
         probe = None
-        if str(precision) == "auto":
-            # 'auto' + int8 source: the int8 tiers are only usable when
+        if str(precision) in ("auto", "fast"):
+            # 'auto'/'fast' + int8 source: the int8 tiers are only usable when
             # the WHOLE source is fully observed (mean imputation makes
             # fractions the digit cast would round), so check for the
             # missing sentinel in chunks — one sequential pass over data

@@ -64,8 +64,16 @@ def emmax_two_snps(G, y, K=None, focal_idx: Optional[Sequence[int]] = None,
         if isinstance(ps, dict):
             ps = ps["ps"]
         elif hasattr(ps, "scores"):  # results.Result
-            ps = (ps.scores if ps.score_type == "pvals"
-                  else np.power(10.0, -np.asarray(ps.scores)))
+            if ps.score_type == "pvals":
+                ps = ps.scores
+            elif ps.score_type == "neg_log_pvals":
+                ps = np.power(10.0, -np.asarray(ps.scores))
+            else:
+                raise ValueError(
+                    f"from_result Result has score_type "
+                    f"{ps.score_type!r}; cannot rank hits — pass "
+                    "p-values (score_type 'pvals'/'neg_log_pvals') or "
+                    "an explicit focal_idx")
         ps = np.asarray(ps, dtype=np.float64).ravel()
         if ps.shape[0] != M:
             raise ValueError(

@@ -381,7 +381,13 @@ def pallas_rotate_scan_int8(G_int8, rot, tm: int = 256, nb: int = 512,
     M, n = G_int8.shape
     Mp = -(-M // tm) * tm
     np_ = -(-n // nb) * nb
-    Gp = jnp.pad(jnp.asarray(G_int8, jnp.int8), ((0, Mp - M), (0, np_ - n)))
+    G_int8 = jnp.asarray(G_int8)
+    if G_int8.dtype != jnp.int8:
+        # ROUND like the XLA int8 tier (emmax_scan_stats) — a plain
+        # int8 cast truncates toward zero, silently diverging for float
+        # dosages carrying representation error
+        G_int8 = jnp.round(G_int8).astype(jnp.int8)
+    Gp = jnp.pad(G_int8, ((0, Mp - M), (0, np_ - n)))
     W_planes = [jnp.pad(rot.W[p], ((0, np_ - n), (0, np_ - n)))
                 for p in range(num_planes)]
     wscale = jnp.pad(jnp.asarray(rot.w_scale, jnp.float32),

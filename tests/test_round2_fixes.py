@@ -723,3 +723,76 @@ class TestFastTier:
         out = emmax_streamed(small_dataset["G_int"], small_dataset["y"],
                              K=kinship_small, tile=64, precision="fast")
         assert np.isfinite(out["ps"]).all()
+
+
+class TestSecondReviewFixes:
+    def test_fast_resolves_int8x2_for_int_dosage(self):
+        from mixmogam_tpu.ops.scan import resolve_precision
+
+        G = np.array([[0, 1, 2]], np.int8)
+        _, _, name = resolve_precision("fast", G=G, backend="tpu")
+        assert name == "int8x2"
+        _, _, name = resolve_precision("fast", G=G.astype(np.float64) + 0.5,
+                                       backend="tpu")
+        assert name == "bf16"
+        _, _, name = resolve_precision("fast", G=G, backend="cpu")
+        assert name == "exact"
+
+    def test_early_stop_no_duplicate_final_record(self, small_dataset,
+                                                  kinship_small):
+        from mixmogam_tpu.models.stepwise import emmax_step_wise
+
+        es = emmax_step_wise(small_dataset["G"], small_dataset["y"],
+                             K=kinship_small, max_steps=6, early_stop=True)
+        fwd = [tuple(s["cofactors"]) for s in es["steps"]
+               if s["phase"] == "forward"]
+        assert len(fwd) == len(set(fwd)), "duplicate forward records"
+
+    def test_from_result_scores_type_raises(self, small_dataset,
+                                            kinship_small):
+        from mixmogam_tpu.models.twosnp import emmax_two_snps
+        from mixmogam_tpu.results.result import Result
+
+        r = Result(np.random.default_rng(0).random(
+            small_dataset["G"].shape[0]),
+            np.ones(small_dataset["G"].shape[0], int),
+            np.arange(small_dataset["G"].shape[0]),
+            score_type="scores")
+        with pytest.raises(ValueError, match="score_type"):
+            emmax_two_snps(small_dataset["G"], small_dataset["y"],
+                           K=kinship_small, from_result=r)
+
+    def test_pallas_int8_rounds_float_input(self, small_dataset,
+                                            kinship_small):
+        from mixmogam_tpu.ops.pallas_scan import pallas_rotate_scan_int8
+        from mixmogam_tpu.ops.reml import fit_null_model
+        from mixmogam_tpu.ops.scan import build_rotated_null, emmax_scan_all
+
+        import jax.numpy as jnp
+
+        y = small_dataset["y"].astype(np.float32)
+        K = kinship_small.astype(np.float32)
+        null = fit_null_model(y, np.ones((len(y), 1), np.float32), K=K)
+        rot = build_rotated_null(null, rotate_dtype="int8x3")
+        # float dosages with representation error: 2 - 1e-7 must ROUND
+        # to 2 (the XLA tier's behavior), not truncate to 1
+        Gf = small_dataset["G_int"][:64].astype(np.float32) * (1 - 5e-8)
+        ref = emmax_scan_all(jnp.asarray(Gf), rot, tile=64)
+        pal = pallas_rotate_scan_int8(Gf, rot, tm=64, nb=128)
+        np.testing.assert_allclose(np.asarray(pal["f_stats"]),
+                                   np.asarray(ref["f_stats"]),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_rotate_streamed_single_shape_overlap(self, small_dataset,
+                                                  kinship_small):
+        import scipy.linalg
+
+        from mixmogam_tpu.models.streaming import rotate_streamed_to_device
+        from mixmogam_tpu.models.emmax import _as_dosage
+
+        G = small_dataset["G_int"][:130]  # 130 % 48 != 0 -> overlap path
+        phi, U = scipy.linalg.eigh(kinship_small)
+        got = np.asarray(rotate_streamed_to_device(G, U, np.float64,
+                                                   tile=48))
+        want = _as_dosage(G, np.float64) @ U
+        np.testing.assert_allclose(got, want, atol=1e-10)
