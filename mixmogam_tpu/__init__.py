@@ -21,7 +21,7 @@ direct implementation of — Kang et al. 2008, Kang et al. 2010, Segura et al.
 2012).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from mixmogam_tpu import config as config  # noqa: F401
 
