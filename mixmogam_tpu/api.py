@@ -259,7 +259,39 @@ def run_gwas_multi(genotype_file: str, phenotype_file: str,
                                 cache_dir=cache_dir, **kw)
         return out
 
-    gd = parse_snp_data(genotype_file, data_format=data_format)
+    # batched=True: accept the same facade kwargs as batched=False and
+    # translate them for emmax_multi_trait — flipping the switch on an
+    # existing run_gwas_multi call site must not TypeError. Facade-only
+    # kwargs are handled here; anything neither handled nor accepted by
+    # emmax_multi_trait raises a clear ValueError up front.
+    import inspect
+
+    method = kw.pop("method", "emmax")
+    if method != "emmax":
+        raise ValueError(
+            f"batched=True runs one shared-eigenbasis EMMAX scan; "
+            f"method={method!r} is only available with batched=False")
+    transform = kw.pop("transform", None)
+    # same default as run_gwas: plots render per pid when out_prefix is
+    # set, so batched=True produces the same artifact set as a loop
+    plots = kw.pop("plots", True)
+    ploidy = kw.pop("ploidy", None)
+    kinship_file = kw.pop("kinship_file", None)
+    mt_params = set(inspect.signature(emmax_multi_trait).parameters)
+    unknown = sorted(set(kw) - mt_params)
+    if unknown:
+        raise ValueError(
+            f"kwargs {unknown} are not supported with batched=True "
+            "(the shared-eigenbasis scan accepts "
+            f"{sorted(mt_params - {'G', 'Y', 'K'})}); use batched=False")
+    if transform:
+        for pid in pid_list:
+            if transform == "most_normal":
+                phend.most_normal_transformation(pid)
+            else:
+                phend.transform(pid, transform)
+    gd = parse_snp_data(genotype_file, data_format=data_format,
+                        ploidy=ploidy)
     maps = {pid: phend.value_dict(pid) for pid in pid_list}
     keep = [i for i, a in enumerate(gd.accessions)
             if any(a in m for m in maps.values())]
@@ -274,7 +306,13 @@ def run_gwas_multi(genotype_file: str, phenotype_file: str,
         for j, a in enumerate(gd2.accessions):
             if a in m:
                 Y[t, j] = np.mean(m[a])
-    K = cached_kinship(gd2, kinship_method, cache_dir=cache_dir)
+    if kinship_file and os.path.exists(kinship_file):
+        from mixmogam_tpu.oracle.kinship import prepare_k
+
+        K, acc = load_kinship_from_file(kinship_file)
+        K = prepare_k(K, acc, gd2.accessions)
+    else:
+        K = cached_kinship(gd2, kinship_method, cache_dir=cache_dir)
     mt = emmax_multi_trait(gd2, Y, K=K, **kw)
     out = {}
     dofs = np.broadcast_to(np.asarray(mt["dof"]), (len(pid_list),))
@@ -289,6 +327,15 @@ def run_gwas_multi(genotype_file: str, phenotype_file: str,
             csv = f"{out_prefix}.pid{pid}.pvals.csv"
             result.write_to_file(csv)
             files["pvals"] = csv
+            if plots:
+                from mixmogam_tpu.plotting import manhattan_plot, qq_plot
+
+                man = f"{out_prefix}.pid{pid}.manhattan.png"
+                qq = f"{out_prefix}.pid{pid}.qq.png"
+                manhattan_plot(result, man,
+                               threshold=bonferroni_threshold(len(result)))
+                qq_plot(mt["ps"][t], qq)
+                files.update(manhattan=man, qq=qq)
         out[pid] = {
             "result": result, "files": files,
             "scan": {"ps": mt["ps"][t], "f_stats": mt["f_stats"][t],

@@ -215,6 +215,11 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
         cand = np.argsort(ps, kind="stable")[:k]
         near = np.flatnonzero(ps <= 2.0 * 0.05 / max(M_all, 1))
         idx = np.union1d(cand, near)
+        # same 8*k cap as the streamed path: a structure-inflated trait
+        # (e.g. misspecified K) can put tens of thousands of SNPs under
+        # the near-Bonferroni cut — keep the rescore dispatch bounded
+        if len(idx) > 8 * k:
+            idx = idx[np.argsort(ps[idx], kind="stable")[:8 * k]]
         idx, d_ex = _exact_rescore(Gf, idx, null, dtype)
         f_stats[idx] = np.asarray(d_ex["f_stats"], dtype=np.float64)
         mask_arr[idx] = np.asarray(d_ex["mask"])

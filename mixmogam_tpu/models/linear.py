@@ -226,8 +226,6 @@ def kruskal_wallis(G, y, ploidy: Optional[int] = None, dtype=None,
             vs[s:e] = np.asarray(v)[: e - s]
         ps = np.where(vs, chi2_sf_host(hs, np.maximum(ks - 1, 1)), 1.0)
         return {"ps": ps, "stats": np.where(vs, hs, 0.0)}
-    if dtype is None:
-        dtype = jnp.zeros(0).dtype
     ranks = scipy.stats.rankdata(y)
     # tie correction shared by all SNPs (same sample set everywhere)
     _, t = np.unique(y, return_counts=True)

@@ -66,6 +66,7 @@ def _scan_tile_multitrait(G_rot_tile, sd, X0s, L, y_res, rss0, dof):
 def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
                       eig_k: Optional[Tuple] = None, ngrids: int = 100,
                       llim: float = -10.0, ulim: float = 10.0,
+                      esp: float = 1e-6,
                       dtype=None, tile: Optional[int] = None,
                       tile_budget: int = 1 << 27,
                       stream_budget_bytes: int = STREAM_BUDGET_BYTES
@@ -88,7 +89,8 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
     T, n = Y.shape
     if np.isnan(Y).any():
         return _multi_trait_grouped(G, Y, K=K, X0=X0, ngrids=ngrids,
-                                    llim=llim, ulim=ulim, dtype=dtype,
+                                    llim=llim, ulim=ulim, esp=esp,
+                                    dtype=dtype,
                                     tile=tile, tile_budget=tile_budget)
     if dtype is None:
         dtype = jnp.zeros(0).dtype
@@ -119,9 +121,12 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
     V = jnp.asarray(V, dtype=dtype)
     Yd = jnp.asarray(Y, dtype=dtype)
     eta2 = (Yd @ V) ** 2                                          # (T, n-q)
+    from mixmogam_tpu.ops.reml import esp_to_refine_iters
+
+    ri = esp_to_refine_iters(esp, ngrids, llim, ulim)
     remls = jax.vmap(
         lambda e: reml_from_spectrum(e, xi, ngrids=ngrids, llim=llim,
-                                     ulim=ulim))(eta2)
+                                     ulim=ulim, refine_iters=ri))(eta2)
     deltas = remls["delta"]
     Y_rot = Yd @ U
     X0_rot = U.T @ jnp.asarray(X0, dtype=dtype)
@@ -177,7 +182,7 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
 
 def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
                          llim: float = -10.0, ulim: float = 10.0,
-                         dtype=None, tile=None,
+                         esp: float = 1e-6, dtype=None, tile=None,
                          tile_budget: int = 1 << 27) -> Dict[str, np.ndarray]:
     """Per-trait missing phenotypes: group traits by missingness pattern;
     each group = one sample subset, one kinship sub-block, one shared
@@ -226,7 +231,7 @@ def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
             np.ascontiguousarray(np.asarray(G_src)[:, keep]),
             Y[np.ix_(tids, np.flatnonzero(keep))],
             K=K[np.ix_(keep, keep)], X0=X0[keep], ngrids=ngrids,
-            llim=llim, ulim=ulim, dtype=dtype, tile=tile,
+            llim=llim, ulim=ulim, esp=esp, dtype=dtype, tile=tile,
             tile_budget=tile_budget)
         ps[tids] = sub["ps"]
         fs[tids] = sub["f_stats"]

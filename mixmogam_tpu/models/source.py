@@ -28,6 +28,26 @@ def should_stream(G_src, n: int, dtype, budget_bytes: int) -> bool:
             > budget_bytes)
 
 
+def prefetch_iter(keys, prep, lookahead: int = 2):
+    """Yield (key, prep(key)) in order with prep running `lookahead`
+    items ahead in ONE worker thread — host-side tile prep (memmap read,
+    padding, 2-bit pack) overlaps the consumer's host->device transfer
+    because numpy and the ctypes packer release the GIL. Shared by the
+    streamed scan and kinship paths so the lookahead/ordering logic
+    cannot drift between them. A prep exception propagates at the
+    corresponding yield; remaining submitted futures are drained by the
+    executor's context exit."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    keys = list(keys)
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futs = {k: ex.submit(prep, k) for k in keys[:lookahead]}
+        for i, k in enumerate(keys):
+            for k_next in keys[i + lookahead:i + lookahead + 1]:
+                futs[k_next] = ex.submit(prep, k_next)
+            yield k, futs.pop(k).result()
+
+
 def fetch_tile(G_src, s: int, e: int, tile: int, n: int, dtype,
                pack: bool) -> jnp.ndarray:
     """One (tile, n) float tile on device from a host source: int8

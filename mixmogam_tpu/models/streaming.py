@@ -114,27 +114,43 @@ def _host_float_tile(chunk: np.ndarray, dtype) -> np.ndarray:
     return C.astype(dtype)
 
 
-def _exact_rescore(matrix_source, idx, null, dtype):
+def _exact_rescore(matrix_source, idx, null, dtype, tile: int = 16_384):
     """Re-test SNP rows `idx` at the EXACT fp32+ tier (two-stage scan:
     a fast tier ranks the genome, the exact tier re-scores everything
-    that will be reported). Returns the exact per-row stats dict."""
+    that will be reported). Returns the exact per-row stats dict.
+
+    Rows are fetched with STRICTLY INCREASING UNIQUE indices (h5py fancy
+    selection rejects duplicates/non-monotone lists) and any shape
+    padding happens on the fetched host array. The device dispatch is
+    tiled at the normal scan tile size — the candidate set is bounded by
+    the callers' 8*rescore_top cap, but a single untiled (|idx|, n)
+    dispatch could still exceed HBM at n = 10k."""
     from mixmogam_tpu.ops.scan import build_rotated_null, emmax_scan_stats
 
-    idx = np.sort(np.asarray(idx, dtype=np.int64))
+    idx = np.unique(np.asarray(idx, dtype=np.int64))  # sorted unique
     k = len(idx)
-    # pad the row count to a power-of-two bucket: static shapes under
-    # jit (repo convention), so varying hit counts reuse a handful of
-    # compiled programs instead of retracing per run
-    bucket = max(256, 1 << (max(k, 1) - 1).bit_length())
-    idx_pad = np.concatenate([idx, np.repeat(idx[:1], bucket - k)])
-    rows = np.asarray(matrix_source[idx_pad])
-    if rows.dtype == np.int8:
-        rows_d = _impute_tile(jnp.asarray(rows), np.dtype(dtype).name)
-    else:
-        rows_d = jnp.asarray(_host_float_tile(rows, np.dtype(dtype)))
     rot_ex = build_rotated_null(null)  # exact tier, same null/delta
-    out = jax.device_get(jax.jit(emmax_scan_stats)(rows_d, rot_ex))
-    return idx, {kk: v[:k] for kk, v in out.items()}
+    scan = jax.jit(emmax_scan_stats)
+    outs = []
+    for s in range(0, k, tile):
+        rows = np.asarray(matrix_source[idx[s:s + tile]])
+        m = rows.shape[0]
+        # pad the row count to a power-of-two bucket: static shapes
+        # under jit (repo convention), so varying hit counts reuse a
+        # handful of compiled programs instead of retracing per run
+        bucket = min(max(256, 1 << (m - 1).bit_length()), tile)
+        if m < bucket:
+            rows = np.concatenate(
+                [rows, np.repeat(rows[:1], bucket - m, axis=0)])
+        if rows.dtype == np.int8:
+            rows_d = _impute_tile(jnp.asarray(rows), np.dtype(dtype).name)
+        else:
+            rows_d = jnp.asarray(_host_float_tile(rows, np.dtype(dtype)))
+        out = jax.device_get(scan(rows_d, rot_ex))
+        outs.append({kk: v[:m] for kk, v in out.items()})
+    merged = {kk: np.concatenate([o[kk] for o in outs])
+              for kk in outs[0]}
+    return idx, merged
 
 
 def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
@@ -215,7 +231,15 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
                          if has_missing
                          else np.zeros((1, 1), dtype=np.int8))
             else:
-                probe = np.asarray(matrix_source[:min(4096, M)])
+                # float streamed source: integrality of the first rows
+                # proves nothing about the rest, and verifying the WHOLE
+                # multi-GB float source on host would double the disk
+                # traffic — so 'auto'/'fast' never resolve to an int8
+                # tier here (probe=None => exact / bf16+rescore, the
+                # measured-fastest tier at n=10k anyway). Explicitly
+                # requesting precision='int8x*' still works and is
+                # validated per tile.
+                probe = None
         rotate_in_bf16, matmul_precision, tier_name = resolve_precision(
             precision, G=probe)
     null = fit_null_model(y.astype(dtype), X0.astype(dtype),
@@ -299,11 +323,10 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
 
     # ---- async pipelined streaming ----
     # host-side tile prep (memmap read, validation, imputation, 2-bit
-    # pack) runs in a PREFETCH thread so it overlaps the previous tile's
-    # host->device transfer — numpy and the ctypes packer release the
-    # GIL, and the tunnel transfer is the measured bottleneck here
-    from concurrent.futures import ThreadPoolExecutor
-
+    # pack) runs in a PREFETCH thread (models.source.prefetch_iter) so
+    # it overlaps the previous tile's host->device transfer — the
+    # tunnel transfer is the measured bottleneck here
+    from mixmogam_tpu.models.source import prefetch_iter
     from mixmogam_tpu.ops.pack2 import packable
 
     def prep(t):
@@ -341,12 +364,8 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
 
     scan_jit = jax.jit(emmax_scan_stats)
     pending = []  # (tile_idx, device_out)
-    with mp_ctx, ThreadPoolExecutor(max_workers=1) as ex:
-        futs = {t: ex.submit(prep, t) for t in todo[:2]}
-        for i, t in enumerate(todo):
-            for t_next in todo[i + 2:i + 3]:
-                futs[t_next] = ex.submit(prep, t_next)
-            kind, host_arr = futs.pop(t).result()
+    with mp_ctx:
+        for t, (kind, host_arr) in prefetch_iter(todo, prep):
             if kind == "packed":
                 from mixmogam_tpu.ops.pack2 import unpack_2bit_device
 

@@ -77,10 +77,9 @@ def _streamed_int8_chunks(mat: np.ndarray, chunk: int, pack_transfer,
                           pad_value: int):
     """Generator of (device int8 chunk, m_eff) with the host-side prep
     (memmap read, padding, 2-bit pack) running ONE chunk ahead in a
-    worker thread — the link is this image's bottleneck and numpy/ctypes
-    release the GIL, so prep overlaps the previous chunk's transfer."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    worker thread (models.source.prefetch_iter) — the link is this
+    image's bottleneck, so prep overlaps the previous chunk's transfer."""
+    from mixmogam_tpu.models.source import prefetch_iter
     from mixmogam_tpu.ops.pack2 import packable
 
     M, n = mat.shape
@@ -97,19 +96,14 @@ def _streamed_int8_chunks(mat: np.ndarray, chunk: int, pack_transfer,
             return "packed", native.pack_2bit(C), e - s
         return "int8", C, e - s
 
-    starts = list(range(0, M, chunk))
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        futs = {s: ex.submit(prep, s) for s in starts[:2]}
-        for i, s in enumerate(starts):
-            for s_next in starts[i + 2:i + 3]:
-                futs[s_next] = ex.submit(prep, s_next)
-            kind, host_arr, m_eff = futs.pop(s).result()
-            if kind == "packed":
-                from mixmogam_tpu.ops.pack2 import unpack_2bit_device
+    for _s, (kind, host_arr, m_eff) in prefetch_iter(
+            range(0, M, chunk), prep):
+        if kind == "packed":
+            from mixmogam_tpu.ops.pack2 import unpack_2bit_device
 
-                yield unpack_2bit_device(jnp.asarray(host_arr), n), m_eff
-            else:
-                yield jnp.asarray(host_arr), m_eff
+            yield unpack_2bit_device(jnp.asarray(host_arr), n), m_eff
+        else:
+            yield jnp.asarray(host_arr), m_eff
 
 
 def _ibs_int8_streamed(mat: np.ndarray, chunk: int,
