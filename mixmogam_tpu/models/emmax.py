@@ -3,8 +3,8 @@
 
 Pipeline (device unless noted):
   host   parse/impute -> float tiles
-  host   eigh(K), eigh(S(K+I)S)          [one-time; see ops.eigen]
-  device REML grid+bisection             [ops.reml]
+  host   eigh(K)                         [one-time; see ops.eigen]
+  host   X-explicit REML (f64 moments)   [ops.reml; no second eigh]
   device scan: tiles of (G @ W) + epilogue  [ops.scan]
   host   float64 p-values from F stats   [ops.stats]
 """

@@ -1,9 +1,10 @@
 """Multi-trait batched EMMAX (BASELINE config #4; SURVEY.md §2.3 maps the
 reference's absent 'expert parallelism' to the TRAIT axis).
 
-All traits share eigh(K) and the projected spectrum (same null design);
-REML is vmapped over traits (one fused grid+bisection for all T);
-the scan shares each rotated genotype tile across traits — the rotation
+All traits share eigh(K) — the only O(n^3) step; per-trait REML runs
+through the X-explicit float64 host path (ops.reml._explicit_reml_host,
+O(n q^2) per likelihood evaluation, no projected-spectrum eigh); the
+scan shares each rotated genotype tile across traits — the rotation
 matmul is paid once, the per-trait work is elementwise + (m,q) matmuls.
 """
 
@@ -17,8 +18,7 @@ import numpy as np
 
 from mixmogam_tpu.models.emmax import (STREAM_BUDGET_BYTES,
                                        _as_design, _as_dosage)
-from mixmogam_tpu.ops.eigen import eigen_k, projected_spectrum
-from mixmogam_tpu.ops.reml import reml_from_spectrum
+from mixmogam_tpu.ops.eigen import eigen_k
 from mixmogam_tpu.ops.stats import f_sf_host
 from mixmogam_tpu.ops.xreml import chol_small, chol_solve_small
 
@@ -113,21 +113,24 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
         phi, U = eigen_k(K, host=True)
     else:
         phi, U = eig_k
-    phi = jnp.asarray(phi, dtype=dtype)
-    U = jnp.asarray(U, dtype=dtype)
-    xi, V = projected_spectrum(
-        K if K is not None else np.asarray((U * phi) @ U.T), X0, host=True)
-    xi = jnp.asarray(xi, dtype=dtype)
-    V = jnp.asarray(V, dtype=dtype)
-    Yd = jnp.asarray(Y, dtype=dtype)
-    eta2 = (Yd @ V) ** 2                                          # (T, n-q)
-    from mixmogam_tpu.ops.reml import esp_to_refine_iters
+    # per-trait REML via the X-explicit path (float64 host, needs only
+    # eigh(K)): identical optimum to the projected-spectrum formulation
+    # (identities pinned by tests) without its second O(n^3) host eigh
+    # (~200 s at the config-#4 n=10k scale)
+    from mixmogam_tpu.ops.reml import _explicit_reml_host, esp_to_refine_iters
 
     ri = esp_to_refine_iters(esp, ngrids, llim, ulim)
-    remls = jax.vmap(
-        lambda e: reml_from_spectrum(e, xi, ngrids=ngrids, llim=llim,
-                                     ulim=ulim, refine_iters=ri))(eta2)
-    deltas = remls["delta"]
+    U64 = np.asarray(U, np.float64)
+    phi64 = np.asarray(phi, np.float64)
+    X_rot64 = U64.T @ np.asarray(X0, np.float64)
+    Yr64 = Y @ U64                                                # (T, n)
+    fits = [_explicit_reml_host(phi64, Yr64[t], X_rot64, ngrids=ngrids,
+                                llim=llim, ulim=ulim, refine_iters=ri)
+            for t in range(T)]
+    phi = jnp.asarray(phi, dtype=dtype)
+    U = jnp.asarray(U, dtype=dtype)
+    Yd = jnp.asarray(Y, dtype=dtype)
+    deltas = jnp.asarray([f["delta"] for f in fits], dtype=dtype)
     Y_rot = Yd @ U
     X0_rot = U.T @ jnp.asarray(X0, dtype=dtype)
     sd, X0s, L, y_res, rss0 = _trait_nulls(Y_rot, X0_rot, phi, deltas)
@@ -173,9 +176,9 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
     ps = np.where(masks, f_sf_host(fs, 1.0, dof), 1.0)
     return {
         "ps": ps, "f_stats": fs, "betas": betas, "mask": masks,
-        "deltas": np.asarray(remls["delta"], dtype=np.float64),
-        "pseudo_heritabilities": np.asarray(
-            remls["pseudo_heritability"], dtype=np.float64),
+        "deltas": np.array([f["delta"] for f in fits]),
+        "pseudo_heritabilities": np.array(
+            [f["pseudo_heritability"] for f in fits]),
         "dof": dof,
     }
 

@@ -115,6 +115,87 @@ def reml_from_spectrum(eta2: jnp.ndarray, xi: jnp.ndarray,
     }
 
 
+def _explicit_reml_host(phi, y_rot, X_rot, ngrids: int = 100,
+                        llim: float = -10.0, ulim: float = 10.0,
+                        refine_iters: int = 32, ml: bool = False) -> dict:
+    """X-explicit (RE)ML in float64 on host — needs ONLY eigh(K).
+
+    Same likelihood as reml_from_spectrum through the determinant/
+    quadratic identities pinned in tests/test_oracle.py (see
+    ops.xreml module docstring):
+      sum_i ln(xi_i + d)       == ln|H| + ln|X'H^-1X| - ln|X'X|
+      sum_i eta_i^2/(xi_i + d) == y'Py
+    so the optimum is identical — WITHOUT the second O(n^3) host eigh of
+    S(K+I)S (reference _get_eigen_R_), which at n=10k costs ~200 s on
+    this image's 2-vCPU host. Every evaluation here is O(n q^2) numpy.
+
+    Mirrors reml_from_spectrum's optimizer semantics exactly: dLL/dlogd
+    on the grid, bisection in every +->- bracket, argmax of LL over
+    refined roots + both endpoints. dLL uses the analytic derivative
+    d(y'Py)/dd = -y'P^2y and d ln|X'H^-1X|/dd = -tr(A^-1 X'H^-2X).
+    """
+    import numpy as np
+
+    phi = np.asarray(phi, np.float64)
+    y = np.asarray(y_rot, np.float64).ravel()
+    X = np.asarray(X_rot, np.float64)
+    if X.ndim == 1:
+        X = X[:, None]
+    n, q = X.shape
+    scale = float(n if ml else n - q)
+    logdet_XtX = np.linalg.slogdet(X.T @ X)[1]
+    tiny = np.finfo(np.float64).tiny
+
+    def moments(d):
+        w = 1.0 / (phi + d)
+        Xw = X * w[:, None]
+        A = X.T @ Xw
+        b = Xw.T @ y
+        beta = np.linalg.solve(A, b)
+        ypy = max(float(w @ (y * y) - b @ beta), tiny)
+        return w, Xw, A, beta, ypy
+
+    def ll_at(logd):
+        d = float(np.exp(logd))
+        _, _, A, _, ypy = moments(d)
+        logdet = float(np.sum(np.log(phi + d)))
+        if not ml:
+            logdet += np.linalg.slogdet(A)[1] - logdet_XtX
+        return 0.5 * (scale * (np.log(scale / (2.0 * np.pi)) - 1.0
+                               - np.log(ypy)) - logdet)
+
+    def dll_at(logd):
+        d = float(np.exp(logd))
+        w, Xw, A, beta, ypy = moments(d)
+        Py = w * (y - X @ beta)                      # P y (H diagonal here)
+        tr = float(np.sum(w))
+        if not ml:
+            tr -= float(np.trace(np.linalg.solve(A, Xw.T @ Xw)))
+        return 0.5 * d * (scale * float(Py @ Py) / ypy - tr)
+
+    grid = np.linspace(llim, ulim, ngrids + 1)
+    dll = np.array([dll_at(g) for g in grid])
+    cands = [float(llim), float(ulim)]
+    for i in np.flatnonzero((dll[:-1] > 0) & (dll[1:] < 0)):
+        lo, hi = float(grid[i]), float(grid[i + 1])
+        for _ in range(refine_iters):
+            mid = 0.5 * (lo + hi)
+            if dll_at(mid) > 0:
+                lo = mid
+            else:
+                hi = mid
+        cands.append(0.5 * (lo + hi))
+    lls = np.array([ll_at(c) for c in cands])
+    j = int(np.argmax(lls))
+    log_delta = cands[j]
+    delta = float(np.exp(log_delta))
+    ypy = moments(delta)[4]
+    sg2 = ypy / scale
+    return {"log_delta": log_delta, "delta": delta, "ll": float(lls[j]),
+            "sigma_g2": sg2, "sigma_e2": delta * sg2,
+            "pseudo_heritability": 1.0 / (1.0 + delta)}
+
+
 @dataclasses.dataclass
 class NullModel:
     """Fitted null model: everything the scan phase needs, replicated to all
@@ -136,9 +217,22 @@ class NullModel:
 def fit_null_model(y, X0, K=None, eig_k: Optional[Tuple] = None,
                    ngrids: int = 100, llim: float = -10.0, ulim: float = 10.0,
                    refine_iters: int = 32, host_eigh: bool = True,
-                   ml: bool = False) -> NullModel:
-    """Null-model REML: eigh(K) + projected spectrum + 1-D optimization.
-    (reference flow: _get_eigen_L_ -> _get_eigen_R_ -> get_expedited_REMLE)."""
+                   ml: bool = False, method: str = "auto") -> NullModel:
+    """Null-model REML (reference flow: _get_eigen_L_ -> _get_eigen_R_ ->
+    get_expedited_REMLE).
+
+    method:
+      'explicit' (= 'auto', the default): X-explicit likelihood from
+        eigh(K) ALONE, optimized in float64 on host — identical optimum
+        (identities pinned by tests), skips the reference's second
+        O(n^3) eigh of S(K+I)S entirely (~200 s at n=10k on this host)
+        and never reconstructs K from eig_k.
+      'spectrum': the reference-shaped projected-spectrum path
+        (eigh(S(K+I)S) then grid+bisection on the device), kept for
+        parity testing and for callers that want the device optimizer.
+    """
+    import numpy as np
+
     from mixmogam_tpu.ops.eigen import eigen_k, projected_spectrum
 
     y = jnp.asarray(y).ravel()
@@ -149,11 +243,24 @@ def fit_null_model(y, X0, K=None, eig_k: Optional[Tuple] = None,
         phi, U = eigen_k(K, host=host_eigh)
     else:
         phi, U = eig_k
-    if K is None:
-        K = (U * phi[None, :]) @ U.T
-    xi, V = projected_spectrum(K, X0, host=host_eigh)
-    eta2 = (V.T @ y) ** 2
-    r = reml_from_spectrum(eta2, xi, phi=phi if ml else None, ngrids=ngrids,
-                           llim=llim, ulim=ulim, refine_iters=refine_iters,
-                           ml=ml)
+    if method in ("auto", "explicit"):
+        U64 = np.asarray(U, np.float64)
+        r64 = _explicit_reml_host(
+            np.asarray(phi, np.float64),
+            U64.T @ np.asarray(y, np.float64),
+            U64.T @ np.asarray(X0, np.float64),
+            ngrids=ngrids, llim=llim, ulim=ulim,
+            refine_iters=refine_iters, ml=ml)
+        r = {k: jnp.asarray(v, dtype=y.dtype) for k, v in r64.items()}
+    elif method == "spectrum":
+        if K is None:
+            K = (U * phi[None, :]) @ U.T
+        xi, V = projected_spectrum(K, X0, host=host_eigh)
+        eta2 = (V.T @ y) ** 2
+        r = reml_from_spectrum(eta2, xi, phi=phi if ml else None,
+                               ngrids=ngrids, llim=llim, ulim=ulim,
+                               refine_iters=refine_iters, ml=ml)
+    else:
+        raise ValueError(f"unknown method {method!r} "
+                         "(expected 'auto', 'explicit' or 'spectrum')")
     return NullModel(phi=phi, U=U, y=y, X0=X0, **r)
