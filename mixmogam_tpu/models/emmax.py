@@ -73,7 +73,8 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
           precision: str = None, stream: Optional[bool] = None,
           stream_budget_bytes: int = STREAM_BUDGET_BYTES,
           checkpoint_dir: Optional[str] = None,
-          rescore_top: int = 0) -> Dict[str, np.ndarray]:
+          rescore_top: int = 0,
+          resident: Optional[bool] = None) -> Dict[str, np.ndarray]:
     """EMMAX scan. G: GenotypeData or (M, n) dosages; y: (n,) phenotype;
     K: (n, n) kinship (or pass eig_k=(phi, U)); X0: (n, q) null design
     (default intercept; append cofactor columns for conditioned scans).
@@ -106,6 +107,13 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     stream_budget_bytes — the in-core path would OOM at BASELINE
     config #3 sizes; True/False force. checkpoint_dir enables
     tile-granular resume in streamed mode.
+
+    resident: None (default) auto-promotes big int8 genomes that exceed
+    the in-core budget but FIT 2-bit packed in HBM (<= 6 GiB packed =
+    24 billion genotypes) to a device-resident packed container: one
+    upload, then the scan runs at MXU rates with zero wire traffic
+    (models.resident; measured analysis in docs/PERFORMANCE.md).
+    True forces it, False disables (falls back to streaming).
     """
     from mixmogam_tpu.ops.reml import esp_to_refine_iters
 
@@ -121,9 +129,42 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     # ---- big-M routing: decide BEFORE _as_dosage materializes a full
     # float copy (40 GB at 1M x 10k); lazy sources (np.memmap, h5py
     # datasets) are left unmaterialized for the streamed path ----
+    from mixmogam_tpu.models.resident import (RESIDENT_BUDGET_BYTES,
+                                              ResidentGenome,
+                                              emmax_resident)
     from mixmogam_tpu.models.source import resolve_source, should_stream
 
     G_src = resolve_source(G)
+    if isinstance(G, ResidentGenome) or isinstance(G_src, ResidentGenome):
+        rg = G if isinstance(G, ResidentGenome) else G_src
+        resident = True
+    else:
+        rg = None
+    if rg is None and resident is not False:
+        over_incore = should_stream(G_src, n, dtype, stream_budget_bytes)
+        packed_fits = (np.dtype(G_src.dtype) == np.int8
+                       and G_src.shape[0] * ((n + 3) // 4)
+                       <= RESIDENT_BUDGET_BYTES)
+        import jax as _jx
+
+        if resident is True or (resident is None and over_incore
+                                and packed_fits and stream is not True
+                                and _jx.default_backend() != "cpu"):
+            rg = ResidentGenome.from_source(G_src)
+    if rg is not None:
+        if checkpoint_dir is not None:
+            raise ValueError("checkpoint_dir applies to streamed mode; "
+                             "the resident path has no resume (scans "
+                             "are single-dispatch device compute)")
+        if matmul_precision:
+            raise ValueError("matmul_precision is not supported on the "
+                             "resident path; use precision='high'")
+        return emmax_resident(rg, y, K=K, X0=X0, eig_k=eig_k,
+                              ngrids=ngrids, llim=llim, ulim=ulim,
+                              esp=esp, with_betas=with_betas, dtype=dtype,
+                              precision=precision,
+                              rotate_in_bf16=rotate_in_bf16,
+                              rescore_top=rescore_top)
     if stream is None:
         stream = should_stream(G_src, n, dtype, stream_budget_bytes)
     if stream:

@@ -1,0 +1,400 @@
+"""Device-resident 2-bit genome container (round 3).
+
+At BASELINE config #3 (1,048,576 SNPs x 10,240 samples) the int8 genome
+is 10.7 GB — past a v5e's 16 GB HBM once the rotation workspace is
+counted, so round 2 STREAMED tiles host->device and measured the wall to
+be >80% wire (docs/PERFORMANCE.md: ~80 MB/s tunnel; 388 s full scan).
+But 2-bit packed the same genome is 2.7 GB — it FITS. ResidentGenome
+uploads the packed rows ONCE; every subsequent phase (kinship, EMMAX
+scan, rescore, repeated scans) is pure device compute: the per-tile
+unpack is a few VPU shift/masks fused ahead of the rotation matmul, so
+scans run at the device-resident MXU rates (433-634k tests/s/chip at
+n=10,240) instead of the wire rate — the full 1M scan drops from
+~388 s to single-digit seconds after the one-time upload.
+
+Reference equivalent: none (mixmogam is a single-process numpy library
+— kinship.py re-reads its arrays from RAM each pass); this is the
+TPU-native answer to SURVEY §2.3's SNP-axis streaming row at 4x
+density, and the reason the 'rotate once, scan many' workloads
+(stepwise forward steps, permutation rounds, EMMA grid) stop paying
+the host link entirely.
+
+Missing genotypes are stored as code 3 (-1 after unpack) and
+mean-imputed ON DEVICE per tile (same rule as the streamed path);
+fully-observed genomes keep the int8 digit-plane tiers available.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixmogam_tpu.ops.pack2 import unpack_2bit_device
+from mixmogam_tpu.ops.scan import emmax_scan_stats
+
+#: packed-genome HBM budget for auto-promotion (the v5e has 16 GB; the
+#: scan additionally holds W (n^2 f32), one unpacked int8 tile and its
+#: rotated f32 image — ~1.5 GB at n=10k, tile=16k)
+RESIDENT_BUDGET_BYTES = 6 << 30
+
+
+class ResidentGenome:
+    """(M, n) int8 dosages held 2-bit packed in device HBM.
+
+    Quacks like a read-only SNP-major matrix source: `.shape`, `.dtype`
+    (int8), slicing/fancy row indexing return HOST int8 rows (with -1
+    for missing) — so the rescore/stepwise utilities that fetch rows by
+    index work unchanged.
+    """
+
+    def __init__(self, packed: jax.Array, M: int, n: int, ploidy: int,
+                 tile: int, has_missing: bool):
+        if packed.shape[0] % tile:
+            raise ValueError("packed rows must be padded to the tile size")
+        self.packed = packed
+        self.M = int(M)
+        self.n = int(n)
+        self.ploidy = int(ploidy)
+        self.tile = int(tile)
+        self.has_missing = bool(has_missing)
+
+    # ---- array-source protocol ----
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.M, self.n)
+
+    @property
+    def dtype(self):
+        return np.dtype(np.int8)
+
+    @property
+    def nbytes_packed(self) -> int:
+        return int(self.packed.shape[0]) * int(self.packed.shape[1])
+
+    def __len__(self) -> int:
+        return self.M
+
+    def __getitem__(self, key) -> np.ndarray:
+        """Rows as HOST int8 (missing = -1). Slices and integer-array
+        indexing only (what the rescore/tile utilities use)."""
+        from mixmogam_tpu import native
+
+        if isinstance(key, slice):
+            s, e, step = key.indices(self.M)
+            if step != 1:
+                raise IndexError("ResidentGenome supports step-1 slices")
+            rows = np.asarray(self.packed[s:e])
+        else:
+            idx = np.asarray(key)
+            if idx.ndim != 1:
+                raise IndexError("ResidentGenome supports 1-D row indexing")
+            rows = np.asarray(jnp.take(self.packed, jnp.asarray(idx),
+                                       axis=0))
+        return native.unpack_2bit(rows, self.n)
+
+    # ---- construction ----
+    @classmethod
+    def from_source(cls, G, tile: int = 16_384, chunk: int = 65_536,
+                    ploidy: Optional[int] = None) -> "ResidentGenome":
+        """Pack an int8 host source (ndarray / memmap / h5py /
+        GenotypeData) chunk-by-chunk (C++ packer when available,
+        ~930 MB/s) and upload the packed rows in ONE transfer.
+        Rows are zero-padded to a tile multiple (dosage-0 pad rows are
+        degenerate in the scan -> masked, and contribute zero to every
+        kinship accumulation given m_eff counts real rows only)."""
+        from mixmogam_tpu import native
+        from mixmogam_tpu.models.source import resolve_source
+
+        mat = resolve_source(G)
+        if np.dtype(mat.dtype) != np.int8:
+            raise TypeError(
+                "ResidentGenome stores int8 dosages 0..2 (+ -1 missing); "
+                f"got dtype {mat.dtype} — use the streamed path for "
+                "float sources")
+        if ploidy is None:
+            ploidy = getattr(G, "ploidy", None)
+        M, n = mat.shape
+        M_pad = -(-M // tile) * tile
+        rb = (n + 3) // 4
+        host_packed = np.zeros((M_pad, rb), dtype=np.uint8)
+        has_missing = False
+        vmax = 0
+        for s in range(0, M, chunk):
+            e = min(s + chunk, M)
+            c = np.ascontiguousarray(np.asarray(mat[s:e], dtype=np.int8))
+            has_missing |= bool((c < 0).any())
+            vmax = max(vmax, int(c.max(initial=0)))
+            host_packed[s:e] = native.pack_2bit(c)
+        if ploidy is None:
+            ploidy = 2 if vmax > 1 else 1
+        packed = jnp.asarray(host_packed)
+        packed.block_until_ready()
+        return cls(packed, M, n, ploidy, tile, has_missing)
+
+
+# ---------------------------------------------------------------------------
+# whole-genome scan from packed HBM: ONE dispatch, lax.map over tiles
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n", "tile", "impute"))
+def emmax_scan_packed(packed: jnp.ndarray, rot, n: int, tile: int,
+                      impute: bool = False) -> Dict[str, jnp.ndarray]:
+    """EMMAX stats over a packed (M_pad, rb) genome resident in HBM.
+    Each tile is unpacked (VPU shifts) directly in front of the rotation
+    matmul; no host traffic. Pad rows are constant -> masked."""
+    from mixmogam_tpu.models.streaming import _impute_tile
+
+    T = packed.shape[0] // tile
+    tiles = packed.reshape(T, tile, packed.shape[1])
+
+    def kern(pt):
+        Gt = unpack_2bit_device(pt, n)
+        if impute:
+            Gt = _impute_tile(Gt, rot.sd.dtype)
+        return emmax_scan_stats(Gt, rot)
+
+    out = jax.lax.map(kern, tiles)
+    return {k: v.reshape(T * tile) for k, v in out.items()}
+
+
+def emmax_resident(rg: ResidentGenome, y, K=None, X0=None, eig_k=None,
+                   ngrids: int = 100, llim: float = -10.0,
+                   ulim: float = 10.0, esp: float = 1e-6,
+                   with_betas: bool = True, dtype=None,
+                   precision: Optional[str] = None,
+                   rotate_in_bf16=False,
+                   rescore_top: int = 0) -> Dict[str, np.ndarray]:
+    """EMMAX over a ResidentGenome — models.emmax semantics (same return
+    dict), with the scan sourced from packed HBM. Called by
+    models.emmax's routing; usable directly for repeated scans over one
+    upload. Missing genotypes impute on device per tile (int8 tiers
+    refuse, as everywhere)."""
+    import contextlib
+
+    from mixmogam_tpu.models.emmax import _as_design
+    from mixmogam_tpu.models.streaming import _exact_rescore
+    from mixmogam_tpu.ops.reml import esp_to_refine_iters, fit_null_model
+    from mixmogam_tpu.ops.scan import (build_rotated_null,
+                                       normalize_rotate_tier,
+                                       resolve_precision)
+    from mixmogam_tpu.ops.stats import f_sf_host
+
+    y = np.asarray(y, dtype=np.float64).ravel()
+    n = y.shape[0]
+    if n != rg.n:
+        raise ValueError(f"y has {n} samples but the resident genome "
+                         f"holds {rg.n}")
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    if str(precision) == "fast" and not rescore_top:
+        rescore_top = 1024
+    if X0 is None:
+        X0 = np.ones((n, 1))
+    X0 = _as_design(X0, n)
+    matmul_precision, tier_name = None, None
+    if precision is not None:
+        if rotate_in_bf16:
+            raise ValueError("pass either precision= or the legacy "
+                             "rotate_in_bf16 kwarg, not both")
+        # int8 tiers need fully-observed dosages; has_missing was
+        # established during packing (no extra pass over the source)
+        probe = (np.full((1, 1), np.nan) if rg.has_missing
+                 else np.zeros((1, 1), dtype=np.int8))
+        rotate_in_bf16, matmul_precision, tier_name = resolve_precision(
+            precision, G=probe)
+    rd = normalize_rotate_tier(rotate_in_bf16)
+    if (isinstance(rd, str) and rd.startswith("int8") and rg.has_missing):
+        raise ValueError(
+            "int8 digit-plane tiers need fully-observed dosages; this "
+            "resident genome has missing genotypes (device-imputed to "
+            "fractions). Use precision='exact'/'bf16' instead.")
+    null = fit_null_model(y.astype(dtype), X0.astype(dtype), K=K,
+                          eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim,
+                          refine_iters=esp_to_refine_iters(
+                              esp, ngrids, llim, ulim))
+    rot = build_rotated_null(null, rotate_dtype=rd)
+    ctx = (jax.default_matmul_precision(matmul_precision)
+           if matmul_precision else contextlib.nullcontext())
+    with ctx:
+        d = emmax_scan_packed(rg.packed, rot, rg.n, rg.tile,
+                              impute=rg.has_missing)
+    M = rg.M
+    f_stats = np.array(d["f_stats"], dtype=np.float64)[:M]
+    mask_arr = np.array(d["mask"])[:M]
+    dof = int(rot.dof)
+    ps = np.where(mask_arr, f_sf_host(f_stats, 1.0, dof), 1.0)
+    betas_arr = (np.array(d["betas"], dtype=np.float64)[:M]
+                 if with_betas else None)
+    var_arr = (np.array(d["var_perc"], dtype=np.float64)[:M]
+               if with_betas else None)
+    rescored = np.zeros(0, dtype=np.int64)
+    if rescore_top and (rd is not None or matmul_precision):
+        k = min(int(rescore_top), M)
+        cand = np.argsort(ps, kind="stable")[:k]
+        near = np.flatnonzero(ps <= 2.0 * 0.05 / max(M, 1))
+        idx = np.union1d(cand, near)
+        if len(idx) > 8 * k:
+            idx = idx[np.argsort(ps[idx], kind="stable")[:8 * k]]
+        idx, d_ex = _exact_rescore(rg, idx, null, dtype)
+        f_stats[idx] = np.asarray(d_ex["f_stats"], dtype=np.float64)
+        mask_arr[idx] = np.asarray(d_ex["mask"])
+        ps[idx] = np.where(mask_arr[idx],
+                           f_sf_host(f_stats[idx], 1.0, dof), 1.0)
+        if with_betas:
+            betas_arr[idx] = np.asarray(d_ex["betas"], dtype=np.float64)
+            var_arr[idx] = np.asarray(d_ex["var_perc"], dtype=np.float64)
+        rescored = idx
+    out = {
+        "ps": ps, "f_stats": f_stats, "mask": mask_arr,
+        "rescored_idx": rescored,
+        "pseudo_heritability": float(null.pseudo_heritability),
+        "delta": float(null.delta), "sigma_g2": float(null.sigma_g2),
+        "sigma_e2": float(null.sigma_e2), "dof": dof,
+        "ll_null": float(null.ll),
+        "precision_tier": tier_name if tier_name is not None else (
+            matmul_precision or (rd if isinstance(rd, str)
+                                 else ("bf16" if rd is not None
+                                       else "exact"))),
+    }
+    if with_betas:
+        out["betas"] = betas_arr
+        out["var_perc"] = var_arr
+    return out
+
+
+# ---------------------------------------------------------------------------
+# kinship from packed HBM (reuses the streamed update kernels; the only
+# difference is where tiles come from — a device dynamic-slice + unpack
+# instead of a host transfer)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("tile", "n"))
+def _tile_from_packed(packed: jnp.ndarray, s, tile: int, n: int
+                      ) -> jnp.ndarray:
+    pt = jax.lax.dynamic_slice_in_dim(packed, s, tile, axis=0)
+    return unpack_2bit_device(pt, n)
+
+
+def kinship_resident(rg: ResidentGenome, method: str = "ibs",
+                     ploidy: Optional[int] = None,
+                     dtype=jnp.float32) -> np.ndarray:
+    """Kinship from a ResidentGenome: tiles are sliced+unpacked in HBM
+    and fed to the SAME accumulation kernels as the streamed path
+    (ops.kinship) — zero host traffic, device gram at the int8 MXU rate
+    (measured 253 TOPS; the full 1M x 10k gram is < 1 s of compute).
+    Zero pad rows cancel in every update given m_eff counts real rows."""
+    from mixmogam_tpu.models.streaming import _impute_tile
+    from mixmogam_tpu.ops.kinship import (_ibs_binary_update,
+                                          _ibs_diploid_int8_update,
+                                          _ibs_diploid_update,
+                                          _ibs_int8_update,
+                                          _vanraden_update)
+
+    ploidy = rg.ploidy if ploidy is None else ploidy
+    M, n, tile = rg.M, rg.n, rg.tile
+    T = rg.packed.shape[0] // tile
+    meffs = [min(M - i * tile, tile) for i in range(T)]
+
+    if method in ("vanraden", "ibd"):
+        K = jnp.zeros((n, n), dtype=dtype)
+        denom = 0.0
+        rowmask = None
+
+        @functools.partial(jax.jit, static_argnames=("m_eff",))
+        def vr_tile(Gt, m_eff: int):
+            C = _impute_tile(Gt, dtype) if rg.has_missing \
+                else Gt.astype(dtype)
+            rm = (jnp.arange(tile) < m_eff).astype(dtype)[:, None]
+            C = C * rm
+            p = jnp.sum(C, axis=1) / (ploidy * n)
+            dn = ploidy * jnp.sum(p * (1.0 - p) * rm[:, 0])
+            W = (C - (ploidy * p)[:, None]) * rm
+            return W, dn
+
+        for i in range(T):
+            Gt = _tile_from_packed(rg.packed, jnp.asarray(i * tile,
+                                                          jnp.int32),
+                                   tile, n)
+            W, dn = vr_tile(Gt, meffs[i])
+            K = _vanraden_update(K, W)
+            denom += float(dn)
+        return np.asarray(K, dtype=np.float64) / denom
+    if method != "ibs":
+        raise ValueError(f"unknown kinship method {method!r}")
+
+    if not rg.has_missing:
+        S = jnp.zeros((n, n), dtype=jnp.int32)
+        upd = (_ibs_int8_update if ploidy == 1
+               else _ibs_diploid_int8_update)
+        for i in range(T):
+            Gt = _tile_from_packed(rg.packed, jnp.asarray(i * tile,
+                                                          jnp.int32),
+                                   tile, n)
+            S = upd(S, Gt, meffs[i])
+        S = np.asarray(S).astype(np.float64)
+        return S / M if ploidy == 1 else S / (2.0 * M)
+
+    # missing genotypes: device-imputed float accumulation (same rule
+    # as the streamed float path)
+    K = jnp.zeros((n, n), dtype=dtype)
+
+    @functools.partial(jax.jit, static_argnames=("m_eff",))
+    def prep(Gt, m_eff: int):
+        C = _impute_tile(Gt, dtype)
+        rm = (jnp.arange(tile) < m_eff).astype(dtype)[:, None]
+        C = C * rm
+        if ploidy == 1:
+            return (C,)
+        W0 = jnp.clip(1.0 - jnp.abs(C - 0.0), 0.0, None) * rm
+        W2 = jnp.clip(1.0 - jnp.abs(C - 2.0), 0.0, None) * rm
+        return C, W0, W2
+
+    for i in range(T):
+        Gt = _tile_from_packed(rg.packed, jnp.asarray(i * tile, jnp.int32),
+                               tile, n)
+        parts = prep(Gt, meffs[i])
+        if ploidy == 1:
+            K = _ibs_binary_update(K, parts[0], float(meffs[i]))
+        else:
+            K = _ibs_diploid_update(K, *parts, float(meffs[i]))
+    return np.asarray(K, dtype=np.float64) / M
+
+
+def rotate_resident_to_device(rg: ResidentGenome, U, dtype=None
+                              ) -> jnp.ndarray:
+    """G_rot = impute(G) @ U built tile-by-tile from packed HBM (the
+    'rotate once, scan many' asset for stepwise/EMMA/permutation) —
+    like models.streaming.rotate_streamed_to_device but with zero host
+    traffic."""
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    from mixmogam_tpu.models.streaming import _impute_tile
+
+    M, n, tile = rg.M, rg.n, rg.tile
+    Ud = jnp.asarray(U, dtype=dtype)
+    T = rg.packed.shape[0] // tile
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("impute", "m_keep"))
+    def upd(out, packed, Ud, i, impute: bool, m_keep: int):
+        pt = jax.lax.dynamic_slice_in_dim(packed, i * tile, tile, axis=0)
+        Gt = unpack_2bit_device(pt, n)
+        td = _impute_tile(Gt, Ud.dtype) if impute else Gt.astype(Ud.dtype)
+        rot = jnp.dot(td, Ud, preferred_element_type=out.dtype)
+        # out is exactly (M, n): the last tile writes only its real rows
+        # (a full-tile update would clamp the start and smear pad rows
+        # over earlier SNPs; slicing out[:M] afterwards would copy the
+        # multi-GB rotation)
+        return jax.lax.dynamic_update_slice(
+            out, rot[:m_keep], (i * tile, jnp.zeros((), i.dtype)))
+
+    out = jnp.zeros((M, n), dtype=dtype)
+    for i in range(T):
+        m_keep = min(M - i * tile, tile)
+        out = upd(out, rg.packed, Ud, jnp.asarray(i, jnp.int32),
+                  rg.has_missing, m_keep)
+    return out

@@ -218,7 +218,16 @@ def kinship(data, method: str = "ibs", ploidy: Optional[int] = None,
     result lives host-side; downstream eigh is host by default too).
     """
     from mixmogam_tpu.data.genotype import GenotypeData
+    from mixmogam_tpu.models.resident import ResidentGenome
 
+    if isinstance(data, ResidentGenome):
+        from mixmogam_tpu.models.resident import kinship_resident
+
+        if not use_device:
+            raise ValueError("a ResidentGenome lives in device HBM; "
+                             "use_device=False needs a host source")
+        return kinship_resident(data, method=method, ploidy=ploidy,
+                                dtype=dtype)
     if isinstance(data, GenotypeData):
         mat = data.matrix
         ploidy = data.ploidy if ploidy is None else ploidy
