@@ -87,7 +87,15 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
     """
     Y = np.atleast_2d(np.asarray(Y, dtype=np.float64))
     T, n = Y.shape
+    from mixmogam_tpu.models.resident import ResidentGenome
+
+    rg = G if isinstance(G, ResidentGenome) else None
     if np.isnan(Y).any():
+        if rg is not None:
+            raise ValueError(
+                "per-trait missing phenotypes need per-group SAMPLE "
+                "subsets, which a column-packed ResidentGenome cannot "
+                "slice; pass the host genotype source instead")
         return _multi_trait_grouped(G, Y, K=K, X0=X0, ngrids=ngrids,
                                     llim=llim, ulim=ulim, esp=esp,
                                     dtype=dtype,
@@ -98,13 +106,15 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
     # instead of materializing G (+ its float copy) on device — config #4
     # is 1M x 10k x 50 traits, where the rotation is paid ONCE per tile
     # and shared by every trait (the whole point of the shared-eigenbasis
-    # batch: 50 traits for ~1.07x the single-trait scan cost)
+    # batch: 50 traits for ~1.07x the single-trait scan cost). A
+    # ResidentGenome sources tiles straight from packed HBM instead.
     from mixmogam_tpu.models.source import resolve_source, should_stream
 
     G_src = resolve_source(G)
     M = G_src.shape[0]
-    streamed = should_stream(G_src, n, dtype, stream_budget_bytes)
-    Gf = None if streamed else _as_dosage(G, dtype)
+    streamed = (False if rg is not None
+                else should_stream(G_src, n, dtype, stream_budget_bytes))
+    Gf = None if (streamed or rg is not None) else _as_dosage(G, dtype)
     if X0 is None:
         X0 = np.ones((n, 1))
     X0 = _as_design(X0, n)
@@ -138,7 +148,9 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
 
     if tile is None:
         tile = max(64, min(8192, tile_budget // max(T * n, 1)))
-    Gd = None if streamed else jnp.asarray(Gf)
+    if rg is not None:
+        tile = rg.tile  # packed rows are padded to this granularity
+    Gd = None if (streamed or rg is not None) else jnp.asarray(Gf)
     fs = np.empty((T, M))
     betas = np.empty((T, M))
     masks = np.empty((T, M), dtype=bool)
@@ -154,7 +166,15 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
 
     for s in range(0, M, tile):
         e = min(s + tile, M)
-        if streamed:
+        if rg is not None:
+            from mixmogam_tpu.models.resident import _tile_from_packed
+            from mixmogam_tpu.models.streaming import _impute_tile
+
+            Gt = _tile_from_packed(rg.packed, jnp.asarray(s, jnp.int32),
+                                   rg.tile, n)
+            if rg.has_missing:
+                Gt = _impute_tile(Gt, dtype)
+        elif streamed:
             from mixmogam_tpu.models.source import fetch_tile
             from mixmogam_tpu.ops.pack2 import default_pack_transfer
 

@@ -140,12 +140,16 @@ class ResidentGenome:
 # whole-genome scan from packed HBM: ONE dispatch, lax.map over tiles
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n", "tile", "impute"))
+@functools.partial(jax.jit,
+                   static_argnames=("n", "tile", "impute", "pre_rotated"))
 def emmax_scan_packed(packed: jnp.ndarray, rot, n: int, tile: int,
-                      impute: bool = False) -> Dict[str, jnp.ndarray]:
+                      impute: bool = False, pre_rotated: bool = False
+                      ) -> Dict[str, jnp.ndarray]:
     """EMMAX stats over a packed (M_pad, rb) genome resident in HBM.
     Each tile is unpacked (VPU shifts) directly in front of the rotation
-    matmul; no host traffic. Pad rows are constant -> masked."""
+    matmul; no host traffic. Pad rows are constant -> masked.
+    pre_rotated=True treats unpacked dosages as already rotated (the
+    identity-K / fixed-effects-only case: phi = 1s, no rotation)."""
     from mixmogam_tpu.models.streaming import _impute_tile
 
     T = packed.shape[0] // tile
@@ -153,9 +157,9 @@ def emmax_scan_packed(packed: jnp.ndarray, rot, n: int, tile: int,
 
     def kern(pt):
         Gt = unpack_2bit_device(pt, n)
-        if impute:
+        if impute or pre_rotated:
             Gt = _impute_tile(Gt, rot.sd.dtype)
-        return emmax_scan_stats(Gt, rot)
+        return emmax_scan_stats(Gt, rot, pre_rotated=pre_rotated)
 
     out = jax.lax.map(kern, tiles)
     return {k: v.reshape(T * tile) for k, v in out.items()}
@@ -364,18 +368,19 @@ def kinship_resident(rg: ResidentGenome, method: str = "ibs",
     return np.asarray(K, dtype=np.float64) / M
 
 
-def rotate_resident_to_device(rg: ResidentGenome, U, dtype=None
+def rotate_resident_to_device(rg: ResidentGenome, U=None, dtype=None
                               ) -> jnp.ndarray:
     """G_rot = impute(G) @ U built tile-by-tile from packed HBM (the
     'rotate once, scan many' asset for stepwise/EMMA/permutation) —
     like models.streaming.rotate_streamed_to_device but with zero host
-    traffic."""
+    traffic. U=None skips the matmul and materializes the imputed float
+    dosages themselves (the identity-K case)."""
     if dtype is None:
         dtype = jnp.zeros(0).dtype
     from mixmogam_tpu.models.streaming import _impute_tile
 
     M, n, tile = rg.M, rg.n, rg.tile
-    Ud = jnp.asarray(U, dtype=dtype)
+    Ud = None if U is None else jnp.asarray(U, dtype=dtype)
     T = rg.packed.shape[0] // tile
 
     @functools.partial(jax.jit, donate_argnums=(0,),
@@ -383,8 +388,9 @@ def rotate_resident_to_device(rg: ResidentGenome, U, dtype=None
     def upd(out, packed, Ud, i, impute: bool, m_keep: int):
         pt = jax.lax.dynamic_slice_in_dim(packed, i * tile, tile, axis=0)
         Gt = unpack_2bit_device(pt, n)
-        td = _impute_tile(Gt, Ud.dtype) if impute else Gt.astype(Ud.dtype)
-        rot = jnp.dot(td, Ud, preferred_element_type=out.dtype)
+        td = _impute_tile(Gt, out.dtype) if impute else Gt.astype(out.dtype)
+        rot = td if Ud is None else jnp.dot(td, Ud,
+                                            preferred_element_type=out.dtype)
         # out is exactly (M, n): the last tile writes only its real rows
         # (a full-tile update would clamp the start and smear pad rows
         # over earlier SNPs; slicing out[:M] afterwards would copy the

@@ -90,7 +90,11 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
     n = y.shape[0]
     if dtype is None:
         dtype = jnp.zeros(0).dtype
-    M = np.asarray(G.matrix if hasattr(G, "matrix") else G).shape[0]
+    from mixmogam_tpu.models.resident import ResidentGenome
+
+    rg = G if isinstance(G, ResidentGenome) else None
+    M = (rg.M if rg is not None
+         else np.asarray(G.matrix if hasattr(G, "matrix") else G).shape[0])
     itemsize = np.dtype(np.dtype(dtype).name).itemsize
     use_stored = M * n * itemsize <= rot_budget_bytes
     if X0 is None:
@@ -119,7 +123,13 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
               else U.T @ jnp.asarray(X0, dtype=dtype))
     if use_stored:
         # rotate genotypes ONCE; every scan afterwards is elementwise
-        if identity_k:
+        if rg is not None:
+            from mixmogam_tpu.models.resident import (
+                rotate_resident_to_device)
+
+            G_rot = rotate_resident_to_device(
+                rg, None if identity_k else U, dtype)
+        elif identity_k:
             G_rot = jnp.asarray(_as_dosage(G, dtype))
         else:
             # tiled device-side build: peak HBM = G_rot + one tile (a
@@ -131,6 +141,13 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
             G_src = G.matrix if hasattr(G, "matrix") else np.asarray(G)
             G_rot = rotate_streamed_to_device(G_src, U, dtype)
         G_i8 = None
+    elif rg is not None:
+        # over-budget resident genome: per-step scans run straight off
+        # the packed HBM copy (rotation matmul per step, zero host
+        # traffic) — BASELINE config #5 at the FULL 1M x 10k scale
+        G_rot = None
+        G_i8 = None
+        G_f = None
     else:
         G_rot = None
         G_host = np.asarray(G.matrix if hasattr(G, "matrix") else G)
@@ -156,6 +173,12 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
         """Rotated column of SNP c (from storage or a single matvec)."""
         if G_rot is not None:
             return G_rot[c]
+        if rg is not None:
+            from mixmogam_tpu.models.streaming import _impute_tile
+
+            col = _impute_tile(jnp.asarray(rg[np.array([c])]))[0]
+            return (col.astype(dtype) if identity_k
+                    else U.T @ col.astype(dtype))
         if G_i8 is not None:
             from mixmogam_tpu.models.streaming import _impute_tile
 
@@ -220,6 +243,18 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
                                        dtype, pad_to=pad_to)
             return rot, emmax_scan_all(G_rot, rot, tile=tile,
                                        pre_rotated=True)
+        if rg is not None:
+            # packed HBM source: per-step rotation matmul at MXU rate,
+            # zero host traffic (models.resident)
+            from mixmogam_tpu.models.resident import emmax_scan_packed
+
+            rot = _rot_null_from_delta(phi, r["delta"], y_rot, X_rot,
+                                       dtype, pad_to=pad_to,
+                                       U=None if identity_k else U)
+            d = emmax_scan_packed(rg.packed, rot, n, rg.tile,
+                                  impute=rg.has_missing,
+                                  pre_rotated=identity_k)
+            return rot, {k: np.asarray(v)[:M] for k, v in d.items()}
         # streamed: int8 tiles, device impute, rotation matmul per tile
         from mixmogam_tpu.models.streaming import _impute_tile
 

@@ -169,3 +169,63 @@ class TestRouting:
 
     def test_budget_constant_sane(self):
         assert RESIDENT_BUDGET_BYTES >= (1 << 30)
+
+
+class TestResidentStepwise:
+    def test_stepwise_parity_stored_and_packed(self):
+        from mixmogam_tpu.models.stepwise import emmax_step_wise
+
+        G, imp, y = _data(20, n=64, m=220)
+        K = scale_k(kinship(G, method="ibs"))
+        rg = ResidentGenome.from_source(G, tile=128)
+        ref = emmax_step_wise(imp, y, K=K, max_steps=3)
+        # stored-rotation path sourced from packed HBM
+        a = emmax_step_wise(rg, y, K=K, max_steps=3)
+        # over-budget path: per-step scans straight off packed HBM
+        b = emmax_step_wise(rg, y, K=K, max_steps=3, rot_budget_bytes=1024)
+        for res in (a, b):
+            assert [s["cofactors"] for s in res["steps"]] == \
+                [s["cofactors"] for s in ref["steps"]]
+            np.testing.assert_allclose(
+                [s["min_p"] for s in res["steps"] if s["phase"] == "forward"
+                 and np.isfinite(s["min_p"])],
+                [s["min_p"] for s in ref["steps"] if s["phase"] == "forward"
+                 and np.isfinite(s["min_p"])], rtol=1e-6)
+
+    def test_stepwise_packed_identity_k(self):
+        """K=None (fixed-effects-only lm_step_wise) over packed HBM:
+        pre-rotated semantics, no rotation matmul."""
+        from mixmogam_tpu.models.stepwise import emmax_step_wise
+
+        G, imp, y = _data(21, n=64, m=200, missing=0.03)
+        rg = ResidentGenome.from_source(G, tile=128)
+        ref = emmax_step_wise(imp, y, K=None, max_steps=2)
+        res = emmax_step_wise(rg, y, K=None, max_steps=2,
+                              rot_budget_bytes=1024)
+        assert [s["cofactors"] for s in res["steps"]] == \
+            [s["cofactors"] for s in ref["steps"]]
+
+
+class TestResidentMultiTrait:
+    def test_multitrait_parity(self):
+        from mixmogam_tpu.models.multitrait import emmax_multi_trait
+
+        G, imp, _ = _data(22, n=64, m=260, missing=0.02)
+        K = scale_k(kinship(G, method="ibs"))
+        rng = np.random.default_rng(22)
+        Y = np.stack([imp[5] + rng.normal(size=64) * 0.5 for _ in range(3)])
+        ref = emmax_multi_trait(imp, Y, K=K)
+        rg = ResidentGenome.from_source(G, tile=128)
+        res = emmax_multi_trait(rg, Y, K=K)
+        np.testing.assert_allclose(res["ps"], ref["ps"], atol=1e-9)
+        np.testing.assert_allclose(res["deltas"], ref["deltas"], rtol=1e-9)
+
+    def test_multitrait_missing_y_rejected(self):
+        from mixmogam_tpu.models.multitrait import emmax_multi_trait
+
+        G, _, _ = _data(23, n=32, m=100)
+        rg = ResidentGenome.from_source(G, tile=64)
+        Y = np.ones((2, 32))
+        Y[0, 3] = np.nan
+        with pytest.raises(ValueError, match="host genotype source"):
+            emmax_multi_trait(rg, Y, K=np.eye(32))
