@@ -74,12 +74,15 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
     n = y.shape[0]
     if dtype is None:
         dtype = jnp.zeros(0).dtype
+    from mixmogam_tpu.models.resident import ResidentGenome
     from mixmogam_tpu.models.source import resolve_source, should_stream
 
+    rg = G if isinstance(G, ResidentGenome) else None
     G_src = resolve_source(G)
     M = G_src.shape[0]
-    streamed = should_stream(G_src, n, dtype, stream_budget_bytes)
-    Gf = None if streamed else _as_dosage(G, dtype)
+    streamed = (False if rg is not None
+                else should_stream(G_src, n, dtype, stream_budget_bytes))
+    Gf = None if (streamed or rg is not None) else _as_dosage(G, dtype)
     if X0 is None:
         X0 = np.ones((n, 1))
     X0 = _as_design(X0, n)
@@ -103,10 +106,20 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
     fstats = np.empty(M)
     betas = np.empty(M)
     masks = np.empty(M, dtype=bool)
-    Gd = None if streamed else jnp.asarray(Gf)
+    Gd = None if (streamed or rg is not None) else jnp.asarray(Gf)
+    if rg is not None:
+        tile = rg.tile  # packed rows are padded to this granularity
     for s in range(0, M, tile):
         e = min(s + tile, M)
-        if streamed:
+        if rg is not None:
+            from mixmogam_tpu.models.resident import _tile_from_packed
+            from mixmogam_tpu.models.streaming import _impute_tile
+
+            Gt_raw = _tile_from_packed(rg.packed, jnp.asarray(s, jnp.int32),
+                                       rg.tile, n)
+            Gt_raw = (_impute_tile(Gt_raw, dtype) if rg.has_missing
+                      else Gt_raw.astype(dtype))
+        elif streamed:
             from mixmogam_tpu.models.source import fetch_tile
             from mixmogam_tpu.ops.pack2 import default_pack_transfer
 

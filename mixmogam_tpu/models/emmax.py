@@ -25,7 +25,10 @@ def _as_dosage(G, dtype) -> np.ndarray:
     """GenotypeData or array -> (M, n) float array with the normative
     per-SNP mean imputation (int8: -1 = missing; float: NaN = missing)."""
     from mixmogam_tpu.data.genotype import GenotypeData
+    from mixmogam_tpu.models.resident import ResidentGenome
 
+    if isinstance(G, ResidentGenome):
+        G = G[0:G.M]  # host int8 rows, -1 = missing (imputed below)
     if isinstance(G, GenotypeData):
         return G.dosage_f64().astype(dtype)
     G = np.asarray(G)

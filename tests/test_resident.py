@@ -229,3 +229,26 @@ class TestResidentMultiTrait:
         Y[0, 3] = np.nan
         with pytest.raises(ValueError, match="host genotype source"):
             emmax_multi_trait(rg, Y, K=np.eye(32))
+
+
+class TestResidentEmma:
+    def test_emma_parity(self):
+        from mixmogam_tpu.models.emma import emma
+
+        G, imp, y = _data(24, n=64, m=180, missing=0.02)
+        K = scale_k(kinship(G, method="ibs"))
+        ref = emma(imp, y, K=K, tile=64)
+        rg = ResidentGenome.from_source(G, tile=64)
+        res = emma(rg, y, K=K)
+        np.testing.assert_allclose(res["ps"], ref["ps"], atol=1e-9)
+        np.testing.assert_allclose(res["deltas"], ref["deltas"], rtol=1e-7)
+
+    def test_as_dosage_materializes(self):
+        """permutation/twosnp/linear take ResidentGenome through
+        _as_dosage (host materialization with the normative imputation)."""
+        from mixmogam_tpu.models.emmax import _as_dosage
+
+        G, imp, _ = _data(25, n=48, m=150, missing=0.04)
+        rg = ResidentGenome.from_source(G, tile=64)
+        np.testing.assert_allclose(_as_dosage(rg, np.float64), imp,
+                                   atol=1e-12)
