@@ -73,6 +73,11 @@ def _add_run(sub):
     p.add_argument("--checkpoint-dir", default=None,
                    help="tile-granular resume directory for streamed "
                         "emmax scans")
+    p.add_argument("--resident", default=None, choices=["auto", "on", "off"],
+                   help="hold the genome 2-bit packed in device HBM "
+                        "(default auto: promotes int8 genomes that "
+                        "exceed the in-core budget but fit ~6 GiB "
+                        "packed; emmax only)")
 
 
 def _add_kinship(sub):
@@ -141,6 +146,10 @@ def main(argv=None) -> int:
                 ap.error("--checkpoint-dir requires --method emmax")
             tier_kw["checkpoint_dir"] = args.checkpoint_dir
             tier_kw.setdefault("stream", True)
+        if args.resident in ("on", "off"):
+            if args.method != "emmax":
+                ap.error("--resident requires --method emmax")
+            tier_kw["resident"] = args.resident == "on"
         ctx = debug_nans(True) if args.debug_nans else contextlib.nullcontext()
         with ctx:
             out = run_gwas(
