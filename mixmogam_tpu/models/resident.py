@@ -283,6 +283,30 @@ def _tile_from_packed(packed: jnp.ndarray, s, tile: int, n: int
     return unpack_2bit_device(pt, n)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "tile", "M", "ploidy"))
+def _ibs_resident_fused(packed: jnp.ndarray, n: int, tile: int, M: int,
+                        ploidy: int) -> jnp.ndarray:
+    """Fully-observed int8 IBS accumulation as ONE dispatch: fori_loop
+    over tiles inside jit (the per-tile host-loop variant measured
+    ~0.4 s/tile of dispatch overhead at n=10k — 64 round trips through
+    this image's tunnel; fused, the whole 1M-SNP gram is one program)."""
+    from mixmogam_tpu.ops.kinship import (_ibs_diploid_int8_update,
+                                          _ibs_int8_update)
+
+    T = packed.shape[0] // tile
+    upd = _ibs_int8_update if ploidy == 1 else _ibs_diploid_int8_update
+
+    def body(i, S):
+        pt = jax.lax.dynamic_slice_in_dim(packed, i * tile, tile, axis=0)
+        Gt = unpack_2bit_device(pt, n)
+        # int32 cast: under jax_enable_x64 the fori counter is int64 and
+        # would promote the whole carry, breaking the carry contract
+        m_eff = jnp.minimum(M - i * tile, tile).astype(jnp.int32)
+        return upd(S, Gt, m_eff)
+
+    return jax.lax.fori_loop(0, T, body, jnp.zeros((n, n), jnp.int32))
+
+
 def kinship_resident(rg: ResidentGenome, method: str = "ibs",
                      ploidy: Optional[int] = None,
                      dtype=jnp.float32) -> np.ndarray:
@@ -331,15 +355,8 @@ def kinship_resident(rg: ResidentGenome, method: str = "ibs",
         raise ValueError(f"unknown kinship method {method!r}")
 
     if not rg.has_missing:
-        S = jnp.zeros((n, n), dtype=jnp.int32)
-        upd = (_ibs_int8_update if ploidy == 1
-               else _ibs_diploid_int8_update)
-        for i in range(T):
-            Gt = _tile_from_packed(rg.packed, jnp.asarray(i * tile,
-                                                          jnp.int32),
-                                   tile, n)
-            S = upd(S, Gt, meffs[i])
-        S = np.asarray(S).astype(np.float64)
+        S = np.asarray(_ibs_resident_fused(rg.packed, n, tile, M,
+                                           ploidy)).astype(np.float64)
         return S / M if ploidy == 1 else S / (2.0 * M)
 
     # missing genotypes: device-imputed float accumulation (same rule

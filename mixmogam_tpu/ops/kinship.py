@@ -66,11 +66,15 @@ def _gram_int8_tri(S_acc, C, tn: int = 256):
 def _ibs_int8_update(S_acc, C, m_eff):
     """Integer-exact IBS sharing-count accumulation on the MXU:
     S += 2 C'C - s(x)1 - 1(x)s + m J with int8 inputs, int32 accumulate.
-    Zero floating-point error; ~4x less HBM traffic than fp32 tiles."""
+    Zero floating-point error; ~4x less HBM traffic than fp32 tiles.
+    Output dtype == S_acc dtype (jnp.sum would promote to int64 under
+    x64, which breaks fori_loop carries — models.resident fuses this
+    update into one)."""
     d = jax.lax.dot_general(C, C, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
-    s = jnp.sum(C.astype(jnp.int32), axis=0)
-    return S_acc + 2 * d - s[:, None] - s[None, :] + m_eff
+    s = jnp.sum(C.astype(jnp.int32), axis=0, dtype=jnp.int32)
+    m = jnp.asarray(m_eff, jnp.int32)
+    return S_acc + (2 * d - s[:, None] - s[None, :] + m).astype(S_acc.dtype)
 
 
 def _streamed_int8_chunks(mat: np.ndarray, chunk: int, pack_transfer,
@@ -130,14 +134,16 @@ def _ibs_diploid_int8_update(S2_acc, C, m_eff):
     for a,b in {0,1,2}; every term is an int8 MXU matmul."""
     CtC = jax.lax.dot_general(C, C, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
-    a2 = jnp.sum((C * C).astype(jnp.int32), axis=0)
+    a2 = jnp.sum((C * C).astype(jnp.int32), axis=0, dtype=jnp.int32)
     d2 = a2[:, None] + a2[None, :] - 2 * CtC
     W0 = (C == 0).astype(jnp.int8)
     W2 = (C == 2).astype(jnp.int8)
     corr = jax.lax.dot_general(W0, W2, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
     absd = d2 - 2 * (corr + corr.T)
-    return S2_acc + 2 * m_eff - absd
+    m = jnp.asarray(m_eff, jnp.int32)
+    # dtype-stable output (see _ibs_int8_update)
+    return S2_acc + (2 * m - absd).astype(S2_acc.dtype)
 
 
 def _ibs_diploid_int8_streamed(mat: np.ndarray, chunk: int,
