@@ -220,6 +220,80 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
             "delta": float(null.delta), "dof": dof}
 
 
+def distributed_emmax_resident(rg, y, K=None, X0: Optional[np.ndarray] = None,
+                               mesh: Optional[Mesh] = None, eig_k=None,
+                               ngrids: int = 100, llim: float = -10.0,
+                               ulim: float = 10.0, esp: float = 1e-6,
+                               dtype=None, rotate_in_bf16=False,
+                               ) -> Dict[str, np.ndarray]:
+    """EMMAX over a SNP-sharded 2-bit packed genome (models.resident) on
+    a device mesh: each chip holds its packed shard (1/nshard of 2 bits/
+    genotype — 16 chips hold a 16M x 10k genome at 2.7 GB/chip), the
+    null model replicates, and each chip runs the single-dispatch
+    unpack+rotate+scan program over its shard via shard_map. Zero
+    cross-chip communication until the final result gather — the same
+    scaling story as distributed_emmax at 1/4 the HBM and H2D cost.
+
+    Requires a DP-only mesh (sample axis width 1): the packed byte axis
+    cannot be sharded over samples."""
+    from mixmogam_tpu.models.emmax import _as_design
+    from mixmogam_tpu.models.resident import emmax_scan_packed
+    from mixmogam_tpu.ops.reml import esp_to_refine_iters
+    from mixmogam_tpu.ops.scan import normalize_rotate_tier
+    from mixmogam_tpu.ops.stats import f_sf_host
+
+    if mesh is None:
+        mesh = make_mesh()
+    if mesh.shape["sample"] != 1:
+        raise ValueError(
+            "distributed_emmax_resident needs a ('snp', 1) mesh — the "
+            "packed sample-byte axis cannot shard; use "
+            "distributed_emmax for sample-axis TP")
+    y = np.asarray(y, dtype=np.float64).ravel()
+    n = y.shape[0]
+    if n != rg.n:
+        raise ValueError(f"y has {n} samples, resident genome {rg.n}")
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    if X0 is None:
+        X0 = np.ones((n, 1))
+    X0 = _as_design(X0, n)
+    null = fit_null_model(y.astype(np.dtype(dtype).name), X0, K=K,
+                          eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim,
+                          refine_iters=esp_to_refine_iters(
+                              esp, ngrids, llim, ulim))
+    rd = normalize_rotate_tier(rotate_in_bf16)
+    if isinstance(rd, str) and rd.startswith("int8") and rg.has_missing:
+        raise ValueError("int8 tiers need fully-observed dosages")
+    rot = build_rotated_null(null, rotate_dtype=rd)
+    rot = put_global_tree(rot, replicated(mesh))
+
+    nshard = mesh.shape["snp"]
+    tile = rg.tile
+    # pad packed rows so every shard is a whole number of tiles
+    host_packed, _ = pad_to_multiple(np.asarray(rg.packed),
+                                     nshard * tile, axis=0)
+    packed = put_global(host_packed, NamedSharding(mesh, P("snp", None)))
+
+    fn = jax.shard_map(
+        lambda p, r: emmax_scan_packed(p, r, rg.n, tile,
+                                       impute=rg.has_missing),
+        mesh=mesh,
+        in_specs=(P("snp", None), jax.tree.map(lambda _: P(), rot)),
+        out_specs=P("snp"))
+    d = jax.jit(fn)(packed, rot)
+    M = rg.M
+    f_stats = np.asarray(d["f_stats"], dtype=np.float64)[:M]
+    mask = np.asarray(d["mask"])[:M]
+    dof = int(n - X0.shape[1] - 1)
+    ps = np.where(mask, f_sf_host(f_stats, 1.0, dof), 1.0)
+    return {"ps": ps, "f_stats": f_stats, "mask": mask,
+            "betas": np.asarray(d["betas"], dtype=np.float64)[:M],
+            "var_perc": np.asarray(d["var_perc"], dtype=np.float64)[:M],
+            "pseudo_heritability": float(null.pseudo_heritability),
+            "delta": float(null.delta), "dof": dof}
+
+
 # ---------------------------------------------------------------------------
 # the full multi-chip 'training step' (graft dryrun entry): kinship psum +
 # REML + multi-trait sharded scan + device-side top-k gather

@@ -252,3 +252,44 @@ class TestResidentEmma:
         rg = ResidentGenome.from_source(G, tile=64)
         np.testing.assert_allclose(_as_dosage(rg, np.float64), imp,
                                    atol=1e-12)
+
+
+class TestResidentDistributed:
+    def test_sharded_packed_scan_mesh_invariance(self):
+        """SNP-sharded packed genome via shard_map: bit-identical to the
+        single-device resident scan across mesh shapes (8 virtual CPU
+        devices from conftest)."""
+        import jax
+
+        from mixmogam_tpu.parallel.distributed import (
+            distributed_emmax_resident)
+        from mixmogam_tpu.parallel.mesh import make_mesh
+
+        G, imp, y = _data(30, n=64, m=333)
+        K = scale_k(kinship(G, method="ibs"))
+        rg = ResidentGenome.from_source(G, tile=64)
+        ref = emmax_resident(rg, y, K=K)
+        devs = jax.devices()
+        for nd in (1, 4, 8):
+            if len(devs) < nd:
+                continue
+            mesh = make_mesh((nd, 1), devices=devs[:nd])
+            res = distributed_emmax_resident(rg, y, K=K, mesh=mesh)
+            np.testing.assert_array_equal(res["ps"], ref["ps"])
+            np.testing.assert_array_equal(res["f_stats"], ref["f_stats"])
+
+    def test_sample_axis_rejected(self):
+        import jax
+
+        from mixmogam_tpu.parallel.distributed import (
+            distributed_emmax_resident)
+        from mixmogam_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >= 2 devices")
+        mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+        G, _, y = _data(31, n=32, m=64)
+        with pytest.raises(ValueError, match="sample"):
+            distributed_emmax_resident(
+                ResidentGenome.from_source(G, tile=32), y,
+                K=np.eye(32), mesh=mesh)
