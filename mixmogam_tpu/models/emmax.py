@@ -137,6 +137,9 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
                                               emmax_resident)
     from mixmogam_tpu.models.source import resolve_source, should_stream
 
+    if resident is True and stream is True:
+        raise ValueError("stream=True and resident=True are mutually "
+                         "exclusive (a resident genome never streams)")
     G_src = resolve_source(G)
     if isinstance(G, ResidentGenome) or isinstance(G_src, ResidentGenome):
         rg = G if isinstance(G, ResidentGenome) else G_src
