@@ -97,9 +97,11 @@ def main():
     from mixmogam_tpu.oracle.kinship import scale_k
 
     t0 = time.time()
-    rg = ResidentGenome.from_source(G)
+    rg = ResidentGenome.from_source(
+        G, cache_path=os.path.join(CACHE, f"packed_{N}x{M}.bin"))
     log(f"pack+upload {rg.nbytes_packed/1e9:.2f} GB packed "
-        f"({M:,} x {N}): {time.time()-t0:.1f}s (one-time)")
+        f"({M:,} x {N}): {time.time()-t0:.1f}s (one-time; packed rows "
+        "disk-cached)")
 
     kpath = os.path.join(CACHE, f"K_{N}x{M}.npy")
     if os.path.exists(kpath):

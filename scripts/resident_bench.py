@@ -60,7 +60,8 @@ def main():
 
     # ---- upload: memmap -> 2-bit pack -> ONE device transfer ----
     t0 = time.time()
-    rg = ResidentGenome.from_source(G)
+    rg = ResidentGenome.from_source(
+        G, cache_path=os.path.join(CACHE, f"packed_{N}x{M}.bin"))
     t_upload = time.time() - t0
     gb = rg.nbytes_packed / 1e9
     log(f"pack+upload {gb:.2f} GB packed ({M}x{N}): {t_upload:.1f}s "

@@ -293,3 +293,25 @@ class TestResidentDistributed:
             distributed_emmax_resident(
                 ResidentGenome.from_source(G, tile=32), y,
                 K=np.eye(32), mesh=mesh)
+
+
+class TestPackedCache:
+    def test_from_source_cache_roundtrip(self, tmp_path):
+        G, _, _ = _data(40, n=48, m=200, missing=0.03)
+        cp = str(tmp_path / "packed.bin")
+        a = ResidentGenome.from_source(G, tile=64, cache_path=cp)
+        import os
+        assert os.path.exists(cp) and os.path.exists(cp + ".json")
+        b = ResidentGenome.from_source(None, tile=64, cache_path=cp)
+        assert (b.M, b.n, b.ploidy, b.has_missing) == \
+            (a.M, a.n, a.ploidy, a.has_missing)
+        np.testing.assert_array_equal(np.asarray(b.packed),
+                                      np.asarray(a.packed))
+
+    def test_cache_tile_mismatch_repacks(self, tmp_path):
+        G, _, _ = _data(41, n=32, m=100)
+        cp = str(tmp_path / "packed.bin")
+        ResidentGenome.from_source(G, tile=64, cache_path=cp)
+        c = ResidentGenome.from_source(G, tile=32, cache_path=cp)
+        assert c.tile == 32
+        np.testing.assert_array_equal(c[0:100], G)
