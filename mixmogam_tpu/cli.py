@@ -29,7 +29,9 @@ def _add_run(sub):
                         "dosage exceeds 1 — pass 2 explicitly for diploid "
                         "data with no homozygous-alt calls)")
     p.add_argument("--data-format", default="binary",
-                   choices=["binary", "nucleotides"])
+                   choices=["binary", "nucleotides", "plink"],
+                   help="genotype format ('.bed'/'.h5' paths "
+                        "auto-detect regardless)")
     p.add_argument("--transform", default=None,
                    choices=["log", "sqrt", "box_cox", "exp", "arcsin_sqrt",
                             "most_normal"])

@@ -57,6 +57,13 @@ def parse_snp_data(path: str, data_format: str = "binary",
                     f"{gd.matrix.max()} in {path}")
             gd = dataclasses.replace(gd, ploidy=ploidy)
         return gd
+    if path.endswith(".bed") or data_format == "plink":
+        from mixmogam_tpu.data.plink import read_plink
+
+        gd = read_plink(path)
+        if ploidy is not None and ploidy != gd.ploidy:
+            gd = dataclasses.replace(gd, ploidy=ploidy)
+        return gd
     if data_format in ("binary", "dosage", "int"):
         return _parse_dosage_csv(path, delimiter, ploidy)
     if data_format in ("nucleotides", "nt"):

@@ -1,0 +1,178 @@
+"""PLINK 1 binary (.bed/.bim/.fam) genotype input.
+
+The reference reads only its own CSV/HDF5 formats (dataParsers.py per
+SURVEY.md §2.1); real cohorts overwhelmingly ship as PLINK filesets, so
+this is a capability extension, not a port. The .bed payload is ALREADY
+2-bit packed SNP-major — exactly the layout of this package's packed
+container (ops/pack2, models/resident) — so loading is a 256-entry
+byte-LUT remap, and a bed file can stream or go device-resident without
+ever materializing an int8 genome:
+
+  bed code (per 2 bits, v1.00, SNP-major)   ours
+    00  hom A1 (minor)                       2 (A1 dosage 2)
+    01  missing                              3 (-> -1)
+    10  het                                  1
+    11  hom A2 (major)                       0
+
+Dosages count A1 (minor) alleles, PLINK's convention.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_MAGIC = b"\x6c\x1b"
+
+
+def _byte_lut() -> np.ndarray:
+    """uint8 -> uint8 remap of 4 bed genotype codes to ours (see module
+    docstring); same bit positions, SNP-major in both."""
+    code_map = np.array([2, 3, 1, 0], dtype=np.uint8)  # bed 00/01/10/11
+    lut = np.empty(256, dtype=np.uint8)
+    for b in range(256):
+        out = 0
+        for k in range(4):
+            out |= int(code_map[(b >> (2 * k)) & 3]) << (2 * k)
+        lut[b] = out
+    return lut
+
+
+_LUT = _byte_lut()
+
+
+def read_fam(path: str) -> List[str]:
+    """Sample IDs (IID column) from a .fam file."""
+    ids = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                ids.append(parts[1])
+    return ids
+
+
+def read_bim(path: str) -> Tuple[np.ndarray, np.ndarray, List[str],
+                                 List[str], List[str]]:
+    """(chromosomes int32, positions int64, snp_ids, a1, a2)."""
+    chroms, poss, ids, a1s, a2s = [], [], [], [], []
+    conv = {"X": 23, "Y": 24, "XY": 25, "MT": 26, "M": 26}
+    with open(path) as f:
+        for line in f:
+            p = line.split()
+            if len(p) < 6:
+                continue
+            chroms.append(conv.get(p[0].upper(), None)
+                          if not p[0].isdigit() else int(p[0]))
+            if chroms[-1] is None:
+                chroms[-1] = 0
+            ids.append(p[1])
+            poss.append(int(p[3]))
+            a1s.append(p[4])
+            a2s.append(p[5])
+    return (np.asarray(chroms, np.int32), np.asarray(poss, np.int64),
+            ids, a1s, a2s)
+
+
+class PlinkBedSource:
+    """Lazy SNP-major (M, n) int8 dosage source over a .bed file.
+
+    Sliceable like the other streamed sources ([s:e] and integer-array
+    row indexing return host int8 with -1 missing), so it plugs into
+    emmax(stream=...), kinship chunking and ResidentGenome.from_source
+    directly. Rows decode on demand via the byte LUT + the package's
+    2-bit unpacker (C++ when built)."""
+
+    def __init__(self, bed_path: str, n_samples: int, n_snps: int):
+        self.path = bed_path
+        self.n = int(n_samples)
+        self.M = int(n_snps)
+        self._rb = (self.n + 3) // 4
+        with open(bed_path, "rb") as f:
+            head = f.read(3)
+        if head[:2] != _MAGIC:
+            raise ValueError(f"{bed_path}: not a PLINK .bed file "
+                             "(bad magic)")
+        if head[2:3] != b"\x01":
+            raise ValueError(f"{bed_path}: sample-major .bed (mode "
+                             f"{head[2]}) is not supported — recode "
+                             "SNP-major (plink --make-bed)")
+        expect = 3 + self.M * self._rb
+        actual = os.path.getsize(bed_path)
+        if actual != expect:
+            raise ValueError(
+                f"{bed_path}: size {actual} != 3 + M*ceil(n/4) = "
+                f"{expect} (M={self.M}, n={self.n} from .bim/.fam)")
+        self._mm = np.memmap(bed_path, dtype=np.uint8, mode="r",
+                             offset=3, shape=(self.M, self._rb))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.M, self.n)
+
+    @property
+    def dtype(self):
+        return np.dtype(np.int8)
+
+    def __len__(self) -> int:
+        return self.M
+
+    def packed_rows(self, key) -> np.ndarray:
+        """Raw rows remapped to OUR 2-bit codes (no unpack) — the
+        zero-decode path into ResidentGenome/pack2 transport."""
+        return _LUT[self._mm[key]]
+
+    def __getitem__(self, key) -> np.ndarray:
+        from mixmogam_tpu import native
+
+        rows = self.packed_rows(key)
+        if rows.ndim == 1:
+            rows = rows[None, :]
+        return native.unpack_2bit(np.ascontiguousarray(rows), self.n)
+
+
+def read_plink(prefix: str, lazy: bool = False):
+    """PLINK fileset -> GenotypeData (lazy=False) or a (PlinkBedSource,
+    chromosomes, positions, sample_ids) tuple (lazy=True; for streaming
+    / resident workflows at biobank scale). prefix may include or omit
+    the .bed extension."""
+    if prefix.endswith(".bed"):
+        prefix = prefix[:-4]
+    sample_ids = read_fam(prefix + ".fam")
+    chroms, poss, _ids, _a1, _a2 = read_bim(prefix + ".bim")
+    src = PlinkBedSource(prefix + ".bed", len(sample_ids), len(chroms))
+    if lazy:
+        return src, chroms, poss, sample_ids
+    from mixmogam_tpu.data.genotype import GenotypeData
+
+    return GenotypeData(src[0:src.M], chroms, poss, sample_ids)
+
+
+def resident_from_plink(prefix: str, tile: int = 16_384):
+    """PLINK fileset -> device-resident packed genome WITHOUT decoding:
+    bed bytes are LUT-remapped per chunk and uploaded as-is (the .bed
+    payload is already this container's 2-bit layout). Returns
+    (ResidentGenome, chromosomes, positions, sample_ids)."""
+    import jax.numpy as jnp
+
+    from mixmogam_tpu.models.resident import ResidentGenome
+
+    src, chroms, poss, sample_ids = read_plink(prefix, lazy=True)
+    M, n = src.shape
+    M_pad = -(-M // tile) * tile
+    host_packed = np.zeros((M_pad, src._rb), dtype=np.uint8)
+    has_missing = False
+    for s in range(0, M, 65_536):
+        e = min(s + 65_536, M)
+        rows = src.packed_rows(slice(s, e))
+        host_packed[s:e] = rows
+        if not has_missing:
+            # code 3 inside the first n sample slots = missing; the
+            # byte-tail pad slots of the LAST byte are code 3 by PLINK
+            # convention only when n % 4 != 0 — check decoded rows then
+            has_missing = bool((src[s:e] < 0).any())
+    rg = ResidentGenome(jnp.asarray(host_packed), M, n, 2, tile,
+                        has_missing)
+    return rg, chroms, poss, sample_ids
