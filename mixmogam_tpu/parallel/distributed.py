@@ -282,6 +282,10 @@ def distributed_emmax_resident(rg, y, K=None, X0: Optional[np.ndarray] = None,
         in_specs=(P("snp", None), jax.tree.map(lambda _: P(), rot)),
         out_specs=P("snp"))
     d = jax.jit(fn)(packed, rot)
+    if jax.process_count() > 1:
+        # sharded outputs are only partially addressable across
+        # processes; replicate = the run's one all_gather
+        d = jax.jit(lambda t: t, out_shardings=replicated(mesh))(d)
     M = rg.M
     f_stats = np.asarray(d["f_stats"], dtype=np.float64)[:M]
     mask = np.asarray(d["mask"])[:M]

@@ -82,6 +82,15 @@ def main() -> None:
     assert out["top_f"].shape == (2, 4)
     assert np.isfinite(out["top_f"]).all()
 
+    # ---- 5) SNP-sharded 2-bit resident genome across processes
+    # (round 3: shard_map over packed shards, replicated result) ----
+    from mixmogam_tpu.models.resident import ResidentGenome
+    from mixmogam_tpu.parallel.distributed import distributed_emmax_resident
+
+    rg = ResidentGenome.from_source(G, tile=16)
+    dr = distributed_emmax_resident(rg, y, K=K, mesh=mesh)
+    np.testing.assert_allclose(dr["ps"], ref["ps"], atol=1e-9)
+
     print(f"WORKER_OK {pid}", flush=True)
 
 
