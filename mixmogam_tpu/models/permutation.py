@@ -51,8 +51,11 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
     n = y.shape[0]
     if dtype is None:
         dtype = jnp.zeros(0).dtype
-    Gf = _as_dosage(G, dtype)
-    M = Gf.shape[0]
+    from mixmogam_tpu.models.resident import ResidentGenome
+
+    rg = G if isinstance(G, ResidentGenome) else None
+    Gf = None if rg is not None else _as_dosage(G, dtype)
+    M = rg.M if rg is not None else Gf.shape[0]
     if X0 is None:
         X0 = np.ones((n, 1))
     X0 = _as_design(X0, n)
@@ -84,13 +87,26 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
     rss0 = jnp.sum(Y_res * Y_res, axis=1)
     dof = n - q - 1
 
-    Gd = jnp.asarray(Gf)
+    Gd = None if rg is not None else jnp.asarray(Gf)
+    if rg is not None:
+        tile = rg.tile  # packed rows are padded to this granularity
     max_f = jnp.zeros(num_perm, dtype=Ys.dtype)
     for s in range(0, M, tile):
         e = min(s + tile, M)
-        Gt = Gd[s:e]
-        if e - s < tile:
-            Gt = jnp.pad(Gt, ((0, tile - (e - s)), (0, 0)))
+        if rg is not None:
+            # packed HBM source (round 3): unpack + impute per tile —
+            # genome never materializes as float (40 GB at 1M x 10k)
+            from mixmogam_tpu.models.resident import _tile_from_packed
+            from mixmogam_tpu.models.streaming import _impute_tile
+
+            Gt = _tile_from_packed(rg.packed, jnp.asarray(s, jnp.int32),
+                                   rg.tile, n)
+            Gt = (_impute_tile(Gt, dtype) if rg.has_missing
+                  else Gt.astype(dtype))
+        else:
+            Gt = Gd[s:e]
+            if e - s < tile:
+                Gt = jnp.pad(Gt, ((0, tile - (e - s)), (0, 0)))
         G_rot_tile = Gt if identity_k else Gt @ U
         max_f = _perm_tile_max_f(G_rot_tile, sd, Q0, Y_res, rss0,
                                  float(dof), max_f)

@@ -8,9 +8,10 @@ But 2-bit packed the same genome is 2.7 GB — it FITS. ResidentGenome
 uploads the packed rows ONCE; every subsequent phase (kinship, EMMAX
 scan, rescore, repeated scans) is pure device compute: the per-tile
 unpack is a few VPU shift/masks fused ahead of the rotation matmul, so
-scans run at the device-resident MXU rates (433-634k tests/s/chip at
-n=10,240) instead of the wire rate — the full 1M scan drops from
-~388 s to single-digit seconds after the one-time upload.
+scans run at MXU rates instead of the wire rate. Measured on the FULL
+1M x 10,240 genome (docs/baseline_r3.json): exact 3.6 s (288k
+tests/s/chip), int8x3 2.15 s (488k, fp32-grade), int8x2 1.44 s (728k),
+bf16 1.32 s (794k) — vs 388 s streamed in round 2.
 
 Reference equivalent: none (mixmogam is a single-process numpy library
 — kinship.py re-reads its arrays from RAM each pass); this is the

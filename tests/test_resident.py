@@ -315,3 +315,28 @@ class TestPackedCache:
         c = ResidentGenome.from_source(G, tile=32, cache_path=cp)
         assert c.tile == 32
         np.testing.assert_array_equal(c[0:100], G)
+
+
+class TestResidentPermutation:
+    def test_perm_parity(self):
+        from mixmogam_tpu.models.permutation import emmax_perm_test
+
+        G, imp, y = _data(50, n=64, m=260, missing=0.03)
+        K = scale_k(kinship(G, method="ibs"))
+        rg = ResidentGenome.from_source(G, tile=64)
+        ref = emmax_perm_test(imp, y, K=K, num_perm=16, seed=3, tile=64)
+        res = emmax_perm_test(rg, y, K=K, num_perm=16, seed=3)
+        np.testing.assert_allclose(res["min_ps"], ref["min_ps"],
+                                   rtol=1e-8)
+        assert res["threshold"] == pytest.approx(ref["threshold"],
+                                                 rel=1e-8)
+
+    def test_perm_identity_k(self):
+        from mixmogam_tpu.models.permutation import emmax_perm_test
+
+        G, imp, y = _data(51, n=48, m=150)
+        rg = ResidentGenome.from_source(G, tile=64)
+        ref = emmax_perm_test(imp, y, K=None, num_perm=8, seed=1, tile=64)
+        res = emmax_perm_test(rg, y, K=None, num_perm=8, seed=1)
+        np.testing.assert_allclose(res["min_ps"], ref["min_ps"],
+                                   rtol=1e-8)
