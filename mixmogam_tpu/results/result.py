@@ -153,6 +153,20 @@ class Result:
             out[i] = d.min()
         return out
 
+    def clump(self, G, p_threshold: float = 1e-4,
+              r2_threshold: float = 0.5, window_bp: int = 250_000):
+        """Greedy LD clumping of this result's hits (results.ld.clump_hits;
+        requires score_type 'pvals'). G = any row-indexable genotype
+        source aligned to this result's SNP order (ResidentGenome ok)."""
+        from mixmogam_tpu.results.ld import clump_hits
+
+        if self.score_type != "pvals":
+            raise ValueError("clump() needs raw p-values "
+                             f"(score_type={self.score_type!r})")
+        return clump_hits(self.scores, G, self.chromosomes,
+                          self.positions, p_threshold=p_threshold,
+                          r2_threshold=r2_threshold, window_bp=window_bp)
+
     # ---- output (reference: write_to_file) ----
     def write_to_file(self, path: str, only_pickled: bool = False) -> None:
         cols = ["chromosomes", "positions", "scores"]

@@ -88,3 +88,25 @@ class TestClump:
         b = clump_hits(ps, G, np.ones(4), np.array([1, 2, 3, 4]) * 1000,
                        p_threshold=1e-4)
         assert a == b
+
+
+class TestResultClump:
+    def test_result_clump_method(self):
+        from mixmogam_tpu.results.result import Result
+
+        G = _corr_data(8)
+        r = Result(np.array([1e-10, 1e-8, 1e-9, 0.5]),
+                   np.ones(4, dtype=int), np.array([1, 2, 3, 4]) * 1000)
+        clumps = r.clump(G, p_threshold=1e-4, window_bp=10_000)
+        assert clumps[0]["lead"] == 0 and clumps[0]["members"] == [1]
+
+    def test_result_clump_requires_pvals(self):
+        import pytest
+
+        from mixmogam_tpu.results.result import Result
+
+        G = _corr_data(9)
+        r = Result(np.array([1.0, 2.0, 3.0, 4.0]), np.ones(4, dtype=int),
+                   np.arange(4), score_type="scores")
+        with pytest.raises(ValueError, match="p-values"):
+            r.clump(G)
