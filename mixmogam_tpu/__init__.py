@@ -41,6 +41,14 @@ def __getattr__(name):
         from mixmogam_tpu import api
 
         return getattr(api, name)
+    if name in {"ResidentGenome", "emmax_resident"}:
+        from mixmogam_tpu import models
+
+        return getattr(models, name)
+    if name in {"read_plink", "resident_from_plink"}:
+        from mixmogam_tpu import data
+
+        return getattr(data, name)
     if name in {"LinearModel", "LinearMixedModel", "lm_step_wise"}:
         from mixmogam_tpu import compat
 

@@ -9,8 +9,9 @@ lists), so device tiles slice straight out of it.
 from mixmogam_tpu.data.genotype import GenotypeData
 from mixmogam_tpu.data.phenotype import PhenotypeData
 from mixmogam_tpu.data.simulate import simulate_genotypes, simulate_phenotype
+from mixmogam_tpu.data.plink import read_plink, resident_from_plink
 
 __all__ = [
     "GenotypeData", "PhenotypeData", "simulate_genotypes",
-    "simulate_phenotype",
+    "simulate_phenotype", "read_plink", "resident_from_plink",
 ]

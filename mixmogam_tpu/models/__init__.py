@@ -9,8 +9,11 @@ from mixmogam_tpu.models.linear import linear_model, anova, kruskal_wallis
 from mixmogam_tpu.models.stepwise import emmax_step_wise
 from mixmogam_tpu.models.multitrait import emmax_multi_trait
 from mixmogam_tpu.models.permutation import emmax_perm_test
+from mixmogam_tpu.models.resident import (ResidentGenome, emmax_resident,
+                                          kinship_resident,
+                                          rotate_resident_to_device)
 from mixmogam_tpu.models.twosnp import emmax_two_snps
 
 __all__ = ["emmax", "emmax_anova", "emma", "linear_model", "anova",
            "kruskal_wallis", "emmax_step_wise", "emmax_multi_trait",
-           "emmax_perm_test", "emmax_two_snps"]
+           "emmax_perm_test", "emmax_two_snps", "ResidentGenome", "emmax_resident", "kinship_resident", "rotate_resident_to_device"]
