@@ -56,18 +56,31 @@ def read_fam(path: str) -> List[str]:
 
 def read_bim(path: str) -> Tuple[np.ndarray, np.ndarray, List[str],
                                  List[str], List[str]]:
-    """(chromosomes int32, positions int64, snp_ids, a1, a2)."""
+    """(chromosomes int32, positions int64, snp_ids, a1, a2).
+
+    Chromosome labels: digits pass through ('chr'/'Chr' prefixes are
+    stripped), X/Y/XY/MT get the PLINK codes 23-26, and every other
+    DISTINCT label (contig names etc.) gets its own stable code from 27
+    up in order of first appearance — never a shared catch-all, which
+    would merge different contigs in window-based queries/clumping."""
     chroms, poss, ids, a1s, a2s = [], [], [], [], []
     conv = {"X": 23, "Y": 24, "XY": 25, "MT": 26, "M": 26}
+    extra: dict = {}
     with open(path) as f:
         for line in f:
             p = line.split()
             if len(p) < 6:
                 continue
-            chroms.append(conv.get(p[0].upper(), None)
-                          if not p[0].isdigit() else int(p[0]))
-            if chroms[-1] is None:
-                chroms[-1] = 0
+            lab = p[0]
+            if lab.lower().startswith("chr"):
+                lab = lab[3:]
+            if lab.isdigit():
+                code = int(lab)
+            elif lab.upper() in conv:
+                code = conv[lab.upper()]
+            else:
+                code = extra.setdefault(lab, 27 + len(extra))
+            chroms.append(code)
             ids.append(p[1])
             poss.append(int(p[3]))
             a1s.append(p[4])
@@ -128,9 +141,17 @@ class PlinkBedSource:
         from mixmogam_tpu import native
 
         rows = self.packed_rows(key)
-        if rows.ndim == 1:
+        scalar = rows.ndim == 1
+        if scalar:
             rows = rows[None, :]
-        return native.unpack_2bit(np.ascontiguousarray(rows), self.n)
+        out = native.unpack_2bit(np.ascontiguousarray(rows), self.n)
+        return out[0] if scalar else out
+
+    def __array__(self, dtype=None, copy=None) -> np.ndarray:
+        """Full decode to (M, n) int8 — lets np.asarray(src) feed the
+        in-core paths (emmax stream=False, kinship) for small beds."""
+        out = self[0:self.M]
+        return out if dtype is None else out.astype(dtype)
 
 
 def read_plink(prefix: str, lazy: bool = False):
@@ -147,7 +168,10 @@ def read_plink(prefix: str, lazy: bool = False):
         return src, chroms, poss, sample_ids
     from mixmogam_tpu.data.genotype import GenotypeData
 
-    return GenotypeData(src[0:src.M], chroms, poss, sample_ids)
+    # PLINK genotypes are diploid by definition (het = code 10) — NEVER
+    # infer from the dosage range: a bed with no hom-minor calls would
+    # look haploid and silently flip kinship/MAF to the binary formulas
+    return GenotypeData(src[0:src.M], chroms, poss, sample_ids, ploidy=2)
 
 
 def resident_from_plink(prefix: str, tile: int = 16_384):
@@ -163,16 +187,24 @@ def resident_from_plink(prefix: str, tile: int = 16_384):
     M, n = src.shape
     M_pad = -(-M // tile) * tile
     host_packed = np.zeros((M_pad, src._rb), dtype=np.uint8)
+    # missing = code 3 in any of the first n sample slots, detected on
+    # the PACKED bytes (no decode): per-byte LUTs of "any code-3 pair
+    # among the first k slots". PLINK pads the tail byte with 0-BITS
+    # (bed 00 -> our code 2 after the remap), never code 3, but only
+    # the first n slots are ever read downstream anyway.
+    pair3 = np.array([[((b >> (2 * j)) & 3) == 3 for j in range(4)]
+                      for b in range(256)], dtype=bool)       # (256, 4)
+    has3 = np.cumsum(pair3, axis=1) > 0                       # (256, k+1)
+    tail_slots = n - 4 * (src._rb - 1)                        # 1..4
     has_missing = False
     for s in range(0, M, 65_536):
         e = min(s + 65_536, M)
         rows = src.packed_rows(slice(s, e))
         host_packed[s:e] = rows
         if not has_missing:
-            # code 3 inside the first n sample slots = missing; the
-            # byte-tail pad slots of the LAST byte are code 3 by PLINK
-            # convention only when n % 4 != 0 — check decoded rows then
-            has_missing = bool((src[s:e] < 0).any())
+            has_missing = bool(
+                has3[rows[:, :-1], 3].any()
+                or has3[rows[:, -1], tail_slots - 1].any())
     rg = ResidentGenome(jnp.asarray(host_packed), M, n, 2, tile,
-                        has_missing)
+                        has_missing, host_packed=host_packed)
     return rg, chroms, poss, sample_ids

@@ -137,15 +137,15 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
                                               emmax_resident)
     from mixmogam_tpu.models.source import resolve_source, should_stream
 
-    if resident is True and stream is True:
-        raise ValueError("stream=True and resident=True are mutually "
-                         "exclusive (a resident genome never streams)")
     G_src = resolve_source(G)
     if isinstance(G, ResidentGenome) or isinstance(G_src, ResidentGenome):
         rg = G if isinstance(G, ResidentGenome) else G_src
         resident = True
     else:
         rg = None
+    if resident is True and stream is True:
+        raise ValueError("stream=True and resident=True are mutually "
+                         "exclusive (a resident genome never streams)")
     if rg is None and resident is not False:
         over_incore = should_stream(G_src, n, dtype, stream_budget_bytes)
         packed_fits = (np.dtype(G_src.dtype) == np.int8

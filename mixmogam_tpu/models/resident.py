@@ -53,7 +53,8 @@ class ResidentGenome:
     """
 
     def __init__(self, packed: jax.Array, M: int, n: int, ploidy: int,
-                 tile: int, has_missing: bool):
+                 tile: int, has_missing: bool,
+                 host_packed: Optional[np.ndarray] = None):
         if packed.shape[0] % tile:
             raise ValueError("packed rows must be padded to the tile size")
         self.packed = packed
@@ -62,6 +63,11 @@ class ResidentGenome:
         self.ploidy = int(ploidy)
         self.tile = int(tile)
         self.has_missing = bool(has_missing)
+        # host-side copy of the packed rows, kept when construction had
+        # one anyway: lets multi-chip sharding re-distribute without a
+        # device->host readback (~35 s for 2.7 GB through this image's
+        # tunnel). Set to None to free the host RAM.
+        self.host_packed = host_packed
 
     # ---- array-source protocol ----
     @property
@@ -124,12 +130,27 @@ class ResidentGenome:
                 and os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
-            if meta["tile"] == tile:
-                host_packed = np.load(cache_path, mmap_mode="r")
-                packed = jnp.asarray(np.asarray(host_packed))
+            # a cache is only trusted when it matches the request: same
+            # tile, same source shape (when a source is given), same
+            # explicit ploidy — otherwise silently returning stale rows
+            # would run the study on the wrong genome
+            src_shape = (None if G is None
+                         else tuple(resolve_source(G).shape))
+            if (meta["tile"] == tile
+                    and (src_shape is None
+                         or src_shape == (meta["M"], meta["n"]))
+                    and (ploidy is None or ploidy == meta["ploidy"])):
+                hp = np.asarray(np.load(cache_path, mmap_mode="r"))
+                packed = jnp.asarray(hp)
                 packed.block_until_ready()
                 return cls(packed, meta["M"], meta["n"], meta["ploidy"],
-                           tile, meta["has_missing"])
+                           tile, meta["has_missing"], host_packed=hp)
+            if G is None:
+                raise ValueError(
+                    f"packed cache at {cache_path} does not match the "
+                    f"request (meta={meta}, tile={tile}, "
+                    f"ploidy={ploidy}) and no source was given to "
+                    "repack from")
 
         mat = resolve_source(G)
         if np.dtype(mat.dtype) != np.int8:
@@ -162,7 +183,8 @@ class ResidentGenome:
                            "tile": tile, "has_missing": has_missing}, f)
         packed = jnp.asarray(host_packed)
         packed.block_until_ready()
-        return cls(packed, M, n, ploidy, tile, has_missing)
+        return cls(packed, M, n, ploidy, tile, has_missing,
+                   host_packed=host_packed)
 
 
 # ---------------------------------------------------------------------------
@@ -359,7 +381,6 @@ def kinship_resident(rg: ResidentGenome, method: str = "ibs",
     if method in ("vanraden", "ibd"):
         K = jnp.zeros((n, n), dtype=dtype)
         denom = 0.0
-        rowmask = None
 
         @functools.partial(jax.jit, static_argnames=("m_eff",))
         def vr_tile(Gt, m_eff: int):

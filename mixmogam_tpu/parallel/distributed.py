@@ -270,9 +270,14 @@ def distributed_emmax_resident(rg, y, K=None, X0: Optional[np.ndarray] = None,
 
     nshard = mesh.shape["snp"]
     tile = rg.tile
-    # pad packed rows so every shard is a whole number of tiles
-    host_packed, _ = pad_to_multiple(np.asarray(rg.packed),
-                                     nshard * tile, axis=0)
+    # pad packed rows so every shard is a whole number of tiles; prefer
+    # the retained host-side copy — np.asarray(rg.packed) would read
+    # the whole packed genome back through the device link (~35 s for
+    # 2.7 GB on this image) when the same bytes sat on host all along
+    hp = (rg.host_packed if rg.host_packed is not None
+          else np.asarray(rg.packed))
+    host_packed, _ = pad_to_multiple(np.asarray(hp), nshard * tile,
+                                     axis=0)
     packed = put_global(host_packed, NamedSharding(mesh, P("snp", None)))
 
     fn = jax.shard_map(

@@ -127,3 +127,67 @@ class TestPlinkResident:
         np.testing.assert_allclose(K, K_ref, atol=1e-9)
         res = emmax_resident(rg, y, K=K)
         assert res["ps"].shape == (128,)
+
+
+class TestReviewFixes:
+    """Regressions for the round-3 code-review findings."""
+
+    def test_read_plink_is_diploid(self, tmp_path):
+        """Finding 1: a bed with dosage-2 calls must come back ploidy=2
+        (kinship/MAF formulas) — and even a bed with NO hom-minor calls
+        is still diploid by format definition."""
+        from mixmogam_tpu.ops.kinship import kinship
+
+        G = _sim(10, m=50, n=12, missing=0)
+        prefix = str(tmp_path / "toy")
+        write_plink(prefix, G)
+        gd = read_plink(prefix)
+        assert gd.ploidy == 2
+        K = kinship(gd, dtype=np.float64)
+        assert np.all(np.diag(K) <= 1.0 + 1e-12)  # sharing fractions
+        G01 = np.clip(G, -1, 1)                   # no hom-minor calls
+        write_plink(prefix, G01)
+        assert read_plink(prefix).ploidy == 2
+
+    def test_lazy_source_asarray_and_scalar_row(self, tmp_path):
+        """Finding 2: np.asarray(src) must be (M, n); src[int] -> (n,)."""
+        G = _sim(11, m=20, n=10)
+        prefix = str(tmp_path / "toy")
+        write_plink(prefix, G)
+        src, *_ = read_plink(prefix, lazy=True)
+        np.testing.assert_array_equal(np.asarray(src), G)
+        np.testing.assert_array_equal(src[7], G[7])
+        # in-core emmax over the lazy source works now
+        from mixmogam_tpu.models.emmax import emmax
+
+        y = G[0].astype(float) + 0.1 * np.arange(10)
+        res = emmax(src, y, K=np.eye(10) + 0.01, stream=False)
+        assert res["ps"].shape == (20,)
+
+    def test_bim_chr_prefix_and_contigs(self, tmp_path):
+        """Finding 4: 'chr1' == 1; distinct contig names get DISTINCT
+        codes (never a shared 0)."""
+        G = _sim(12, m=4, n=8, missing=0)
+        prefix = str(tmp_path / "toy")
+        write_plink(prefix, G)
+        with open(prefix + ".bim", "w") as f:
+            f.write("chr1 a 0 100 A G\nchr2 b 0 100 A G\n"
+                    "scaffold_9 c 0 100 A G\nscaffold_12 d 0 100 A G\n")
+        gd = read_plink(prefix)
+        assert gd.chromosomes[0] == 1 and gd.chromosomes[1] == 2
+        assert gd.chromosomes[2] != gd.chromosomes[3]
+        assert gd.chromosomes[2] >= 27
+
+    def test_resident_missing_detection_packed(self, tmp_path):
+        """Finding 5: missing detection without decode — including a
+        missing call in the TAIL byte's valid slots (n % 4 != 0)."""
+        G = _sim(13, m=8, n=10, missing=0)
+        G[3, 9] = -1   # slot 1 of the tail byte
+        prefix = str(tmp_path / "toy")
+        write_plink(prefix, G)
+        rg, *_ = resident_from_plink(prefix, tile=8)
+        assert rg.has_missing
+        G[3, 9] = 0
+        write_plink(prefix, G)
+        rg2, *_ = resident_from_plink(prefix, tile=8)
+        assert not rg2.has_missing

@@ -340,3 +340,38 @@ class TestResidentPermutation:
         res = emmax_perm_test(rg, y, K=None, num_perm=8, seed=1)
         np.testing.assert_allclose(res["min_ps"], ref["min_ps"],
                                    rtol=1e-8)
+
+
+class TestReviewFixes:
+    def test_cache_shape_mismatch_repacks(self, tmp_path):
+        """Finding 3: a cached pack that does not match the source's
+        shape must be ignored (repacked), not silently returned."""
+        G1, _, _ = _data(60, n=32, m=128)
+        G2, _, _ = _data(61, n=32, m=192)
+        cp = str(tmp_path / "p.bin")
+        ResidentGenome.from_source(G1, tile=64, cache_path=cp)
+        rg2 = ResidentGenome.from_source(G2, tile=64, cache_path=cp)
+        assert rg2.M == 192
+        np.testing.assert_array_equal(rg2[0:192], G2)
+
+    def test_cache_without_source_mismatch_raises(self, tmp_path):
+        G1, _, _ = _data(62, n=32, m=128)
+        cp = str(tmp_path / "p.bin")
+        ResidentGenome.from_source(G1, tile=64, cache_path=cp)
+        with pytest.raises(ValueError, match="does not match"):
+            ResidentGenome.from_source(None, tile=32, cache_path=cp)
+
+    def test_resident_genome_stream_true_conflict(self):
+        """Finding 7: stream=True with a ResidentGenome G must refuse."""
+        G, _, y = _data(63, n=32, m=64)
+        rg = ResidentGenome.from_source(G, tile=32)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            emmax(rg, y, K=np.eye(32), stream=True)
+
+    def test_host_packed_retained(self):
+        """Finding 6: construction keeps the host-side packed copy."""
+        G, _, _ = _data(64, n=32, m=64)
+        rg = ResidentGenome.from_source(G, tile=32)
+        assert rg.host_packed is not None
+        np.testing.assert_array_equal(rg.host_packed,
+                                      np.asarray(rg.packed))
