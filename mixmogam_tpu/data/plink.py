@@ -174,6 +174,52 @@ def read_plink(prefix: str, lazy: bool = False):
     return GenotypeData(src[0:src.M], chroms, poss, sample_ids, ploidy=2)
 
 
+def _inverse_lut() -> np.ndarray:
+    """uint8 -> uint8 remap of OUR packed codes back to bed codes."""
+    code_map = np.array([0b11, 0b10, 0b00, 0b01], dtype=np.uint8)  # 0/1/2/3
+    lut = np.empty(256, dtype=np.uint8)
+    for b in range(256):
+        out = 0
+        for k in range(4):
+            out |= int(code_map[(b >> (2 * k)) & 3]) << (2 * k)
+        lut[b] = out
+    return lut
+
+
+_INV_LUT = _inverse_lut()
+
+
+def write_plink(prefix: str, gd, chunk: int = 65_536) -> None:
+    """GenotypeData -> PLINK .bed/.bim/.fam fileset (SNP-major v1.00).
+    Dosages are written as A1 counts; alleles come from gd.alleles when
+    present (else A/G placeholders). The encode runs through the 2-bit
+    packer + an inverse byte LUT — no per-genotype Python."""
+    from mixmogam_tpu import native
+
+    mat = gd.matrix
+    M, n = mat.shape
+    with open(prefix + ".bed", "wb") as f:
+        f.write(_MAGIC + b"\x01")
+        tail = n - 4 * ((n + 3) // 4 - 1)          # valid slots, 1..4
+        for s in range(0, M, chunk):
+            rows = _INV_LUT[native.pack_2bit(
+                np.ascontiguousarray(mat[s:s + chunk]))]
+            if tail < 4:
+                # our sample-tail pad is code 3 (-> bed 01 'missing');
+                # PLINK's convention is 0-bits — clear the unused slots
+                rows[:, -1] &= (1 << (2 * tail)) - 1
+            f.write(np.ascontiguousarray(rows).tobytes())
+    with open(prefix + ".fam", "w") as f:
+        for a in gd.accessions:
+            f.write(f"{a} {a} 0 0 0 -9\n")
+    al = gd.alleles
+    with open(prefix + ".bim", "w") as f:
+        for j in range(M):
+            a1, a2 = (al[j] if al is not None else ("A", "G"))
+            f.write(f"{gd.chromosomes[j]} snp{j} 0 {gd.positions[j]} "
+                    f"{a1} {a2}\n")
+
+
 def resident_from_plink(prefix: str, tile: int = 16_384):
     """PLINK fileset -> device-resident packed genome WITHOUT decoding:
     bed bytes are LUT-remapped per chunk and uploaded as-is (the .bed

@@ -191,3 +191,24 @@ class TestReviewFixes:
         write_plink(prefix, G)
         rg2, *_ = resident_from_plink(prefix, tile=8)
         assert not rg2.has_missing
+
+
+class TestPlinkWriter:
+    def test_roundtrip_write_read(self, tmp_path):
+        from mixmogam_tpu.data.genotype import GenotypeData
+        from mixmogam_tpu.data.plink import write_plink as pkg_write_plink
+
+        G = _sim(20, m=37, n=11, missing=0.1)   # n % 4 == 3 (tail byte)
+        gd = GenotypeData(G, np.ones(37, dtype=np.int32),
+                          np.arange(37) * 50, [f"s{i}" for i in range(11)],
+                          ploidy=2)
+        prefix = str(tmp_path / "out")
+        pkg_write_plink(prefix, gd)
+        back = read_plink(prefix)
+        np.testing.assert_array_equal(back.matrix, G)
+        assert back.accessions == gd.accessions
+        np.testing.assert_array_equal(back.positions, gd.positions)
+        # tail slots are PLINK 0-bits, not our code 3
+        with open(prefix + ".bed", "rb") as f:
+            payload = np.frombuffer(f.read()[3:], np.uint8).reshape(37, 3)
+        assert not (payload[:, -1] >> 6).any()
