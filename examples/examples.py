@@ -258,10 +258,45 @@ def example_resident_genome():
           sw["selected"]["mbonf"]["cofactors"])
 
 
+def example_plink_and_clumping():
+    """Round-3: PLINK .bed/.bim/.fam in, LD-clumped hits out. The bed
+    payload is already the package's 2-bit layout, so
+    resident_from_plink uploads it to device memory without decoding."""
+    import numpy as np
+
+    from mixmogam_tpu.data.genotype import GenotypeData
+    from mixmogam_tpu.data.plink import (read_plink, resident_from_plink,
+                                         write_plink)
+    from mixmogam_tpu.models.resident import emmax_resident
+    from mixmogam_tpu.ops.kinship import kinship
+    from mixmogam_tpu.oracle.kinship import scale_k
+    from mixmogam_tpu.results import Result
+
+    rng = np.random.default_rng(2)
+    G = rng.integers(0, 3, (2000, 150)).astype(np.int8)
+    G[101] = np.clip(G[100] + (rng.random(150) < 0.05), 0, 2)  # LD proxy
+    gd = GenotypeData(G, np.repeat([1, 2], 1000),
+                      np.tile(np.arange(1000) * 500, 2),
+                      [f"iid{i}" for i in range(150)], ploidy=2)
+    prefix = os.path.join(OUT, "cohort")
+    write_plink(prefix, gd)                       # export a fileset
+
+    gd2 = read_plink(prefix)                      # ...and read it back
+    y = gd2.matrix[100].astype(float) + rng.normal(size=150) * 0.8
+    rg, chroms, poss, ids = resident_from_plink(prefix)  # zero-decode
+    K = scale_k(kinship(rg))
+    res = emmax_resident(rg, y, K=K)
+    r = Result.from_scan(res, chroms, poss)
+    clumps = r.clump(rg, p_threshold=1e-5, window_bp=5000)
+    print("clumps (lead <- members):",
+          [(c["lead"], c["members"]) for c in clumps[:3]])
+
+
 EXAMPLES = {
     "emmax": example_emmax,
     "streaming_at_scale": example_streaming_at_scale,
     "resident_genome": example_resident_genome,
+    "plink_and_clumping": example_plink_and_clumping,
     "precision_tiers": example_precision_tiers,
     "lm": example_linear_model,
     "transforms": example_transformations,
