@@ -48,9 +48,20 @@ def linear_model(G, y, X0: Optional[np.ndarray] = None, dtype=None,
     if X0 is None:
         X0 = np.ones((n, 1))
     X0 = _as_design(X0, n)
-    Gf = _as_dosage(G, dtype)
     rot = _identity_rot(y, X0, dtype)
-    d = emmax_scan_all(jnp.asarray(Gf), rot, tile=tile, pre_rotated=True)
+    from mixmogam_tpu.models.resident import (ResidentGenome,
+                                              emmax_scan_packed)
+
+    if isinstance(G, ResidentGenome):
+        # packed HBM source: identity whitening == pre-rotated scan
+        # straight off the 2-bit rows (no 40 GB float genome at 1M x 10k)
+        d = emmax_scan_packed(G.packed, rot, G.n, G.tile,
+                              pre_rotated=True)
+        d = {k: np.asarray(v)[:G.M] for k, v in d.items()}
+    else:
+        Gf = _as_dosage(G, dtype)
+        d = emmax_scan_all(jnp.asarray(Gf), rot, tile=tile,
+                           pre_rotated=True)
     f_stats = np.asarray(d["f_stats"], dtype=np.float64)
     dof = int(rot.dof)
     ps = np.where(np.asarray(d["mask"]), f_sf_host(f_stats, 1.0, dof), 1.0)

@@ -85,6 +85,14 @@ class ResidentGenome:
     def __len__(self) -> int:
         return self.M
 
+    def __array__(self, dtype=None, copy=None) -> np.ndarray:
+        """Full host decode to (M, n) int8 (-1 missing) — lets
+        np.asarray(rg) feed host-side consumers (anova/KW class tests,
+        oracle comparisons). O(M*n) host RAM: for the big-genome paths
+        use the packed/tile APIs instead."""
+        out = self[0:self.M]
+        return out if dtype is None else out.astype(dtype)
+
     def __getitem__(self, key) -> np.ndarray:
         """Rows as HOST int8 (missing = -1). Slices and integer-array
         indexing only (what the rescore/tile utilities use)."""

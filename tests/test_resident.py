@@ -375,3 +375,28 @@ class TestReviewFixes:
         assert rg.host_packed is not None
         np.testing.assert_array_equal(rg.host_packed,
                                       np.asarray(rg.packed))
+
+
+class TestResidentLinear:
+    def test_linear_model_parity(self):
+        from mixmogam_tpu.models.linear import linear_model
+
+        G, imp, y = _data(70, n=64, m=220, missing=0.03)
+        rg = ResidentGenome.from_source(G, tile=64)
+        ref = linear_model(imp, y)
+        res = linear_model(rg, y)
+        np.testing.assert_allclose(res["ps"], ref["ps"], atol=1e-9)
+        np.testing.assert_allclose(res["betas"], ref["betas"], atol=1e-9)
+
+    def test_anova_kw_via_array_protocol(self):
+        from mixmogam_tpu.models.linear import anova, kruskal_wallis
+
+        G, imp, y = _data(71, n=48, m=120)
+        rg = ResidentGenome.from_source(G, tile=64)
+        np.testing.assert_array_equal(np.asarray(rg), G)
+        a = anova(rg, y)
+        b = anova(G, y)
+        np.testing.assert_allclose(a["ps"], b["ps"], atol=1e-12)
+        ka = kruskal_wallis(rg, y)
+        kb = kruskal_wallis(G, y)
+        np.testing.assert_allclose(ka["ps"], kb["ps"], atol=1e-12)
