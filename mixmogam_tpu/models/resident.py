@@ -348,22 +348,63 @@ def _ibs_resident_fused(packed: jnp.ndarray, n: int, tile: int, M: int,
     """Fully-observed int8 IBS accumulation as ONE dispatch: fori_loop
     over tiles inside jit (the per-tile host-loop variant measured
     ~0.4 s/tile of dispatch overhead at n=10k — 64 round trips through
-    this image's tunnel; fused, the whole 1M-SNP gram is one program)."""
-    from mixmogam_tpu.ops.kinship import (_ibs_diploid_int8_update,
-                                          _ibs_int8_update)
+    this image's tunnel; fused, the whole 1M-SNP gram is one program).
+
+    The loop body is grams ONLY (every term of the IBS identity is
+    additive over SNP tiles, and dosage-0 pad rows contribute zero to
+    each of them), so the n x n rank-1/epilogue algebra runs ONCE after
+    the loop instead of per tile — the per-tile work is pure int8 MXU.
+    precision=DEFAULT is mandatory on the int8 dots (ops.kinship
+    _INT8_PREC: the package-global 'highest' stamp would push the
+    integer grams down XLA's fp32 multi-pass path)."""
+    from mixmogam_tpu.ops.kinship import _INT8_PREC
 
     T = packed.shape[0] // tile
-    upd = _ibs_int8_update if ploidy == 1 else _ibs_diploid_int8_update
+    dims = (((0,), (0,)), ((), ()))
 
-    def body(i, S):
+    if ploidy == 1:
+        def body(i, carry):
+            CtC, s = carry
+            pt = jax.lax.dynamic_slice_in_dim(packed, i * tile, tile,
+                                              axis=0)
+            Gt = unpack_2bit_device(pt, n)
+            CtC = CtC + jax.lax.dot_general(
+                Gt, Gt, dims, preferred_element_type=jnp.int32,
+                precision=_INT8_PREC)
+            s = s + jnp.sum(Gt.astype(jnp.int32), axis=0,
+                            dtype=jnp.int32)
+            return CtC, s
+
+        CtC, s = jax.lax.fori_loop(
+            0, T, body, (jnp.zeros((n, n), jnp.int32),
+                         jnp.zeros((n,), jnp.int32)))
+        # sharing counts: sum over SNPs of [a==b] for a,b in {0,1}
+        return 2 * CtC - s[:, None] - s[None, :] + jnp.int32(M)
+
+    def body(i, carry):
+        CtC, corr, a2 = carry
         pt = jax.lax.dynamic_slice_in_dim(packed, i * tile, tile, axis=0)
         Gt = unpack_2bit_device(pt, n)
-        # int32 cast: under jax_enable_x64 the fori counter is int64 and
-        # would promote the whole carry, breaking the carry contract
-        m_eff = jnp.minimum(M - i * tile, tile).astype(jnp.int32)
-        return upd(S, Gt, m_eff)
+        CtC = CtC + jax.lax.dot_general(
+            Gt, Gt, dims, preferred_element_type=jnp.int32,
+            precision=_INT8_PREC)
+        W0 = (Gt == 0).astype(jnp.int8)
+        W2 = (Gt == 2).astype(jnp.int8)
+        corr = corr + jax.lax.dot_general(
+            W0, W2, dims, preferred_element_type=jnp.int32,
+            precision=_INT8_PREC)
+        a2 = a2 + jnp.sum((Gt * Gt).astype(jnp.int32), axis=0,
+                          dtype=jnp.int32)
+        return CtC, corr, a2
 
-    return jax.lax.fori_loop(0, T, body, jnp.zeros((n, n), jnp.int32))
+    CtC, corr, a2 = jax.lax.fori_loop(
+        0, T, body, (jnp.zeros((n, n), jnp.int32),
+                     jnp.zeros((n, n), jnp.int32),
+                     jnp.zeros((n,), jnp.int32)))
+    # TWICE the per-pair sharing: 2*M - sum|a-b|, with
+    # |a-b| = (a-b)^2 - 2([a=0][b=2] + [a=2][b=0]) for a,b in {0,1,2}
+    absd = a2[:, None] + a2[None, :] - 2 * CtC - 2 * (corr + corr.T)
+    return 2 * jnp.int32(M) - absd
 
 
 def kinship_resident(rg: ResidentGenome, method: str = "ibs",

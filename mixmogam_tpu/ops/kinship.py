@@ -24,6 +24,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+#: int8 MXU dots MUST pin precision=DEFAULT explicitly: the package-global
+#: jax_default_matmul_precision='highest' (pinned at ops import for fp32
+#: correctness) otherwise stamps contract_precision<fp32> on them, and
+#: XLA:TPU then executes the integer gram through the fp32 multi-pass
+#: path instead of the native int8 MXU rate. Accumulation exactness is
+#: unaffected (int8 x int8 -> int32 is exact either way); only speed is.
+#: Same rule as every non-f32 dot in ops/scan.py and the Pallas kernels.
+_INT8_PREC = jax.lax.Precision.DEFAULT
+
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("tn",))
 def _gram_int8_tri(S_acc, C, tn: int = 256):
@@ -43,7 +52,8 @@ def _gram_int8_tri(S_acc, C, tn: int = 256):
         Ci = jax.lax.slice_in_dim(C, i * tn, (i + 1) * tn, axis=1)
         Cj = jax.lax.slice_in_dim(C, i * tn, n, axis=1)
         d = jax.lax.dot_general(Ci, Cj, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
+                                preferred_element_type=jnp.int32,
+                                precision=_INT8_PREC)
         # diagonal block: add as-is; off-diagonal strip: add + mirror
         diag = d[:, :tn]
         off = d[:, tn:]
@@ -71,7 +81,8 @@ def _ibs_int8_update(S_acc, C, m_eff):
     x64, which breaks fori_loop carries — models.resident fuses this
     update into one)."""
     d = jax.lax.dot_general(C, C, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
+                            preferred_element_type=jnp.int32,
+                            precision=_INT8_PREC)
     s = jnp.sum(C.astype(jnp.int32), axis=0, dtype=jnp.int32)
     m = jnp.asarray(m_eff, jnp.int32)
     return S_acc + (2 * d - s[:, None] - s[None, :] + m).astype(S_acc.dtype)
@@ -133,13 +144,15 @@ def _ibs_diploid_int8_update(S2_acc, C, m_eff):
     per-pair sharing) in int32. |a-b| = (a-b)^2 - 2([a=0][b=2]+[a=2][b=0])
     for a,b in {0,1,2}; every term is an int8 MXU matmul."""
     CtC = jax.lax.dot_general(C, C, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
+                              preferred_element_type=jnp.int32,
+                              precision=_INT8_PREC)
     a2 = jnp.sum((C * C).astype(jnp.int32), axis=0, dtype=jnp.int32)
     d2 = a2[:, None] + a2[None, :] - 2 * CtC
     W0 = (C == 0).astype(jnp.int8)
     W2 = (C == 2).astype(jnp.int8)
     corr = jax.lax.dot_general(W0, W2, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.int32)
+                               preferred_element_type=jnp.int32,
+                               precision=_INT8_PREC)
     absd = d2 - 2 * (corr + corr.T)
     m = jnp.asarray(m_eff, jnp.int32)
     # dtype-stable output (see _ibs_int8_update)
