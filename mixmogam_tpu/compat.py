@@ -254,6 +254,9 @@ class LinearMixedModel(LinearModel):
 
         return emmax_anova(snps, self.Y, **self._model_kwargs(), **kw)
 
+    # reference method name (linear_models.LinearMixedModel.emmax_anova)
+    emmax_anova = emmax_anova_f_test
+
     def emmax_two_snps(self, snps,
                        focal_idx: Optional[Sequence[int]] = None,
                        **kw) -> Dict:
@@ -294,4 +297,9 @@ def lm_step_wise(G, y, max_steps: int = 10, X0=None, **kw) -> Dict:
     return out
 
 
-__all__ = ["LinearModel", "LinearMixedModel", "lm_step_wise"]
+# the reference's genome container class, re-exported under its name
+# (snpsdata.SNPsDataSet — data/genotype.py holds the alias)
+from mixmogam_tpu.data.genotype import SNPsDataSet  # noqa: E402
+
+__all__ = ["LinearModel", "LinearMixedModel", "lm_step_wise",
+           "SNPsDataSet"]

@@ -6,12 +6,14 @@ packed int8 (M, n) matrix + metadata arrays (not per-chromosome Python
 lists), so device tiles slice straight out of it.
 """
 
-from mixmogam_tpu.data.genotype import GenotypeData
+from mixmogam_tpu.data.genotype import GenotypeData, SNPsDataSet
 from mixmogam_tpu.data.phenotype import PhenotypeData
 from mixmogam_tpu.data.simulate import simulate_genotypes, simulate_phenotype
-from mixmogam_tpu.data.plink import read_plink, resident_from_plink
+from mixmogam_tpu.data.plink import (read_plink, resident_from_plink,
+                                     write_plink)
 
 __all__ = [
-    "GenotypeData", "PhenotypeData", "simulate_genotypes",
+    "GenotypeData", "SNPsDataSet", "PhenotypeData", "simulate_genotypes",
     "simulate_phenotype", "read_plink", "resident_from_plink",
+    "write_plink",
 ]
