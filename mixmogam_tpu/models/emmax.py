@@ -206,7 +206,10 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
                           eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim,
                           refine_iters=esp_to_refine_iters(
                               esp, ngrids, llim, ulim),
-                          host_eigh=host_eigh)
+                          host_eigh=host_eigh,
+                          eigh_dtype=(np.float32
+                                      if str(precision) == "fast"
+                                      else None))
     import contextlib
 
     import jax as _jax

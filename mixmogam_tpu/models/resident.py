@@ -275,10 +275,16 @@ def emmax_resident(rg: ResidentGenome, y, K=None, X0=None, eig_k=None,
             "int8 digit-plane tiers need fully-observed dosages; this "
             "resident genome has missing genotypes (device-imputed to "
             "fractions). Use precision='exact'/'bf16' instead.")
+    # 'fast' also takes the f32 host eigh (ssyevd, ~1.9x) when the
+    # decomposition has not been supplied — reported p-values remain
+    # exact-grade via the rescore pass
     null = fit_null_model(y.astype(dtype), X0.astype(dtype), K=K,
                           eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim,
                           refine_iters=esp_to_refine_iters(
-                              esp, ngrids, llim, ulim))
+                              esp, ngrids, llim, ulim),
+                          eigh_dtype=(np.float32
+                                      if str(precision) == "fast"
+                                      else None))
     rot = build_rotated_null(null, rotate_dtype=rd)
     ctx = (jax.default_matmul_precision(matmul_precision)
            if matmul_precision else contextlib.nullcontext())

@@ -247,7 +247,10 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
                           ulim=ulim,
                           refine_iters=esp_to_refine_iters(
                               esp, ngrids, llim, ulim),
-                          host_eigh=host_eigh)
+                          host_eigh=host_eigh,
+                          eigh_dtype=(np.float32
+                                      if str(precision) == "fast"
+                                      else None))
     rd = normalize_rotate_tier(rotate_in_bf16)
     int8_tier = isinstance(rd, str) and rd.startswith("int8")
     rot = build_rotated_null(null, rotate_dtype=rd)

@@ -21,19 +21,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _host_eigh(a) -> Tuple[np.ndarray, np.ndarray]:
+def _host_eigh(a, factor_dtype=np.float64) -> Tuple[np.ndarray, np.ndarray]:
     # numpy.linalg.eigh routes to LAPACK dsyevd (divide & conquer):
     # measured 119 s vs scipy's default evr driver's 153 s at n=10,240
-    # on this 2-vCPU host, same residual (scripts/eigh_bench.py)
-    w, v = np.linalg.eigh(np.asarray(a, dtype=np.float64))
+    # on this 2-vCPU host, same residual (scripts/eigh_bench.py).
+    # factor_dtype=np.float32 runs ssyevd instead — ~1.9x faster and half
+    # the workspace; the fast-tier option (the device consumes U in f32
+    # anyway; measured end-to-end drift in docs/PERFORMANCE.md).
+    w, v = np.linalg.eigh(np.asarray(a, dtype=factor_dtype))
     return w, v
 
 
-def eigen_k(K, host: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """eigh(K) -> (phi, U), eigenvalues DESCENDING (EMMA convention)."""
+def eigen_k(K, host: bool = True, factor_dtype=None
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """eigh(K) -> (phi, U), eigenvalues DESCENDING (EMMA convention).
+
+    factor_dtype: host factorization dtype (None = float64 = exact
+    default; np.float32 = ssyevd fast tier)."""
     if host:
         dt = jnp.asarray(K).dtype if hasattr(K, "dtype") else None
-        w, v = _host_eigh(K)
+        w, v = _host_eigh(K, np.float64 if factor_dtype is None
+                          else factor_dtype)
         phi = jnp.asarray(w[::-1].copy(), dtype=dt)
         U = jnp.asarray(v[:, ::-1].copy(), dtype=dt)
         return phi, U

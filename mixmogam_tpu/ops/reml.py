@@ -217,7 +217,8 @@ class NullModel:
 def fit_null_model(y, X0, K=None, eig_k: Optional[Tuple] = None,
                    ngrids: int = 100, llim: float = -10.0, ulim: float = 10.0,
                    refine_iters: int = 32, host_eigh: bool = True,
-                   ml: bool = False, method: str = "auto") -> NullModel:
+                   ml: bool = False, method: str = "auto",
+                   eigh_dtype=None) -> NullModel:
     """Null-model REML (reference flow: _get_eigen_L_ -> _get_eigen_R_ ->
     get_expedited_REMLE).
 
@@ -230,6 +231,10 @@ def fit_null_model(y, X0, K=None, eig_k: Optional[Tuple] = None,
       'spectrum': the reference-shaped projected-spectrum path
         (eigh(S(K+I)S) then grid+bisection on the device), kept for
         parity testing and for callers that want the device optimizer.
+
+    eigh_dtype: factorization dtype for the one-time host eigh of K
+    when eig_k is not supplied (None = float64; np.float32 = ssyevd,
+    ~1.9x faster at n=10k — the precision='fast' routing).
     """
     import numpy as np
 
@@ -240,7 +245,7 @@ def fit_null_model(y, X0, K=None, eig_k: Optional[Tuple] = None,
     if eig_k is None:
         if K is None:
             raise ValueError("need K or eig_k")
-        phi, U = eigen_k(K, host=host_eigh)
+        phi, U = eigen_k(K, host=host_eigh, factor_dtype=eigh_dtype)
     else:
         phi, U = eig_k
     if method in ("auto", "explicit"):
