@@ -41,11 +41,13 @@ def __getattr__(name):
         from mixmogam_tpu import api
 
         return getattr(api, name)
-    if name in {"ResidentGenome", "emmax_resident"}:
+    if name in {"ResidentGenome", "emmax_resident", "emmax_loco",
+                "loco_kinships"}:
         from mixmogam_tpu import models
 
         return getattr(models, name)
-    if name in {"read_plink", "resident_from_plink"}:
+    if name in {"read_plink", "resident_from_plink", "write_plink",
+                "SNPsDataSet"}:
         from mixmogam_tpu import data
 
         return getattr(data, name)

@@ -1,0 +1,192 @@
+"""Leave-one-chromosome-out (LOCO) mixed-model association.
+
+Capability extension beyond the reference (mixmogam fits one global
+kinship; SURVEY.md §2.1 kinship.py): LOCO removes proximal contamination
+— the tested SNP (and everything linked to it) is excluded from the
+random effect, the standard practice in modern LMM GWAS tools.
+
+TPU-first design: every kinship accumulation in this package is a sum
+of per-SNP gram contributions (ops/kinship.py), so the C per-chromosome
+LOCO matrices cost ONE extra pass over the genome, not C of them:
+
+    num_loco(c) = num_total - num(c),  den_loco(c) = den_total - den(c)
+
+with (num, den) = (sharing counts, a*M) for IBS and (W'W, ploidy*sum
+p(1-p)) for VanRaden — the per-chromosome grams ride the same int8 MXU
+update kernels as the global kinship. The per-chromosome null re-fits
+(REML + host eigh of each K_loco) are the irreducible LOCO surcharge
+and are documented as such (C eighs; use eigh_dtype=np.float32 /
+precision='fast' to halve them).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["loco_kinships", "emmax_loco"]
+
+
+def _chrom_ranges(chromosomes: np.ndarray) -> List[Tuple[object, int, int]]:
+    """[(chrom, start, end)] for a chromosome-sorted SNP axis; raises if
+    a chromosome's rows are not contiguous (the container invariant —
+    GenotypeData keeps SNPs chromosome-major)."""
+    chromosomes = np.asarray(chromosomes)
+    if chromosomes.ndim != 1:
+        raise ValueError("chromosomes must be a 1-D per-SNP array")
+    out = []
+    seen = set()
+    s = 0
+    for i in range(1, len(chromosomes) + 1):
+        if i == len(chromosomes) or chromosomes[i] != chromosomes[s]:
+            c = chromosomes[s].item() if hasattr(chromosomes[s], "item") \
+                else chromosomes[s]
+            if c in seen:
+                raise ValueError(
+                    f"chromosome {c!r} appears in non-contiguous blocks; "
+                    "sort SNPs chromosome-major first")
+            seen.add(c)
+            out.append((c, s, i))
+            s = i
+    return out
+
+
+def _rows(G, s: int, e: int) -> np.ndarray:
+    """Host int8/float rows [s, e) from any kinship source."""
+    from mixmogam_tpu.models.resident import ResidentGenome
+
+    if isinstance(G, ResidentGenome):
+        return G[s:e]
+    mat = G.matrix if hasattr(G, "matrix") else G
+    return np.asarray(mat[s:e])
+
+
+def _vanraden_den(rows: np.ndarray, ploidy: int) -> float:
+    """ploidy * sum_j p_j (1 - p_j) with the kernel's imputation rule
+    (ops.kinship._impute_chunk: per-SNP mean over observed)."""
+    from mixmogam_tpu.ops.kinship import _impute_chunk
+
+    den = 0.0
+    for s in range(0, rows.shape[0], 8192):
+        C = _impute_chunk(rows[s:s + 8192], "float64")
+        p = C.mean(axis=1) / ploidy
+        den += float(ploidy * np.sum(p * (1.0 - p)))
+    return den
+
+
+def loco_kinships(G, chromosomes=None, method: str = "ibs",
+                  ploidy: Optional[int] = None, scale: bool = True,
+                  K_total: Optional[np.ndarray] = None,
+                  **kin_kw) -> Dict[object, np.ndarray]:
+    """{chrom: K_loco} — kinship from every chromosome EXCEPT the key.
+
+    G: GenotypeData (chromosomes taken from it when not given),
+    ResidentGenome, or an (M, n) array + explicit per-SNP chromosomes.
+    K_total: reuse an already-built whole-genome kinship of the SAME
+    method (un-scaled); None builds it (ResidentGenome total rides the
+    fused HBM kernel). scale: scale_k-normalize each LOCO matrix (the
+    facade convention before REML).
+    """
+    from mixmogam_tpu.ops.kinship import kinship
+    from mixmogam_tpu.oracle.kinship import scale_k
+
+    if chromosomes is None:
+        chromosomes = getattr(G, "chromosomes", None)
+        if chromosomes is None:
+            raise ValueError("pass chromosomes= for a bare matrix source")
+    ranges = _chrom_ranges(chromosomes)
+    if len(ranges) < 2:
+        raise ValueError("LOCO needs at least 2 chromosomes")
+    M = len(np.asarray(chromosomes))
+    shp = getattr(G, "shape", None)
+    if shp is not None and shp[0] != M:
+        raise ValueError(f"chromosomes has {M} entries but the source "
+                         f"holds {shp[0]} SNPs")
+    if ploidy is None:
+        ploidy = getattr(G, "ploidy", None)
+    if ploidy is None:
+        # resolve ONCE from the whole matrix so per-chromosome calls
+        # can't auto-detect differently (a chromosome with no dosage-2
+        # would otherwise be treated haploid)
+        mat = G.matrix if hasattr(G, "matrix") else np.asarray(G)
+        ploidy = 2 if mat.max(initial=0) > 1 else 1
+
+    vr = method in ("vanraden", "ibd")
+    if K_total is None:
+        K_total = kinship(G, method=method, ploidy=ploidy, **kin_kw)
+    K_total = np.asarray(K_total, dtype=np.float64)
+
+    out: Dict[object, np.ndarray] = {}
+    nums: Dict[object, np.ndarray] = {}
+    dens: Dict[object, float] = {}
+    for c, s, e in ranges:
+        rows = _rows(G, s, e)
+        K_c = kinship(rows, method=method, ploidy=ploidy, **kin_kw)
+        if vr:
+            dens[c] = _vanraden_den(rows, ploidy)
+        else:
+            dens[c] = float(e - s)
+        nums[c] = np.asarray(K_c, np.float64) * dens[c]
+    if vr:
+        den_tot = sum(dens.values())
+    else:
+        den_tot = float(M)
+    num_tot = K_total * den_tot
+    for c, s, e in ranges:
+        Kl = (num_tot - nums[c]) / (den_tot - dens[c])
+        out[c] = scale_k(Kl) if scale else Kl
+    return out
+
+
+def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
+               X0=None, ploidy: Optional[int] = None,
+               kinships: Optional[Dict] = None,
+               ngrids: int = 100, llim: float = -10.0, ulim: float = 10.0,
+               esp: float = 1e-6, with_betas: bool = True,
+               precision: Optional[str] = None,
+               dtype=None, **kw) -> Dict[str, np.ndarray]:
+    """EMMAX where each chromosome is scanned under the null whose
+    random effect excludes that chromosome (LOCO).
+
+    Returns the models.emmax dict (arrays in source SNP order) plus
+    'loco': {chrom: {delta, pseudo_heritability, ll_null}}. Cost note:
+    one REML + one host eigh PER chromosome (the LOCO surcharge;
+    precision='fast' runs them in f32/ssyevd). kinships: reuse
+    loco_kinships output (e.g. cached); built here otherwise.
+    """
+    from mixmogam_tpu.models.emmax import emmax
+
+    if chromosomes is None:
+        chromosomes = getattr(G, "chromosomes", None)
+        if chromosomes is None:
+            raise ValueError("pass chromosomes= for a bare matrix source")
+    chromosomes = np.asarray(chromosomes)
+    ranges = _chrom_ranges(chromosomes)
+    if kinships is None:
+        kinships = loco_kinships(G, chromosomes, method=method,
+                                 ploidy=ploidy)
+    y = np.asarray(y, dtype=np.float64).ravel()
+    M = len(chromosomes)
+    merged: Dict[str, np.ndarray] = {}
+    loco_info: Dict[object, Dict[str, float]] = {}
+    for c, s, e in ranges:
+        res = emmax(_rows(G, s, e), y, K=kinships[c], X0=X0,
+                    ngrids=ngrids, llim=llim, ulim=ulim, esp=esp,
+                    with_betas=with_betas, precision=precision,
+                    dtype=dtype, **kw)
+        loco_info[c] = {
+            "delta": res["delta"],
+            "pseudo_heritability": res["pseudo_heritability"],
+            "ll_null": res["ll_null"],
+        }
+        for k in ("ps", "f_stats", "mask", "betas", "var_perc"):
+            if k not in res or res[k] is None:
+                continue
+            if k not in merged:
+                merged[k] = np.empty((M,) + np.shape(res[k])[1:],
+                                     dtype=np.asarray(res[k]).dtype)
+            merged[k][s:e] = np.asarray(res[k])[: e - s]
+    merged["loco"] = loco_info
+    merged["dof"] = res["dof"]
+    return merged

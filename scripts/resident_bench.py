@@ -107,6 +107,28 @@ def main():
         log("eig from cache")
     eig = (np.asarray(phi), np.asarray(U))
 
+    # ---- f32 host eigh (ssyevd; the precision='fast' tier) ----
+    if "eigh32" in phases:
+        from mixmogam_tpu.ops.eigen import eigen_k
+
+        t0 = time.time()
+        phi32, U32 = eigen_k(K.astype(np.float32), host=True,
+                             factor_dtype=np.float32)
+        t_e32 = time.time() - t0
+        log(f"host eigh f32 (ssyevd) n={N}: {t_e32:.1f}s")
+        # drift of the null fit vs the f64 decomposition
+        from mixmogam_tpu.ops.reml import fit_null_model as _fnm
+
+        d64 = float(_fnm(y.astype(np.float32), np.ones((N, 1), np.float32),
+                         eig_k=eig).delta)
+        d32 = float(_fnm(y.astype(np.float32), np.ones((N, 1), np.float32),
+                         eig_k=(np.asarray(phi32), np.asarray(U32))).delta)
+        record("host_eigh_f32", {
+            "n": N, "eigh_s": t_e32,
+            "delta_f64": d64, "delta_f32": d32,
+            "delta_rel_drift": abs(d32 - d64) / max(abs(d64), 1e-30)})
+        del phi32, U32
+
     # ---- null fit: explicit f64 host path (round 3; was a second
     #      projected-spectrum eigh ~200 s) ----
     from mixmogam_tpu.ops.reml import fit_null_model

@@ -1,0 +1,109 @@
+"""LOCO (leave-one-chromosome-out) association — models/loco.py.
+
+The gram-recombination identity (K_loco from K_total minus the
+chromosome's own accumulation) is pinned against direct construction
+(kinship on the complement row set) to float64 exactness, and
+emmax_loco's per-chromosome p-values against running models.emmax with
+the directly-built LOCO kinship.
+"""
+
+import numpy as np
+import pytest
+
+from mixmogam_tpu import oracle
+from mixmogam_tpu.data.simulate import simulate_genotypes, simulate_phenotype
+from mixmogam_tpu.models.emmax import emmax
+from mixmogam_tpu.models.loco import emmax_loco, loco_kinships
+from mixmogam_tpu.ops.kinship import kinship
+from mixmogam_tpu.oracle.kinship import scale_k
+
+
+def _data(seed=0, n=80, m=400, missing=0.0, ploidy=2):
+    G, ch, po = simulate_genotypes(n, m, missing_rate=missing, seed=seed)
+    if ploidy == 2:
+        rng = np.random.default_rng(seed + 100)
+        G2 = G.astype(np.int8) + (rng.random((m, n)) < 0.3).astype(np.int8)
+        G2[G < 0] = -1
+        G = np.clip(G2, -1, 2)
+    y, causal = simulate_phenotype(G, h2=0.5, n_causal=3, seed=seed)
+    return G, ch, y
+
+
+class TestLocoKinships:
+    @pytest.mark.parametrize("method,missing,ploidy", [
+        ("ibs", 0.0, 2), ("ibs", 0.0, 1), ("ibs", 0.04, 2),
+        ("vanraden", 0.0, 2), ("vanraden", 0.04, 2),
+    ])
+    def test_recombination_matches_direct(self, method, missing, ploidy):
+        G, ch, _ = _data(seed=3, missing=missing, ploidy=ploidy)
+        # float64 accumulation: the recombination identity is exact
+        ks = loco_kinships(G, ch, method=method, ploidy=ploidy,
+                           scale=False, dtype=np.float64)
+        assert set(ks) == set(np.unique(ch).tolist())
+        for c in ks:
+            direct = kinship(G[ch != c], method=method, ploidy=ploidy,
+                             dtype=np.float64)
+            np.testing.assert_allclose(ks[c], direct, atol=1e-10)
+        # default (f32 accumulation where the path uses it): identity
+        # holds to accumulation noise
+        ks32 = loco_kinships(G, ch, method=method, ploidy=ploidy,
+                             scale=False)
+        for c in ks32:
+            direct = kinship(G[ch != c], method=method, ploidy=ploidy)
+            np.testing.assert_allclose(ks32[c], direct, atol=1e-5)
+
+    def test_total_reuse_and_scale(self):
+        G, ch, _ = _data(seed=4)
+        K_tot = kinship(G, method="ibs", ploidy=2)
+        ks = loco_kinships(G, ch, ploidy=2, K_total=K_tot)
+        c = sorted(ks)[0]
+        direct = scale_k(kinship(G[ch != c], method="ibs", ploidy=2))
+        np.testing.assert_allclose(ks[c], direct, atol=1e-8)
+
+    def test_noncontiguous_chromosomes_raise(self):
+        G, ch, _ = _data(seed=5)
+        bad = ch.copy()
+        bad[-1] = bad[0]
+        with pytest.raises(ValueError, match="non-contiguous"):
+            loco_kinships(G, bad, ploidy=2)
+
+    def test_single_chromosome_raises(self):
+        G, ch, _ = _data(seed=6)
+        with pytest.raises(ValueError, match="at least 2"):
+            loco_kinships(G, np.ones_like(ch), ploidy=2)
+
+
+class TestEmmaxLoco:
+    def test_matches_per_chrom_emmax(self):
+        G, ch, y = _data(seed=7)
+        res = emmax_loco(G, y, ch, ploidy=2)
+        assert res["ps"].shape == (G.shape[0],)
+        ks = loco_kinships(G, ch, ploidy=2)
+        for c in np.unique(ch):
+            sel = ch == c
+            ref = emmax(G[sel], y, K=ks[c])
+            np.testing.assert_allclose(res["ps"][sel], ref["ps"],
+                                       atol=1e-12)
+            np.testing.assert_allclose(res["betas"][sel], ref["betas"],
+                                       atol=1e-12)
+            assert res["loco"][c]["delta"] == ref["delta"]
+
+    def test_genotype_data_source(self):
+        from mixmogam_tpu.data import GenotypeData
+
+        G, ch, y = _data(seed=8)
+        po = np.arange(G.shape[0])
+        gd = GenotypeData(G, ch, po, [f"a{i}" for i in range(G.shape[1])])
+        res = emmax_loco(gd, y)
+        assert res["ps"].shape == (G.shape[0],)
+        assert len(res["loco"]) == len(np.unique(ch))
+
+    def test_resident_source(self):
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, ch, y = _data(seed=9, missing=0.0)
+        rg = ResidentGenome.from_source(G, tile=64)
+        ks_r = loco_kinships(rg, ch, ploidy=2, scale=False)
+        ks_h = loco_kinships(G, ch, ploidy=2, scale=False)
+        for c in ks_h:
+            np.testing.assert_allclose(ks_r[c], ks_h[c], atol=1e-8)
