@@ -96,7 +96,7 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
     from mixmogam_tpu.utils.profiling import RunMetrics, device_trace
 
     cfg = config or DEFAULT
-    if method in ("emmax", "emma", "emmax_stepwise"):
+    if method in ("emmax", "emma", "emmax_stepwise", "emmax_loco"):
         # REML defaults from config (mirror the reference's numeric
         # defaults; explicit model_kw wins)
         for k, v in (("ngrids", cfg.reml.ngrids), ("llim", cfg.reml.llim),
@@ -131,7 +131,8 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
                 gd2 = gd2.select_samples(keep).filter_monomorphic_snps()
                 y = y[keep]
                 sample_ids = [sample_ids[i] for i in keep]
-            if method not in ("emmax", "emma", "lm", "emmax_stepwise"):
+            if method not in ("emmax", "emma", "lm", "emmax_stepwise",
+                              "emmax_loco"):
                 # the class tests (anova/kw) have no covariate design —
                 # refuse rather than silently run an unadjusted scan
                 raise ValueError(
@@ -174,6 +175,13 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
             sw = emmax_step_wise(gd2, y, K=K, max_steps=num_steps,
                                  dtype=dtype, save_scans=False, **model_kw)
             scan = {"stepwise": sw, "ps": None}
+        elif method == "emmax_loco":
+            # LOCO builds its own per-chromosome kinships (global K
+            # would be wasted work and scale_k breaks gram additivity)
+            from mixmogam_tpu.models.loco import emmax_loco
+
+            scan = emmax_loco(gd2, y, method=kinship_method,
+                              dtype=dtype, **model_kw)
         else:
             raise ValueError(f"unknown method {method!r}")
     rm.throughput("scan_snp_tests_per_s", gd2.num_snps, "scan")

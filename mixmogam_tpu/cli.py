@@ -22,7 +22,7 @@ def _add_run(sub):
                    help="phenotype id (column) to analyze")
     p.add_argument("--method", default="emmax",
                    choices=["emmax", "emma", "lm", "anova", "kw",
-                            "emmax_stepwise"])
+                            "emmax_stepwise", "emmax_loco"])
     p.add_argument("-o", "--out-prefix", default="gwas_out")
     p.add_argument("--ploidy", type=int, default=None, choices=[1, 2],
                    help="explicit ploidy (default: inferred as 2 iff any "

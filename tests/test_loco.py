@@ -98,6 +98,22 @@ class TestEmmaxLoco:
         assert res["ps"].shape == (G.shape[0],)
         assert len(res["loco"]) == len(np.unique(ch))
 
+    def test_run_gwas_method(self, tmp_path):
+        from mixmogam_tpu import api
+        from mixmogam_tpu.data import GenotypeData, PhenotypeData
+
+        G, ch, y = _data(seed=10)
+        po = np.arange(G.shape[0])
+        gd = GenotypeData(G, ch, po, [f"a{i}" for i in range(G.shape[1])])
+        gpath, ppath = str(tmp_path / "g.csv"), str(tmp_path / "p.csv")
+        gd.write_csv(gpath)
+        PhenotypeData.from_arrays(1, "t", gd.accessions, y).write_to_file(
+            ppath)
+        out = api.run_gwas(gpath, ppath, method="emmax_loco", min_mac=0,
+                           plots=False)
+        assert out["scan"]["ps"].shape[0] == gd.num_snps
+        assert len(out["scan"]["loco"]) == len(np.unique(ch))
+
     def test_resident_source(self):
         from mixmogam_tpu.models.resident import ResidentGenome
 
