@@ -275,7 +275,7 @@ def emmax_resident(rg: ResidentGenome, y, K=None, X0=None, eig_k=None,
             "int8 digit-plane tiers need fully-observed dosages; this "
             "resident genome has missing genotypes (device-imputed to "
             "fractions). Use precision='exact'/'bf16' instead.")
-    # 'fast' also takes the f32 host eigh (ssyevd, ~1.9x) when the
+    # 'fast' also takes the f32 host eigh (ssyevd, measured 1.45x) when the
     # decomposition has not been supplied — reported p-values remain
     # exact-grade via the rescore pass
     null = fit_null_model(y.astype(dtype), X0.astype(dtype), K=K,

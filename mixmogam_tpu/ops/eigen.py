@@ -25,7 +25,8 @@ def _host_eigh(a, factor_dtype=np.float64) -> Tuple[np.ndarray, np.ndarray]:
     # numpy.linalg.eigh routes to LAPACK dsyevd (divide & conquer):
     # measured 119 s vs scipy's default evr driver's 153 s at n=10,240
     # on this 2-vCPU host, same residual (scripts/eigh_bench.py).
-    # factor_dtype=np.float32 runs ssyevd instead — ~1.9x faster and half
+    # factor_dtype=np.float32 runs ssyevd instead — measured 1.45x faster
+    # (181 vs 262 s at n=10,240 on this host) and half
     # the workspace; the fast-tier option (the device consumes U in f32
     # anyway; measured end-to-end drift in docs/PERFORMANCE.md).
     w, v = np.linalg.eigh(np.asarray(a, dtype=factor_dtype))

@@ -234,7 +234,7 @@ def fit_null_model(y, X0, K=None, eig_k: Optional[Tuple] = None,
 
     eigh_dtype: factorization dtype for the one-time host eigh of K
     when eig_k is not supplied (None = float64; np.float32 = ssyevd,
-    ~1.9x faster at n=10k — the precision='fast' routing).
+    measured 1.45x faster at n=10k — the precision='fast' routing).
     """
     import numpy as np
 
