@@ -88,6 +88,8 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
     parse -> transform -> coordinate -> MAC filter -> kinship (cached) ->
     scan -> ranked CSV + Manhattan/QQ plots + JSON run summary.
 
+    method: 'emmax' | 'emma' | 'lm' | 'anova' | 'kw' | 'emmax_stepwise'
+            | 'emmax_loco' (LOCO builds per-chromosome kinships itself).
     transform: None | 'log' | 'sqrt' | 'box_cox' | 'exp' | 'arcsin_sqrt'
                | 'most_normal'.
     Returns {'result': Result, 'scan': scan dict, 'files': {...}}.
