@@ -47,7 +47,7 @@ def __getattr__(name):
 
         return getattr(models, name)
     if name in {"read_plink", "resident_from_plink", "write_plink",
-                "SNPsDataSet"}:
+                "read_vcf", "write_vcf", "SNPsDataSet"}:
         from mixmogam_tpu import data
 
         return getattr(data, name)

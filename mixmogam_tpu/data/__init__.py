@@ -11,9 +11,10 @@ from mixmogam_tpu.data.phenotype import PhenotypeData
 from mixmogam_tpu.data.simulate import simulate_genotypes, simulate_phenotype
 from mixmogam_tpu.data.plink import (read_plink, resident_from_plink,
                                      write_plink)
+from mixmogam_tpu.data.vcf import read_vcf, write_vcf
 
 __all__ = [
     "GenotypeData", "SNPsDataSet", "PhenotypeData", "simulate_genotypes",
     "simulate_phenotype", "read_plink", "resident_from_plink",
-    "write_plink",
+    "write_plink", "read_vcf", "write_vcf",
 ]

@@ -57,6 +57,17 @@ def parse_snp_data(path: str, data_format: str = "binary",
                     f"{gd.matrix.max()} in {path}")
             gd = dataclasses.replace(gd, ploidy=ploidy)
         return gd
+    if path.endswith((".vcf", ".vcf.gz")) or data_format == "vcf":
+        from mixmogam_tpu.data.vcf import read_vcf
+
+        gd = read_vcf(path)
+        if ploidy is not None and ploidy != gd.ploidy:
+            if gd.matrix.max(initial=0) > ploidy:
+                raise ValueError(
+                    f"ploidy={ploidy} conflicts with dosages up to "
+                    f"{gd.matrix.max()} in {path}")
+            gd = dataclasses.replace(gd, ploidy=ploidy)
+        return gd
     if path.endswith(".bed") or data_format == "plink":
         from mixmogam_tpu.data.plink import read_plink
 

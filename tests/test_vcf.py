@@ -1,0 +1,161 @@
+"""VCF input/output (data/vcf.py) — round-3 capability extension (the
+reference reads only CSV/HDF5 per SURVEY.md §2.1; modern cohorts ship
+VCF). Pins: GT decoding (phased/unphased/haploid/partial), missing and
+multi-allelic rules, chromosome-name coding, gzip support, parser
+dispatch, and the write_vcf round-trip."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from mixmogam_tpu.data.genotype import GenotypeData
+from mixmogam_tpu.data.parsers import parse_snp_data
+from mixmogam_tpu.data.vcf import read_vcf, write_vcf
+
+HEADER = ("##fileformat=VCFv4.2\n"
+          "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+          "s0\ts1\ts2\n")
+
+
+def _write(tmp_path, body, name="toy.vcf"):
+    p = str(tmp_path / name)
+    opener = gzip.open if name.endswith(".gz") else open
+    with opener(p, "wt") as f:
+        f.write(HEADER + body)
+    return p
+
+
+class TestReadVcf:
+    def test_diploid_gt_decoding(self, tmp_path):
+        body = ("1\t100\t.\tA\tG\t.\t.\t.\tGT\t0/0\t0/1\t1/1\n"
+                "1\t200\t.\tC\tT\t.\t.\t.\tGT\t0|1\t1|1\t0|0\n"
+                "2\t50\t.\tG\tA\t.\t.\t.\tGT\t./.\t0/0\t./1\n")
+        gd = read_vcf(_write(tmp_path, body))
+        assert gd.accessions == ["s0", "s1", "s2"]
+        assert gd.ploidy == 2
+        np.testing.assert_array_equal(
+            gd.matrix, [[0, 1, 2], [1, 2, 0], [-1, 0, 1]])
+        np.testing.assert_array_equal(gd.chromosomes, [1, 1, 2])
+        np.testing.assert_array_equal(gd.positions, [100, 200, 50])
+        np.testing.assert_array_equal(gd.alleles[0], ["A", "G"])
+
+    def test_haploid(self, tmp_path):
+        body = ("1\t10\t.\tA\tG\t.\t.\t.\tGT\t0\t1\t.\n")
+        gd = read_vcf(_write(tmp_path, body))
+        assert gd.ploidy == 1
+        np.testing.assert_array_equal(gd.matrix, [[0, 1, -1]])
+
+    def test_multiallelic_second_alt_is_missing(self, tmp_path):
+        body = ("1\t10\t.\tA\tG,T\t.\t.\t.\tGT\t0/1\t1/2\t2/2\n")
+        gd = read_vcf(_write(tmp_path, body))
+        # counts first ALT only; calls touching allele 2 -> missing
+        np.testing.assert_array_equal(gd.matrix, [[1, -1, -1]])
+        np.testing.assert_array_equal(gd.alleles[0], ["A", "G"])
+
+    def test_format_with_extra_fields(self, tmp_path):
+        body = ("1\t10\t.\tA\tG\t.\tPASS\t.\tDP:GT:GQ\t"
+                "9:0/1:40\t7:1/1:10\t3:./.:.\n")
+        gd = read_vcf(_write(tmp_path, body))
+        np.testing.assert_array_equal(gd.matrix, [[1, 2, -1]])
+
+    def test_record_without_gt_skipped(self, tmp_path):
+        body = ("1\t10\t.\tA\tG\t.\t.\t.\tDP\t9\t7\t3\n"
+                "1\t20\t.\tC\tT\t.\t.\t.\tGT\t0/0\t0/1\t1/1\n")
+        gd = read_vcf(_write(tmp_path, body))
+        assert gd.num_snps == 1
+        np.testing.assert_array_equal(gd.positions, [20])
+
+    def test_chrom_names_and_map(self, tmp_path):
+        body = ("chr1\t10\t.\tA\tG\t.\t.\t.\tGT\t0/0\t0/1\t1/1\n"
+                "chr5\t10\t.\tA\tG\t.\t.\t.\tGT\t0/0\t0/1\t1/1\n"
+                "X\t10\t.\tA\tG\t.\t.\t.\tGT\t0/0\t0/1\t1/1\n"
+                "MT\t10\t.\tA\tG\t.\t.\t.\tGT\t0/0\t0/1\t1/1\n")
+        gd, cmap = read_vcf(_write(tmp_path, body), return_chrom_map=True)
+        assert cmap == {"chr1": 1, "chr5": 5, "X": 6, "MT": 7}
+        np.testing.assert_array_equal(gd.chromosomes, [1, 5, 6, 7])
+
+    def test_gzip(self, tmp_path):
+        body = "1\t10\t.\tA\tG\t.\t.\t.\tGT\t0/0\t0/1\t1/1\n"
+        gd = read_vcf(_write(tmp_path, body, name="toy.vcf.gz"))
+        np.testing.assert_array_equal(gd.matrix, [[0, 1, 2]])
+
+    def test_parser_dispatch(self, tmp_path):
+        body = "1\t10\t.\tA\tG\t.\t.\t.\tGT\t0/0\t0/1\t1/1\n"
+        path = _write(tmp_path, body)
+        gd = parse_snp_data(path)
+        np.testing.assert_array_equal(gd.matrix, [[0, 1, 2]])
+        gd2 = parse_snp_data(_write(tmp_path, body, name="toy2.vcf.gz"))
+        np.testing.assert_array_equal(gd2.matrix, [[0, 1, 2]])
+
+    def test_no_samples_raises(self, tmp_path):
+        p = str(tmp_path / "bad.vcf")
+        with open(p, "w") as f:
+            f.write("##fileformat=VCFv4.2\n"
+                    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+            f.write("1\t10\t.\tA\tG\t.\t.\t.\n")
+        with pytest.raises(ValueError, match="FORMAT"):
+            read_vcf(p)
+
+
+class TestWriteVcf:
+    def _gd(self, ploidy=2, seed=0, m=40, n=11):
+        rng = np.random.default_rng(seed)
+        G = rng.integers(0, ploidy + 1, (m, n)).astype(np.int8)
+        G[rng.random((m, n)) < 0.1] = -1
+        return GenotypeData(
+            matrix=G,
+            chromosomes=rng.integers(1, 4, m).astype(np.int32),
+            positions=np.sort(rng.choice(10_000, m, replace=False)),
+            accessions=[f"s{i}" for i in range(n)], ploidy=ploidy)
+
+    @pytest.mark.parametrize("ploidy", [1, 2])
+    @pytest.mark.parametrize("suffix", ["vcf", "vcf.gz"])
+    def test_roundtrip(self, tmp_path, ploidy, suffix):
+        gd = self._gd(ploidy=ploidy)
+        p = str(tmp_path / f"rt.{suffix}")
+        write_vcf(gd, p)
+        back = read_vcf(p)
+        np.testing.assert_array_equal(back.matrix, gd.matrix)
+        np.testing.assert_array_equal(back.chromosomes, gd.chromosomes)
+        np.testing.assert_array_equal(back.positions, gd.positions)
+        assert back.accessions == gd.accessions
+        assert back.ploidy == ploidy
+
+    def test_roundtrip_alleles_and_chrom_names(self, tmp_path):
+        gd = self._gd()
+        gd = GenotypeData(gd.matrix, gd.chromosomes, gd.positions,
+                          gd.accessions, ploidy=2,
+                          alleles=np.asarray([["A", "T"]] * gd.num_snps))
+        p = str(tmp_path / "named.vcf")
+        write_vcf(gd, p, chrom_names={1: "chr1", 2: "chr2", 3: "chrX"})
+        back, cmap = read_vcf(p, return_chrom_map=True)
+        np.testing.assert_array_equal(back.matrix, gd.matrix)
+        np.testing.assert_array_equal(back.alleles, gd.alleles)
+        assert cmap["chr1"] == 1 and cmap["chr2"] == 2
+        # chrX maps above the numeric range in first-appearance order
+        assert set(np.unique(back.chromosomes)) <= {1, 2, 3}
+
+
+class TestVcfEndToEnd:
+    def test_vcf_through_run_gwas(self, tmp_path):
+        from mixmogam_tpu.api import run_gwas
+        from mixmogam_tpu.data.simulate import (simulate_genotypes,
+                                                simulate_phenotype)
+
+        G, chroms, poss = simulate_genotypes(24, 120, seed=3)
+        y, _ = simulate_phenotype(G, h2=0.6, n_causal=4, seed=3)
+        gd = GenotypeData(G, chroms, poss,
+                          [f"s{i}" for i in range(24)], ploidy=1)
+        vp = str(tmp_path / "sim.vcf")
+        write_vcf(gd, vp)
+        pheno = str(tmp_path / "pheno.csv")
+        with open(pheno, "w") as f:
+            f.write("ecotype_id,phen\n")
+            for i, v in enumerate(y):
+                f.write(f"s{i},{v}\n")
+        out = run_gwas(vp, pheno, pid=1, method="emmax", min_mac=1,
+                       out_prefix=str(tmp_path / "out"), plots=False)
+        pvals = np.asarray(out["result"].scores)
+        assert np.isfinite(pvals).all()
+        assert pvals.min() < 0.05  # plumbing test; n=24 is underpowered
