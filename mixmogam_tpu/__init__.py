@@ -42,7 +42,7 @@ def __getattr__(name):
 
         return getattr(api, name)
     if name in {"ResidentGenome", "emmax_resident", "emmax_loco",
-                "loco_kinships"}:
+                "loco_kinships", "gblup", "gblup_cv", "gblup_predict"}:
         from mixmogam_tpu import models
 
         return getattr(models, name)

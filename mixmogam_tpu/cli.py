@@ -29,9 +29,9 @@ def _add_run(sub):
                         "dosage exceeds 1 — pass 2 explicitly for diploid "
                         "data with no homozygous-alt calls)")
     p.add_argument("--data-format", default="binary",
-                   choices=["binary", "nucleotides", "plink"],
-                   help="genotype format ('.bed'/'.h5' paths "
-                        "auto-detect regardless)")
+                   choices=["binary", "nucleotides", "plink", "vcf"],
+                   help="genotype format ('.bed'/'.h5'/'.vcf'/'.vcf.gz' "
+                        "paths auto-detect regardless)")
     p.add_argument("--transform", default=None,
                    choices=["log", "sqrt", "box_cox", "exp", "arcsin_sqrt",
                             "most_normal"])
@@ -90,6 +90,26 @@ def _add_kinship(sub):
     p.add_argument("--data-format", default="binary")
 
 
+def _add_predict(sub):
+    p = sub.add_parser(
+        "predict",
+        help="gBLUP genomic prediction (cross-validated accuracy, or "
+             "per-sample breeding values)")
+    p.add_argument("genotype")
+    p.add_argument("phenotype")
+    p.add_argument("--pid", type=int, default=1)
+    p.add_argument("--data-format", default="binary",
+                   choices=["binary", "nucleotides", "plink", "vcf"])
+    p.add_argument("--kinship-method", default="ibs",
+                   choices=["ibs", "vanraden"])
+    p.add_argument("--folds", type=int, default=5,
+                   help="cross-validation folds (0 = no CV; fit on all "
+                        "samples and write breeding values only)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-o", "--out", default=None,
+                   help="write per-sample predictions CSV here")
+
+
 def _add_simulate(sub):
     p = sub.add_parser("simulate", help="write a simulated dataset")
     p.add_argument("-n", "--samples", type=int, default=200)
@@ -107,6 +127,7 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     _add_run(sub)
     _add_kinship(sub)
+    _add_predict(sub)
     _add_simulate(sub)
     sub.add_parser("info", help="backend/device info")
     args = ap.parse_args(argv)
@@ -173,6 +194,36 @@ def main(argv=None) -> int:
             ps = out["scan"]["ps"]
             print(f"scanned {len(ps)} SNPs; min p = {np.min(ps):.3e}; "
                   f"files: {out['files']}")
+        return 0
+
+    if args.cmd == "predict":
+        import numpy as np
+
+        from mixmogam_tpu.api import parse_snp_data
+        from mixmogam_tpu.data.phenotype import PhenotypeData
+        from mixmogam_tpu.models.gblup import (_joint_kinship, gblup,
+                                               gblup_cv)
+
+        gd = parse_snp_data(args.genotype, data_format=args.data_format)
+        phend = PhenotypeData.parse_phenotype_file(args.phenotype)
+        gd2, y, _ = gd.coordinate_with_phenotype(phend, args.pid)
+        summary = {"n": len(y), "m": gd2.num_snps}
+        if args.folds:
+            cv = gblup_cv(gd2, y, n_folds=args.folds, seed=args.seed,
+                          kinship_method=args.kinship_method)
+            summary.update(r=cv["r"], r_folds=cv["r_folds"], mse=cv["mse"])
+            y_col, y_hat = "y_hat_cv", cv["y_hat"]
+        else:
+            m = gblup(y, K=_joint_kinship(gd2, args.kinship_method))
+            summary.update(h2=m.pseudo_heritability, delta=m.delta)
+            y_col, y_hat = "genetic_value", m.u_hat
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(f"ecotype_id,y,{y_col}\n")
+                for acc, yv, gv in zip(gd2.accessions, y, y_hat):
+                    f.write(f"{acc},{yv},{gv}\n")
+            summary["file"] = args.out
+        print(json.dumps(summary, indent=2))
         return 0
 
     if args.cmd == "kinship":
