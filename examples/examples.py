@@ -317,9 +317,39 @@ def example_loco():
           "| global h2:", round(glob["pseudo_heritability"], 3))
 
 
+def example_vcf_and_gblup():
+    """Round-3: VCF in, association + genomic prediction out. gBLUP
+    reuses the association machinery's eigenbasis: the same fitted null
+    model that whitens the scan IS the breeding-value predictor."""
+    import numpy as np
+
+    from mixmogam_tpu.data.genotype import GenotypeData
+    from mixmogam_tpu.data.vcf import read_vcf, write_vcf
+    from mixmogam_tpu.models.gblup import gblup_cv, gblup_predict
+    from mixmogam_tpu.data.simulate import (simulate_genotypes,
+                                            simulate_phenotype)
+
+    G, ch, po = simulate_genotypes(200, 2000, seed=8)
+    y, _ = simulate_phenotype(G, h2=0.8, n_causal=200, seed=8)
+    gd = GenotypeData(G, ch, po, [f"s{i}" for i in range(200)], ploidy=1)
+    path = os.path.join(OUT, "cohort.vcf.gz")
+    write_vcf(gd, path)                      # export VCF (gzipped)
+    gd2 = read_vcf(path)                     # ...and read it back
+
+    cv = gblup_cv(gd2, y, n_folds=5, seed=0)
+    print(f"gBLUP 5-fold CV: r = {cv['r']:.3f} (polygenic h2=0.8 trait)")
+    train = np.arange(150)
+    new = np.arange(150, 200)                # "unphenotyped" candidates
+    y_hat, model = gblup_predict(gd2, y, train, new)
+    r = np.corrcoef(y_hat, y[new])[0, 1]
+    print(f"predicted 50 unphenotyped samples: r = {r:.3f}, "
+          f"h2_hat = {model.pseudo_heritability:.2f}")
+
+
 EXAMPLES = {
     "emmax": example_emmax,
     "loco": example_loco,
+    "vcf_and_gblup": example_vcf_and_gblup,
     "streaming_at_scale": example_streaming_at_scale,
     "resident_genome": example_resident_genome,
     "plink_and_clumping": example_plink_and_clumping,
