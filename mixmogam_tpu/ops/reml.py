@@ -21,6 +21,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def esp_to_refine_iters(esp: float, ngrids: int = 100, llim: float = -10.0,
@@ -134,8 +135,34 @@ def _explicit_reml_host(phi, y_rot, X_rot, ngrids: int = 100,
     refined roots + both endpoints. dLL uses the analytic derivative
     d(y'Py)/dd = -y'P^2y and d ln|X'H^-1X|/dd = -tr(A^-1 X'H^-2X).
     """
-    import numpy as np
+    ll_at, dll_at, moments, scale = _explicit_ll_host(phi, y_rot, X_rot,
+                                                      ml=ml)
+    grid = np.linspace(llim, ulim, ngrids + 1)
+    dll = np.array([dll_at(g) for g in grid])
+    cands = [float(llim), float(ulim)]
+    for i in np.flatnonzero((dll[:-1] > 0) & (dll[1:] < 0)):
+        lo, hi = float(grid[i]), float(grid[i + 1])
+        for _ in range(refine_iters):
+            mid = 0.5 * (lo + hi)
+            if dll_at(mid) > 0:
+                lo = mid
+            else:
+                hi = mid
+        cands.append(0.5 * (lo + hi))
+    lls = np.array([ll_at(c) for c in cands])
+    j = int(np.argmax(lls))
+    log_delta = cands[j]
+    delta = float(np.exp(log_delta))
+    ypy = moments(delta)[4]
+    sg2 = ypy / scale
+    return {"log_delta": log_delta, "delta": delta, "ll": float(lls[j]),
+            "sigma_g2": sg2, "sigma_e2": delta * sg2,
+            "pseudo_heritability": 1.0 / (1.0 + delta)}
 
+
+def _explicit_ll_host(phi, y_rot, X_rot, ml: bool = False):
+    """(ll_at, dll_at, moments, scale) closures over log-delta for the
+    X-explicit host likelihood (see _explicit_reml_host)."""
     phi = np.asarray(phi, np.float64)
     y = np.asarray(y_rot, np.float64).ravel()
     X = np.asarray(X_rot, np.float64)
@@ -173,27 +200,7 @@ def _explicit_reml_host(phi, y_rot, X_rot, ngrids: int = 100,
             tr -= float(np.trace(np.linalg.solve(A, Xw.T @ Xw)))
         return 0.5 * d * (scale * float(Py @ Py) / ypy - tr)
 
-    grid = np.linspace(llim, ulim, ngrids + 1)
-    dll = np.array([dll_at(g) for g in grid])
-    cands = [float(llim), float(ulim)]
-    for i in np.flatnonzero((dll[:-1] > 0) & (dll[1:] < 0)):
-        lo, hi = float(grid[i]), float(grid[i + 1])
-        for _ in range(refine_iters):
-            mid = 0.5 * (lo + hi)
-            if dll_at(mid) > 0:
-                lo = mid
-            else:
-                hi = mid
-        cands.append(0.5 * (lo + hi))
-    lls = np.array([ll_at(c) for c in cands])
-    j = int(np.argmax(lls))
-    log_delta = cands[j]
-    delta = float(np.exp(log_delta))
-    ypy = moments(delta)[4]
-    sg2 = ypy / scale
-    return {"log_delta": log_delta, "delta": delta, "ll": float(lls[j]),
-            "sigma_g2": sg2, "sigma_e2": delta * sg2,
-            "pseudo_heritability": 1.0 / (1.0 + delta)}
+    return ll_at, dll_at, moments, scale
 
 
 @dataclasses.dataclass
@@ -269,3 +276,62 @@ def fit_null_model(y, X0, K=None, eig_k: Optional[Tuple] = None,
         raise ValueError(f"unknown method {method!r} "
                          "(expected 'auto', 'explicit' or 'spectrum')")
     return NullModel(phi=phi, U=U, y=y, X0=X0, **r)
+
+
+def h2_profile_ci(null: NullModel, level: float = 0.95,
+                  ngrids: int = 400, llim: float = -10.0,
+                  ulim: float = 10.0, refine_iters: int = 40
+                  ) -> Tuple[float, float]:
+    """Profile-likelihood confidence interval for pseudo-heritability.
+
+    The reference reports a point estimate only; this inverts the REML
+    likelihood-ratio test on delta: the CI is
+    {delta : 2*(LL(delta_hat) - LL(delta)) <= chi2_1(level)}, mapped
+    through the monotone h2 = 1/(1+delta). Evaluated with the same
+    X-explicit float64 host likelihood as the fit (every evaluation is
+    O(n q^2); the eigenbasis is reused from the NullModel — no eigh).
+    An endpoint that reaches the search limit is clamped there (h2 at
+    e^llim ~ 1, e^ulim ~ 0 — a boundary CI, typical for h2 near 0/1).
+
+    Returns (h2_lo, h2_hi).
+    """
+    from scipy.stats import chi2
+
+    U = np.asarray(null.U, np.float64)
+    ll_at, _, _, _ = _explicit_ll_host(
+        np.asarray(null.phi, np.float64),
+        U.T @ np.asarray(null.y, np.float64),
+        U.T @ np.asarray(null.X0, np.float64))
+    cut = float(ll_at(float(null.log_delta))) \
+        - 0.5 * float(chi2.ppf(level, 1))
+    ld_hat = float(null.log_delta)
+
+    def edge(lo, hi, rising: bool):
+        """Bisect the ll==cut crossing in [lo, hi] (ll(hi side near
+        ld_hat) >= cut > ll(far side))."""
+        for _ in range(refine_iters):
+            mid = 0.5 * (lo + hi)
+            inside = ll_at(mid) >= cut
+            if inside == rising:
+                hi = mid
+            else:
+                lo = mid
+        return 0.5 * (lo + hi)
+
+    # scan outward on a grid to bracket the two crossings
+    grid = np.linspace(llim, ulim, ngrids + 1)
+    lls = np.array([ll_at(g) for g in grid])
+    inside = lls >= cut
+    below = grid < ld_hat
+    lo_out = grid[below & ~inside]
+    ld_lo = edge(float(lo_out.max()), min(ld_hat, float(
+        grid[below & inside].min()) if (below & inside).any() else ld_hat),
+        rising=True) if lo_out.size else llim
+    above = grid > ld_hat
+    hi_out = grid[above & ~inside]
+    ld_hi = edge(max(ld_hat, float(
+        grid[above & inside].max()) if (above & inside).any() else ld_hat),
+        float(hi_out.min()), rising=False) if hi_out.size else ulim
+    # h2 = 1/(1+delta) is DEcreasing in delta: high delta -> low h2
+    return (1.0 / (1.0 + float(np.exp(ld_hi))),
+            1.0 / (1.0 + float(np.exp(ld_lo))))
