@@ -90,10 +90,11 @@ def _warm_device_transfers() -> None:
 _warm_device_transfers()
 
 from mixmogam_tpu.ops.eigen import eigen_k, projected_spectrum
-from mixmogam_tpu.ops.reml import reml_from_spectrum, NullModel, fit_null_model
+from mixmogam_tpu.ops.reml import (reml_from_spectrum, NullModel,
+                                   fit_null_model, h2_profile_ci)
 from mixmogam_tpu.ops.scan import emmax_scan_stats, RotatedNull, build_rotated_null
 
 __all__ = [
     "eigen_k", "projected_spectrum", "reml_from_spectrum", "NullModel",
-    "fit_null_model", "emmax_scan_stats", "RotatedNull", "build_rotated_null",
+    "fit_null_model", "h2_profile_ci", "emmax_scan_stats", "RotatedNull", "build_rotated_null",
 ]
