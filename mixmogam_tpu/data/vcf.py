@@ -74,10 +74,78 @@ def _parse_gt(tok: str) -> Optional[Tuple[int, ...]]:
     return tuple(out) if out else None
 
 
+def _read_vcf_native(path: str):
+    """(GenotypeData, chrom_map) via the threaded C++ parser
+    (native/fast_vcf.cpp), or None -> pure-Python path (gzip, missing
+    toolchain, or any structural irregularity — the Python reader then
+    raises a descriptive error where one is due)."""
+    try:
+        from mixmogam_tpu import native
+    except Exception:
+        return None
+    samples = None
+    try:
+        with open(path) as f:
+            for line in f:
+                if line.startswith("##"):
+                    continue
+                if line.startswith("#CHROM"):
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) < 10 or parts[8] != "FORMAT":
+                        return None  # Python path raises properly
+                    samples = parts[9:]
+                break
+    except (OSError, UnicodeDecodeError):
+        return None
+    if not samples:
+        return None
+    out = native.parse_vcf(path, len(samples))
+    if out is None:
+        return None
+    mat, poss, codes, names, alleles, arity = out
+    # resolve chromosome codes with the Python reader's exact
+    # semantics: numeric names keep their value; non-numeric names get
+    # sequential codes above the largest numeric code, in
+    # first-appearance order of the ORIGINAL name
+    name_strs = [bytes(r).rstrip(b"\0").decode() for r in names] \
+        if len(names) else []
+    mapping: Dict[str, int] = {}
+    numeric_max = int(codes[codes >= 0].max()) if (codes >= 0).any() else 0
+    chrom_out = np.asarray(codes, dtype=np.int32).copy()
+    pending = []
+    for i, nm in enumerate(name_strs):
+        if nm not in mapping:
+            mapping[nm] = int(codes[i])
+            if codes[i] < 0:
+                pending.append(nm)
+    next_code = numeric_max
+    for nm in pending:
+        next_code += 1
+        mapping[nm] = next_code
+    if pending:
+        lut = np.asarray([mapping[nm] for nm in name_strs],
+                         dtype=np.int32)
+        chrom_out = lut
+    gd = GenotypeData(
+        matrix=mat, chromosomes=chrom_out, positions=poss,
+        accessions=samples, ploidy=int(arity),
+        alleles=alleles if len(alleles) else None)
+    return gd, mapping
+
+
 def read_vcf(path: str, return_chrom_map: bool = False
              ) -> Union[GenotypeData, Tuple[GenotypeData, Dict[str, int]]]:
     """Parse a VCF (.vcf or .vcf.gz) into a GenotypeData of hard-call
-    ALT dosages. See the module docstring for coding conventions."""
+    ALT dosages. See the module docstring for coding conventions.
+    Plain-text files route through the threaded C++ parser
+    (native/fast_vcf.cpp) when available; gzip and anything irregular
+    take the pure-Python path below (identical output, parity-pinned
+    in tests/test_vcf.py)."""
+    if not path.endswith(".gz"):
+        nat = _read_vcf_native(path)
+        if nat is not None:
+            gd, mapping = nat
+            return (gd, mapping) if return_chrom_map else gd
     chrom_names: List[str] = []
     poss: List[int] = []
     rows: List[np.ndarray] = []

@@ -64,6 +64,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.unpack_2bit.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                     ctypes.c_int64, ctypes.c_int64,
                                     ctypes.POINTER(ctypes.c_int8)]
+        lib.count_vcf.restype = ctypes.c_int
+        lib.count_vcf.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_int64),
+                                  ctypes.POINTER(ctypes.c_int64),
+                                  ctypes.POINTER(ctypes.c_int64)]
+        lib.parse_vcf.restype = ctypes.c_int64
+        lib.parse_vcf.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -103,6 +116,55 @@ def parse_dosage_csv(path: str, n_threads: int = 0
     if got < M:
         mat, chroms, poss = mat[:got], chroms[:got], poss[:got]
     return mat, chroms, poss, n
+
+
+def parse_vcf(path: str, n_samples: int, n_threads: int = 0
+              ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray, np.ndarray, int]]:
+    """Parse a plain-text VCF body natively (native/fast_vcf.cpp):
+    (matrix int8 (M, n), positions, chrom_codes int32 (-1 = non-numeric),
+    chrom_names bytes (M, 16) NUL-padded, alleles (M, 2) str, max_arity)
+    — or None if native is unavailable / the file needs the Python path
+    (gzip, malformed lines, >15-char chromosome names). The caller
+    parses the header (sample IDs) and resolves -1 chromosome codes."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_rows = ctypes.c_int64()
+    ns = ctypes.c_int64()
+    abytes = ctypes.c_int64()
+    if lib.count_vcf(path.encode(), ctypes.byref(n_rows),
+                     ctypes.byref(ns), ctypes.byref(abytes)) != 0:
+        return None
+    M = int(n_rows.value)
+    if int(ns.value) != n_samples or M < 0:
+        return None
+    mat = np.empty((M, n_samples), dtype=np.int8)
+    poss = np.empty(M, dtype=np.int64)
+    codes = np.empty(M, dtype=np.int32)
+    names = np.zeros(M * 16, dtype=np.uint8)
+    arena = np.zeros(max(int(abytes.value), 1), dtype=np.uint8)
+    offs = np.zeros(2 * max(M, 1), dtype=np.int64)
+    arity = ctypes.c_int32(1)
+    got = lib.parse_vcf(
+        path.encode(), M, n_samples, arena.size,
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        poss.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        names.ctypes.data_as(ctypes.c_char_p),
+        arena.ctypes.data_as(ctypes.c_char_p),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(arity), n_threads)
+    if got < 0:
+        return None
+    w = int(got)
+    parts = arena.tobytes().split(b"\0")[:2 * w]
+    alleles = np.asarray([p.decode("utf-8", "replace") for p in parts],
+                         dtype=object).reshape(w, 2) if w else \
+        np.zeros((0, 2), dtype=object)
+    return (mat[:w], poss[:w], codes[:w],
+            names.reshape(M, 16)[:w], np.asarray(alleles, dtype=str),
+            int(arity.value))
 
 
 def pack_2bit(mat: np.ndarray) -> np.ndarray:

@@ -159,3 +159,70 @@ class TestVcfEndToEnd:
         pvals = np.asarray(out["result"].scores)
         assert np.isfinite(pvals).all()
         assert pvals.min() < 0.05  # plumbing test; n=24 is underpowered
+
+
+class TestNativeVcfParser:
+    """native/fast_vcf.cpp vs the pure-Python reader: identical output
+    on the same content (the gzip copy forces the Python path)."""
+
+    def _messy_vcf_body(self, seed=0, m=300, n=25):
+        rng = np.random.default_rng(seed)
+        lines = []
+        chrom_pool = ["1", "2", "chr7", "X", "MT", "chr1"]
+        gt_pool = ["0/0", "0/1", "1/1", "0|1", "1|0", "./.", ".", "./1",
+                   "0", "1", "1/2", "2/2", "0/x"]
+        for j in range(m):
+            chrom = chrom_pool[int(rng.integers(len(chrom_pool)))]
+            fmt, mk = (("GT", lambda g: g) if j % 3 == 0 else
+                       (("DP:GT:GQ",
+                         lambda g: f"{rng.integers(99)}:{g}:{rng.integers(60)}")
+                        if j % 3 == 1 else ("GT:PL", lambda g: f"{g}:10,0")))
+            if j % 41 == 17:   # record without GT -> skipped by both
+                fmt, mk = "DP", lambda g: str(rng.integers(99))
+            alt = "G,T" if j % 13 == 5 else "G"
+            calls = "\t".join(mk(gt_pool[int(rng.integers(len(gt_pool)))])
+                              for _ in range(n))
+            lines.append(f"{chrom}\t{100 + j}\tid{j}\tA\t{alt}\t.\tPASS"
+                         f"\t.\t{fmt}\t{calls}\n")
+        header = ("##fileformat=VCFv4.2\n"
+                  "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                  + "\t".join(f"s{i}" for i in range(n)) + "\n")
+        return header + "".join(lines)
+
+    def test_native_available_and_used(self, tmp_path):
+        from mixmogam_tpu import native
+        from mixmogam_tpu.data.vcf import _read_vcf_native
+
+        assert native.available()
+        p = str(tmp_path / "t.vcf")
+        with open(p, "w") as f:
+            f.write(self._messy_vcf_body())
+        assert _read_vcf_native(p) is not None
+
+    def test_parity_with_python_reader(self, tmp_path):
+        body = self._messy_vcf_body(seed=3)
+        p = str(tmp_path / "t.vcf")
+        pgz = str(tmp_path / "t.vcf.gz")
+        with open(p, "w") as f:
+            f.write(body)
+        with gzip.open(pgz, "wt") as f:
+            f.write(body)                       # same content
+        a, amap = read_vcf(p, return_chrom_map=True)    # native
+        b, bmap = read_vcf(pgz, return_chrom_map=True)  # pure Python
+        np.testing.assert_array_equal(a.matrix, b.matrix)
+        np.testing.assert_array_equal(a.chromosomes, b.chromosomes)
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.alleles, b.alleles)
+        assert a.accessions == b.accessions
+        assert a.ploidy == b.ploidy
+        assert amap == bmap
+
+    def test_long_chrom_name_falls_back(self, tmp_path):
+        """>15-char chromosome names exceed the native buffer -> the
+        Python path must produce the result."""
+        body = (HEADER + "scaffold_000000123456\t10\t.\tA\tG\t.\t.\t.\t"
+                "GT\t0/0\t0/1\t1/1\n")
+        p = _write(tmp_path, body, name="long.vcf")
+        gd, cmap = read_vcf(p, return_chrom_map=True)
+        assert "scaffold_000000123456" in cmap
+        np.testing.assert_array_equal(gd.matrix, [[0, 1, 2]])
