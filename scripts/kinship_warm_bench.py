@@ -33,19 +33,11 @@ def main():
     log(f"claimed; backend={jax.default_backend()}")
 
     pk = os.path.join(CACHE, "packed_10240x1048576.bin")
-    meta = json.load(open(pk + ".json"))
-    M, n, tile = meta["M"], meta["n"], meta["tile"]
-    packed_host = np.fromfile(pk, dtype=np.uint8).reshape(-1, (n + 3) // 4)
-    log(f"packed rows from disk: {packed_host.nbytes/1e9:.2f} GB "
-        f"({M:,} x {n})")
-
     t0 = time.time()
-    packed = jnp.asarray(packed_host)
-    jax.block_until_ready(packed)
-    log(f"upload: {time.time()-t0:.1f}s")
-    rg = ResidentGenome(packed=packed, M=M, n=n, tile=tile,
-                        has_missing=meta.get("has_missing", False),
-                        ploidy=meta.get("ploidy", 1))
+    rg = ResidentGenome.from_source(None, cache_path=pk)
+    M, n, tile = rg.M, rg.n, rg.tile
+    log(f"packed rows from disk + upload: {time.time()-t0:.1f}s "
+        f"({M:,} x {n}, {rg.nbytes_packed/1e9:.2f} GB)")
 
     t0 = time.time()
     K = kinship_resident(rg)
