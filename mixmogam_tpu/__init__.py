@@ -42,7 +42,8 @@ def __getattr__(name):
 
         return getattr(api, name)
     if name in {"ResidentGenome", "emmax_resident", "emmax_loco",
-                "loco_kinships", "gblup", "gblup_cv", "gblup_predict"}:
+                "loco_kinships", "gblup", "gblup_cv", "gblup_predict",
+                "emmax_gxe"}:
         from mixmogam_tpu import models
 
         return getattr(models, name)

@@ -16,10 +16,12 @@ from mixmogam_tpu.models.twosnp import emmax_two_snps
 from mixmogam_tpu.models.loco import emmax_loco, loco_kinships
 from mixmogam_tpu.models.gblup import (gblup, gblup_cv, gblup_predict,
                                        GblupModel)
+from mixmogam_tpu.models.gxe import emmax_gxe
 
 __all__ = ["emmax", "emmax_anova", "emma", "linear_model", "anova",
            "kruskal_wallis", "emmax_step_wise", "emmax_multi_trait",
            "emmax_perm_test", "emmax_two_snps", "ResidentGenome",
            "emmax_resident", "kinship_resident",
            "rotate_resident_to_device", "emmax_loco", "loco_kinships",
-           "gblup", "gblup_cv", "gblup_predict", "GblupModel"]
+           "gblup", "gblup_cv", "gblup_predict", "GblupModel",
+           "emmax_gxe"]
