@@ -455,13 +455,19 @@ def kinship_resident(rg: ResidentGenome, method: str = "ibs",
             W, dn = vr_tile(Gt, meffs[i])
             K = _vanraden_update(K, W)
             denom += float(dn)
-        return np.asarray(K, dtype=np.float64) / denom
+        from mixmogam_tpu.ops.transfer import fetch_array
+
+        return fetch_array(K).astype(np.float64) / denom
     if method != "ibs":
         raise ValueError(f"unknown kinship method {method!r}")
 
     if not rg.has_missing:
-        S = np.asarray(_ibs_resident_fused(rg.packed, n, tile, M,
-                                           ploidy)).astype(np.float64)
+        from mixmogam_tpu.ops.transfer import fetch_array
+
+        # chunked-async D2H: the n x n int32 result is the one big
+        # device->host payload on this image (scripts/d2h_probe.py)
+        S = fetch_array(jax.block_until_ready(_ibs_resident_fused(
+            rg.packed, n, tile, M, ploidy))).astype(np.float64)
         return S / M if ploidy == 1 else S / (2.0 * M)
 
     # missing genotypes: device-imputed float accumulation (same rule
@@ -487,7 +493,9 @@ def kinship_resident(rg: ResidentGenome, method: str = "ibs",
             K = _ibs_binary_update(K, parts[0], float(meffs[i]))
         else:
             K = _ibs_diploid_update(K, *parts, float(meffs[i]))
-    return np.asarray(K, dtype=np.float64) / M
+    from mixmogam_tpu.ops.transfer import fetch_array
+
+    return fetch_array(K).astype(np.float64) / M
 
 
 def rotate_resident_to_device(rg: ResidentGenome, U=None, dtype=None

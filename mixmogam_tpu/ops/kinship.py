@@ -135,7 +135,9 @@ def _ibs_int8_streamed(mat: np.ndarray, chunk: int,
     S = jnp.zeros((n, n), dtype=jnp.int32)
     for Cd, m_eff in _streamed_int8_chunks(mat, chunk, pack_transfer, 0):
         S = _ibs_int8_update(S, Cd, m_eff)
-    return np.asarray(S).astype(np.float64) / M
+    from mixmogam_tpu.ops.transfer import fetch_array
+
+    return fetch_array(jax.block_until_ready(S)).astype(np.float64) / M
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -175,7 +177,9 @@ def _ibs_diploid_int8_streamed(mat: np.ndarray, chunk: int,
     S2 = jnp.zeros((n, n), dtype=jnp.int32)
     for Cd, m_eff in _streamed_int8_chunks(mat, chunk, pack_transfer, -1):
         S2 = _ibs_diploid_int8_update(S2, Cd, m_eff)
-    return np.asarray(S2).astype(np.float64) / (2.0 * M)
+    from mixmogam_tpu.ops.transfer import fetch_array
+
+    return fetch_array(jax.block_until_ready(S2)).astype(np.float64) / (2.0 * M)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

@@ -55,3 +55,29 @@ class TestCli:
         assert esp_to_refine_iters(1e-6) == 18
         assert esp_to_refine_iters(1e-30) == 64  # clamped
         assert esp_to_refine_iters(1.0) == 16    # clamped
+
+
+class TestFetchArray:
+    """ops/transfer.fetch_array — chunked-async D2H (content parity;
+    the throughput claim is scripts/d2h_probe.py's)."""
+
+    def test_matches_asarray_across_shapes(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mixmogam_tpu.ops.transfer import fetch_array
+
+        for shape, chunk in [((64, 17), 256), ((64, 17), 1 << 30),
+                             ((7,), 64), ((33, 5, 2), 128)]:
+            x = jnp.arange(int(np.prod(shape)),
+                           dtype=jnp.float32).reshape(shape)
+            np.testing.assert_array_equal(fetch_array(x, chunk_bytes=chunk),
+                                          np.asarray(x))
+
+    def test_host_input_passthrough(self):
+        import numpy as np
+
+        from mixmogam_tpu.ops.transfer import fetch_array
+
+        a = np.random.default_rng(0).normal(size=(10, 3))
+        np.testing.assert_array_equal(fetch_array(a), a)
