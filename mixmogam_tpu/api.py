@@ -82,6 +82,7 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
              num_steps: int = 10, dtype=None,
              profile_dir: Optional[str] = None,
              covariate_pids: Optional[Sequence[int]] = None,
+             env_pid: Optional[int] = None,
              ploidy: Optional[int] = None,
              config: Optional["GwasConfig"] = None, **model_kw) -> Dict:
     """End-to-end GWAS (reference: examples.py flow, SURVEY.md §3.1):
@@ -89,7 +90,11 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
     scan -> ranked CSV + Manhattan/QQ plots + JSON run summary.
 
     method: 'emmax' | 'emma' | 'lm' | 'anova' | 'kw' | 'emmax_stepwise'
-            | 'emmax_loco' (LOCO builds per-chromosome kinships itself).
+            | 'emmax_loco' (LOCO builds per-chromosome kinships itself)
+            | 'emmax_gxe' (SNP x environment interaction; env_pid names
+            the phenotype column holding the environment — its ranked
+            p-values are the INTERACTION tests, with marginal/joint
+            p-values alongside in the scan dict).
     transform: None | 'log' | 'sqrt' | 'box_cox' | 'exp' | 'arcsin_sqrt'
                | 'most_normal'.
     Returns {'result': Result, 'scan': scan dict, 'files': {...}}.
@@ -98,7 +103,8 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
     from mixmogam_tpu.utils.profiling import RunMetrics, device_trace
 
     cfg = config or DEFAULT
-    if method in ("emmax", "emma", "emmax_stepwise", "emmax_loco"):
+    if method in ("emmax", "emma", "emmax_stepwise", "emmax_loco",
+                  "emmax_gxe"):
         # REML defaults from config (mirror the reference's numeric
         # defaults; explicit model_kw wins)
         for k, v in (("ngrids", cfg.reml.ngrids), ("llim", cfg.reml.llim),
@@ -134,7 +140,7 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
                 y = y[keep]
                 sample_ids = [sample_ids[i] for i in keep]
             if method not in ("emmax", "emma", "lm", "emmax_stepwise",
-                              "emmax_loco"):
+                              "emmax_loco", "emmax_gxe"):
                 # the class tests (anova/kw) have no covariate design —
                 # refuse rather than silently run an unadjusted scan
                 raise ValueError(
@@ -146,12 +152,26 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
                 + [np.array([np.mean(m[a]) for a in sample_ids])[:, None]
                    for m in cov_maps])
             model_kw.setdefault("X0", X0)
+        env = None
+        if method == "emmax_gxe":
+            if env_pid is None:
+                raise ValueError(
+                    "method='emmax_gxe' needs env_pid (the phenotype "
+                    "column holding the per-sample environment)")
+            env_map = phend.value_dict(env_pid)
+            keep = [i for i, a in enumerate(sample_ids)
+                    if a in env_map]
+            if len(keep) < len(sample_ids):
+                gd2 = gd2.select_samples(keep).filter_monomorphic_snps()
+                y = y[keep]
+                sample_ids = [sample_ids[i] for i in keep]
+            env = np.array([np.mean(env_map[a]) for a in sample_ids])
         if min_mac:
             gd2 = gd2.filter_mac_snps(min_mac)
 
     scan: Dict = {}
     K = None
-    if method in ("emmax", "emma", "emmax_stepwise"):
+    if method in ("emmax", "emma", "emmax_stepwise", "emmax_gxe"):
         with rm.phase("kinship"):
             if kinship_file and os.path.exists(kinship_file):
                 K, acc = load_kinship_from_file(kinship_file)
@@ -177,6 +197,13 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
             sw = emmax_step_wise(gd2, y, K=K, max_steps=num_steps,
                                  dtype=dtype, save_scans=False, **model_kw)
             scan = {"stepwise": sw, "ps": None}
+        elif method == "emmax_gxe":
+            from mixmogam_tpu.models.gxe import emmax_gxe
+
+            model_kw.pop("esp", None)  # fixed-iteration bisection
+            scan = emmax_gxe(gd2, y, env, K=K, dtype=dtype, **model_kw)
+            # ranked output = the interaction tests (the scan's point)
+            scan["ps"] = scan["inter_ps"]
         elif method == "emmax_loco":
             # LOCO builds its own per-chromosome kinships (global K
             # would be wasted work and scale_k breaks gram additivity)

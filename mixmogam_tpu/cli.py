@@ -22,7 +22,13 @@ def _add_run(sub):
                    help="phenotype id (column) to analyze")
     p.add_argument("--method", default="emmax",
                    choices=["emmax", "emma", "lm", "anova", "kw",
-                            "emmax_stepwise", "emmax_loco"])
+                            "emmax_stepwise", "emmax_loco",
+                            "emmax_gxe"])
+    p.add_argument("--env-pid", type=int, default=None,
+                   help="phenotype column holding the per-sample "
+                        "environment (required for --method "
+                        "emmax_gxe; ranked p-values are the "
+                        "interaction tests)")
     p.add_argument("-o", "--out-prefix", default="gwas_out")
     p.add_argument("--ploidy", type=int, default=None, choices=[1, 2],
                    help="explicit ploidy (default: inferred as 2 iff any "
@@ -183,7 +189,7 @@ def main(argv=None) -> int:
                 kinship_file=args.kinship_file, cache_dir=args.cache_dir,
                 plots=not args.no_plots, num_steps=args.num_steps,
                 profile_dir=args.profile_dir, covariate_pids=cov,
-                ploidy=args.ploidy, **tier_kw)
+                env_pid=args.env_pid, ploidy=args.ploidy, **tier_kw)
         if args.method == "emmax_stepwise":
             sw = out["scan"]["stepwise"]
             sel = {k: v["cofactors"] for k, v in sw["selected"].items()}

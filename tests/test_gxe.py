@@ -115,3 +115,64 @@ class TestGxe:
             emmax_gxe(G, y, np.r_[env[:-1], np.nan], K=K)
         with pytest.raises(ValueError, match="samples"):
             emmax_gxe(G, y, env[:-3], K=K)
+
+
+class TestGxeEndToEnd:
+    def test_run_gwas_and_cli(self, tmp_path, capsys):
+        import json
+
+        from mixmogam_tpu.cli import main
+        from mixmogam_tpu.data.genotype import GenotypeData
+        from mixmogam_tpu.data.phenotype import PhenotypeData
+
+        G, y, env, K = _data(n=100, m=150, seed=8)
+        gd = GenotypeData(G, np.repeat(1, 150), np.arange(150) * 100,
+                          [f"s{i}" for i in range(100)])
+        gfile = str(tmp_path / "g.csv")
+        pfile = str(tmp_path / "p.csv")
+        gd.write_csv(gfile)
+        pd = PhenotypeData()
+        pd.add_phenotype(1, "trait", gd.accessions, y)
+        pd.add_phenotype(2, "env", gd.accessions, env)
+        pd.write_to_file(pfile)
+
+        from mixmogam_tpu.api import run_gwas
+
+        out = run_gwas(gfile, pfile, pid=1, method="emmax_gxe", env_pid=2,
+                       min_mac=3, out_prefix=str(tmp_path / "gxe"),
+                       plots=False)
+        ps = out["scan"]["inter_ps"]
+        # SNP 7 carries the planted interaction; min_mac may drop rows
+        # before it, so find it by position
+        j = int(np.where(out["genotype"].positions == 700)[0][0])
+        assert int(np.argmin(ps)) == j
+        assert (np.asarray(out["result"].scores) == ps).all()
+        assert "marginal_ps" in out["scan"] and "joint_ps" in out["scan"]
+
+        rc = main(["run", gfile, pfile, "--method", "emmax_gxe",
+                   "--env-pid", "2", "--min-mac", "3", "--no-plots",
+                   "-o", str(tmp_path / "cli_gxe")])
+        assert rc == 0
+        assert "min p" in capsys.readouterr().out
+        with open(tmp_path / "cli_gxe.summary.json") as f:
+            s = json.load(f)
+        assert s["method"] == "emmax_gxe"
+
+    def test_env_pid_required(self, tmp_path):
+        import pytest
+
+        from mixmogam_tpu.api import run_gwas
+        from mixmogam_tpu.data.genotype import GenotypeData
+        from mixmogam_tpu.data.phenotype import PhenotypeData
+
+        G, y, env, K = _data(n=60, m=40, seed=3)
+        gd = GenotypeData(G, np.repeat(1, 40), np.arange(40) * 10,
+                          [f"s{i}" for i in range(60)])
+        gfile = str(tmp_path / "g.csv")
+        pfile = str(tmp_path / "p.csv")
+        gd.write_csv(gfile)
+        pd = PhenotypeData()
+        pd.add_phenotype(1, "trait", gd.accessions, y)
+        pd.write_to_file(pfile)
+        with pytest.raises(ValueError, match="env_pid"):
+            run_gwas(gfile, pfile, pid=1, method="emmax_gxe", plots=False)
