@@ -346,10 +346,37 @@ def example_vcf_and_gblup():
           f"h2_hat = {model.pseudo_heritability:.2f}")
 
 
+def example_gxe():
+    """Round-3: SNP x environment interaction under the mixed model.
+    The environment is forced into the null; the ranked p-values are
+    the 1-dof interaction tests (marginal and joint 2-dof alongside)."""
+    import numpy as np
+
+    from mixmogam_tpu.data.simulate import (simulate_genotypes,
+                                            simulate_phenotype)
+    from mixmogam_tpu.models.gxe import emmax_gxe
+    from mixmogam_tpu.ops.kinship import kinship
+    from mixmogam_tpu.oracle.kinship import scale_k
+
+    G, ch, po = simulate_genotypes(250, 3000, seed=4)
+    rng = np.random.default_rng(4)
+    env = rng.normal(size=250)                   # e.g. temperature
+    y, _ = simulate_phenotype(G, h2=0.5, n_causal=8, seed=4)
+    y = y + 1.2 * G[1500].astype(float) * env    # plant a GxE effect
+    K = scale_k(kinship(G, ploidy=1))
+    res = emmax_gxe(G, y, env, K=K)
+    j = int(np.argmin(res["inter_ps"]))
+    print(f"top GxE hit: SNP {j} (planted 1500), "
+          f"p_inter = {res['inter_ps'][j]:.2e}, "
+          f"p_marginal = {res['marginal_ps'][j]:.2e}, "
+          f"p_joint = {res['joint_ps'][j]:.2e}")
+
+
 EXAMPLES = {
     "emmax": example_emmax,
     "loco": example_loco,
     "vcf_and_gblup": example_vcf_and_gblup,
+    "gxe": example_gxe,
     "streaming_at_scale": example_streaming_at_scale,
     "resident_genome": example_resident_genome,
     "plink_and_clumping": example_plink_and_clumping,
