@@ -24,6 +24,7 @@ e.g. a constant environment) are masked to p = 1 inside the kernel.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -37,21 +38,18 @@ from mixmogam_tpu.ops.reml import fit_null_model
 from mixmogam_tpu.ops.stats import f_sf_host
 
 
-@jax.jit
-def _gxe_stats(G_rot, prod_rot, rot):
-    """(marginal_f, inter_f, joint_f, masks) for all SNPs at once.
+def _gxe_stats_whitened(B, P, rot):
+    """(marginal_f, inter_f, joint_f, masks) from WHITENED SNP columns
+    B and product columns P (tile-shaped (m, n)).
 
     rot: RotatedNull of the [X0, e] null (passed as a pytree ARGUMENT —
     closing over it would bake device arrays into the executable).
     dof convention: rot.dof = n - q - 1 is the marginal test's
     denominator dof; the pair model has dof - 1.
     """
-    sd = rot.sd
     Q0 = rot.Q0
     y_res = rot.y_res
     rss0 = rot.rss0
-    B = G_rot * sd[None, :]            # whitened SNP columns   (M, n)
-    P = prod_rot * sd[None, :]         # whitened x*e columns   (M, n)
     dt = B.dtype
     eps = 100.0 * jnp.finfo(dt).eps
     tiny = jnp.finfo(dt).tiny
@@ -88,6 +86,39 @@ def _gxe_stats(G_rot, prod_rot, rot):
             jnp.where(mask_p, f_joint, 0.0), mask_b, mask_p)
 
 
+@jax.jit
+def _gxe_stats(G_rot, prod_rot, rot):
+    """In-core entry: whiten pre-rotated columns (G @ U), then stats."""
+    B = G_rot * rot.sd[None, :]
+    P = prod_rot * rot.sd[None, :]
+    return _gxe_stats_whitened(B, P, rot)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tile", "impute"))
+def _gxe_scan_packed(packed, env_dev, rot, n: int, tile: int,
+                     impute: bool = False):
+    """GxE stats over a 2-bit packed genome resident in HBM: per tile,
+    unpack -> rotate+whiten BOTH the dosages and the x*e products with
+    rot.W (two matmuls, 2x the plain resident scan), then the
+    elementwise pairwise identity — zero host traffic."""
+    from mixmogam_tpu.models.streaming import _impute_tile
+    from mixmogam_tpu.ops.pack2 import unpack_2bit_device
+
+    T = packed.shape[0] // tile
+    tiles = packed.reshape(T, tile, packed.shape[1])
+    dt = rot.sd.dtype
+
+    def kern(pt):
+        Gt = unpack_2bit_device(pt, n)
+        Gt = _impute_tile(Gt, dt) if impute else Gt.astype(dt)
+        B = Gt @ rot.W
+        P = (Gt * env_dev[None, :]) @ rot.W
+        return _gxe_stats_whitened(B, P, rot)
+
+    out = jax.lax.map(kern, tiles)
+    return tuple(v.reshape(T * tile) for v in out)
+
+
 def emmax_gxe(G, y, env, K=None, X0: Optional[np.ndarray] = None,
               eig_k=None, ngrids: int = 100, llim: float = -10.0,
               ulim: float = 10.0, dtype=None) -> Dict[str, np.ndarray]:
@@ -109,7 +140,13 @@ def emmax_gxe(G, y, env, K=None, X0: Optional[np.ndarray] = None,
                          "complete environment covariate")
     if dtype is None:
         dtype = jnp.zeros(0).dtype
-    Gf = _as_dosage(G, dtype)
+    from mixmogam_tpu.models.resident import ResidentGenome
+
+    rg = G if isinstance(G, ResidentGenome) else None
+    if rg is not None and rg.n != n:
+        raise ValueError(f"y has {n} samples but the resident genome "
+                         f"holds {rg.n}")
+    Gf = None if rg is not None else _as_dosage(G, dtype)
     if X0 is None:
         X0 = np.ones((n, 1))
     X0 = _as_design(X0, n)
@@ -132,13 +169,23 @@ def emmax_gxe(G, y, env, K=None, X0: Optional[np.ndarray] = None,
                           ulim=ulim)
     y_rot = U.T @ jnp.asarray(y, dtype=dtype)
     X0e_rot = U.T @ jnp.asarray(X0e, dtype=dtype)
-    rot = _rot_null_from_delta(phi, null.delta, y_rot, X0e_rot, dtype)
-    Gd = jnp.asarray(Gf)
-    ed = jnp.asarray(env, dtype=Gd.dtype)
-    G_rot = Gd @ U
-    prod_rot = (Gd * ed[None, :]) @ U
-    f_marg, f_inter, f_joint, mask_b, mask_p = _gxe_stats(G_rot, prod_rot,
-                                                          rot)
+    rot = _rot_null_from_delta(phi, null.delta, y_rot, X0e_rot, dtype,
+                               U=U if rg is not None else None)
+    if rg is not None:
+        # device-resident path: tiles unpack+rotate in HBM (2 matmuls
+        # per tile; exact fp32 only — no int8 tiers for GxE yet)
+        ed = jnp.asarray(env, dtype=dtype)
+        out5 = _gxe_scan_packed(rg.packed, ed, rot, rg.n, rg.tile,
+                                impute=rg.has_missing)
+        f_marg, f_inter, f_joint, mask_b, mask_p = (
+            v[:rg.M] for v in out5)
+    else:
+        Gd = jnp.asarray(Gf)
+        ed = jnp.asarray(env, dtype=Gd.dtype)
+        G_rot = Gd @ U
+        prod_rot = (Gd * ed[None, :]) @ U
+        f_marg, f_inter, f_joint, mask_b, mask_p = _gxe_stats(
+            G_rot, prod_rot, rot)
     mask_b = np.asarray(mask_b)
     mask_p = np.asarray(mask_p)
     dof = float(rot.dof)

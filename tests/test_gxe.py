@@ -176,3 +176,37 @@ class TestGxeEndToEnd:
         pd.write_to_file(pfile)
         with pytest.raises(ValueError, match="env_pid"):
             run_gwas(gfile, pfile, pid=1, method="emmax_gxe", plots=False)
+
+
+class TestGxeResident:
+    def test_resident_matches_incore(self):
+        """ResidentGenome path == in-core path (same fitted null, same
+        F's) — including a missing-genotype genome (device impute)."""
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, y, env, K = _data(n=64, m=96, seed=15)
+        ref = emmax_gxe(G, y, env, K=K)
+        rg = ResidentGenome.from_source(G, tile=32)
+        res = emmax_gxe(rg, y, env, K=K)
+        for k in ("marginal_ps", "inter_ps", "joint_ps"):
+            np.testing.assert_allclose(res[k], ref[k], atol=1e-10)
+        np.testing.assert_array_equal(res["mask_inter"],
+                                      ref["mask_inter"])
+        # missing genotypes: device impute == host mean-impute
+        Gm = G.copy()
+        Gm[np.random.default_rng(1).random(G.shape) < 0.05] = -1
+        ref_m = emmax_gxe(Gm, y, env, K=K)
+        rg_m = ResidentGenome.from_source(Gm, tile=32)
+        res_m = emmax_gxe(rg_m, y, env, K=K)
+        np.testing.assert_allclose(res_m["inter_ps"], ref_m["inter_ps"],
+                                   atol=1e-10)
+
+    def test_sample_mismatch_raises(self):
+        import pytest
+
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, y, env, K = _data(n=64, m=96, seed=15)
+        rg = ResidentGenome.from_source(G, tile=32)
+        with pytest.raises(ValueError, match="samples"):
+            emmax_gxe(rg, y[:-2], env[:-2], K=K[:-2, :-2])
