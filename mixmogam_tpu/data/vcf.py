@@ -220,6 +220,10 @@ def write_vcf(gd: GenotypeData, path: str,
     counting the ALT allele; ``gd.alleles`` columns map to [REF, ALT]
     (placeholder A/C when absent). Round-trips through read_vcf."""
     ploidy = gd.ploidy
+    if gd.matrix.size and int(gd.matrix.max(initial=0)) > ploidy:
+        raise ValueError(
+            f"dosages up to {int(gd.matrix.max())} exceed ploidy="
+            f"{ploidy}; fix the container's ploidy before writing VCF")
     if ploidy == 1:
         codes = {0: "0", 1: "1", MISSING: "."}
     else:

@@ -95,6 +95,11 @@ def gblup(y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     from mixmogam_tpu.ops.reml import fit_null_model
 
     y = np.asarray(y, dtype=np.float64)
+    if not np.isfinite(y).all():
+        raise ValueError(
+            "gblup needs fully-observed phenotypes (got non-finite "
+            "values); drop unphenotyped samples from the TRAIN set and "
+            "predict them through predict()/gblup_predict instead")
     n = y.shape[0]
     if X0 is None:
         X0 = np.ones((n, 1), dtype=np.float64)

@@ -318,20 +318,30 @@ def h2_profile_ci(null: NullModel, level: float = 0.95,
                 lo = mid
         return 0.5 * (lo + hi)
 
-    # scan outward on a grid to bracket the two crossings
+    # scan outward on a grid to bracket the two crossings; brackets are
+    # taken ADJACENT to the outermost outside point so a disconnected
+    # inside region (multimodal LL) cannot invert them
     grid = np.linspace(llim, ulim, ngrids + 1)
     lls = np.array([ll_at(g) for g in grid])
     inside = lls >= cut
     below = grid < ld_hat
     lo_out = grid[below & ~inside]
-    ld_lo = edge(float(lo_out.max()), min(ld_hat, float(
-        grid[below & inside].min()) if (below & inside).any() else ld_hat),
-        rising=True) if lo_out.size else llim
+    if lo_out.size:
+        lo = float(lo_out.max())
+        in_above_lo = grid[(grid > lo) & inside]
+        hi = float(in_above_lo.min()) if in_above_lo.size else ld_hat
+        ld_lo = edge(lo, hi, rising=True)
+    else:
+        ld_lo = llim
     above = grid > ld_hat
     hi_out = grid[above & ~inside]
-    ld_hi = edge(max(ld_hat, float(
-        grid[above & inside].max()) if (above & inside).any() else ld_hat),
-        float(hi_out.min()), rising=False) if hi_out.size else ulim
+    if hi_out.size:
+        hi = float(hi_out.min())
+        in_below_hi = grid[(grid < hi) & inside]
+        lo = float(in_below_hi.max()) if in_below_hi.size else ld_hat
+        ld_hi = edge(lo, hi, rising=False)
+    else:
+        ld_hi = ulim
     # h2 = 1/(1+delta) is DEcreasing in delta: high delta -> low h2
     return (1.0 / (1.0 + float(np.exp(ld_hi))),
             1.0 / (1.0 + float(np.exp(ld_lo))))

@@ -162,3 +162,14 @@ class TestGblupCli:
         assert 0 <= s["h2"] <= 1
         with open(out_csv) as f:
             assert "genetic_value" in f.readline()
+
+
+class TestGblupValidation:
+    def test_nan_phenotype_raises(self):
+        import pytest
+
+        _, y, K = _data(n=80, m=200, seed=1)
+        y = y.copy()
+        y[3] = np.nan
+        with pytest.raises(ValueError, match="fully-observed"):
+            gblup(y, K=K)

@@ -226,3 +226,13 @@ class TestNativeVcfParser:
         gd, cmap = read_vcf(p, return_chrom_map=True)
         assert "scaffold_000000123456" in cmap
         np.testing.assert_array_equal(gd.matrix, [[0, 1, 2]])
+
+
+class TestWriteVcfValidation:
+    def test_dosage_exceeding_ploidy_raises(self, tmp_path):
+        import dataclasses
+
+        gd = TestWriteVcf()._gd(ploidy=2)
+        bad = dataclasses.replace(gd, ploidy=1)  # dosage 2 under ploidy 1
+        with pytest.raises(ValueError, match="exceed ploidy"):
+            write_vcf(bad, str(tmp_path / "bad.vcf"))
