@@ -171,6 +171,10 @@ def read_vcf(path: str, return_chrom_map: bool = False
             if not samples:
                 raise ValueError("VCF data line before #CHROM header")
             parts = line.split("\t")
+            if len(parts) < 9:
+                raise ValueError(
+                    f"truncated VCF record ({len(parts)} tab-separated "
+                    f"fields, need >= 9): {line[:80]!r}")
             chrom, pos, _id, ref, alt = parts[:5]
             fmt = parts[8].split(":")
             try:
