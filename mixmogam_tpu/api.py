@@ -129,16 +129,8 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
 
     with rm.phase("coordinate"):
         gd2, y, sample_ids = gd.coordinate_with_phenotype(phend, pid)
+        cov_maps = []
         if covariate_pids:
-            # other phenotype columns as fixed-effect covariates; samples
-            # lacking any covariate value are dropped
-            cov_maps = [phend.value_dict(c) for c in covariate_pids]
-            keep = [i for i, a in enumerate(sample_ids)
-                    if all(a in m for m in cov_maps)]
-            if len(keep) < len(sample_ids):
-                gd2 = gd2.select_samples(keep).filter_monomorphic_snps()
-                y = y[keep]
-                sample_ids = [sample_ids[i] for i in keep]
             if method not in ("emmax", "emma", "lm", "emmax_stepwise",
                               "emmax_loco", "emmax_gxe"):
                 # the class tests (anova/kw) have no covariate design —
@@ -147,24 +139,39 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
                     f"covariate_pids is not supported by method "
                     f"{method!r} (anova/kw are covariate-free class "
                     "tests); use emmax/emma/lm/emmax_stepwise")
-            X0 = np.hstack(
-                [np.ones((len(sample_ids), 1))]
-                + [np.array([np.mean(m[a]) for a in sample_ids])[:, None]
-                   for m in cov_maps])
-            model_kw.setdefault("X0", X0)
-        env = None
+            cov_maps = [phend.value_dict(c) for c in covariate_pids]
+        env_map = None
         if method == "emmax_gxe":
             if env_pid is None:
                 raise ValueError(
                     "method='emmax_gxe' needs env_pid (the phenotype "
                     "column holding the per-sample environment)")
             env_map = phend.value_dict(env_pid)
+        # ONE coordinated sample drop across covariates AND environment —
+        # subsetting after X0 is built would leave a stale-row design in
+        # model_kw (ADVICE r3: covariates + incomplete env coverage made
+        # emmax_gxe unusable)
+        req_maps = cov_maps + ([env_map] if env_map is not None else [])
+        if req_maps:
             keep = [i for i, a in enumerate(sample_ids)
-                    if a in env_map]
+                    if all(a in m for m in req_maps)]
             if len(keep) < len(sample_ids):
                 gd2 = gd2.select_samples(keep).filter_monomorphic_snps()
                 y = y[keep]
+                if "X0" in model_kw and np.shape(
+                        model_kw["X0"])[0] == len(sample_ids):
+                    # a user-supplied design built on the pre-drop
+                    # coordinated set: keep its rows aligned
+                    model_kw["X0"] = np.asarray(model_kw["X0"])[keep]
                 sample_ids = [sample_ids[i] for i in keep]
+        if cov_maps:
+            X0 = np.hstack(
+                [np.ones((len(sample_ids), 1))]
+                + [np.array([np.mean(m[a]) for a in sample_ids])[:, None]
+                   for m in cov_maps])
+            model_kw.setdefault("X0", X0)
+        env = None
+        if env_map is not None:
             env = np.array([np.mean(env_map[a]) for a in sample_ids])
         if min_mac:
             gd2 = gd2.filter_mac_snps(min_mac)

@@ -228,10 +228,12 @@ def write_vcf(gd: GenotypeData, path: str,
         raise ValueError(
             f"dosages up to {int(gd.matrix.max())} exceed ploidy="
             f"{ploidy}; fix the container's ploidy before writing VCF")
-    if ploidy == 1:
-        codes = {0: "0", 1: "1", MISSING: "."}
-    else:
-        codes = {0: "0/0", 1: "0/1", 2: "1/1", MISSING: "./."}
+    # generic GT codes for ANY ploidy (read_vcf can produce ploidy > 2
+    # from polyploid files — ADVICE r3): dosage d -> (ploidy-d) REF
+    # copies then d ALT copies, e.g. ploidy=4 d=3 -> '0/1/1/1'
+    codes = {d: "/".join(["0"] * (ploidy - d) + ["1"] * d)
+             for d in range(ploidy + 1)}
+    codes[MISSING] = "/".join(["."] * ploidy)
     out = gzip.open(path, "wt") if path.endswith(".gz") else open(path, "w")
     with out as f:
         f.write("##fileformat=VCFv4.2\n")

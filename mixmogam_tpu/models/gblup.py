@@ -190,5 +190,10 @@ def _joint_kinship(gd_or_G, kinship_method: str) -> np.ndarray:
     from mixmogam_tpu.oracle.kinship import scale_k
     from mixmogam_tpu.ops.kinship import kinship as build_kinship
 
+    if kinship_method not in ("ibs", "ibd", "vanraden"):
+        # silently coercing a typo ('vanRaden', 'grm') to IBS would run
+        # the wrong kinship and return plausible-but-wrong predictions
+        raise ValueError(f"unknown kinship method {kinship_method!r}; "
+                         "expected 'ibs', 'ibd' or 'vanraden'")
     method = "vanraden" if kinship_method in ("ibd", "vanraden") else "ibs"
     return scale_k(np.asarray(build_kinship(gd_or_G, method=method)))
