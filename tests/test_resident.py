@@ -361,6 +361,79 @@ class TestPackedCache:
         np.testing.assert_array_equal(rg2[0:128], G)
 
 
+class TestResidentClassTests:
+    """VERDICT r3 #1: anova/KW must source class sums from packed HBM
+    instead of decoding the container to host. Parity vs the host
+    (in-core) paths, which are themselves scipy-pinned elsewhere."""
+
+    def test_anova_parity(self):
+        from mixmogam_tpu.models.linear import anova
+
+        G, _, y = _data(70, n=64, m=300, ploidy=2)
+        rg = ResidentGenome.from_source(G, tile=64)
+        ref = anova(G, y, ploidy=2)
+        res = anova(rg, y)
+        np.testing.assert_allclose(res["f_stats"], ref["f_stats"],
+                                   rtol=1e-9)
+        np.testing.assert_allclose(res["ps"], ref["ps"], rtol=1e-9)
+
+    def test_anova_parity_missing(self):
+        from mixmogam_tpu.models.linear import anova
+
+        G, _, y = _data(71, n=64, m=300, ploidy=2, missing=0.06)
+        rg = ResidentGenome.from_source(G, tile=64)
+        ref = anova(G, y, ploidy=2)
+        res = anova(rg, y)
+        np.testing.assert_allclose(res["ps"], ref["ps"], rtol=1e-9)
+
+    def test_kw_parity(self):
+        from mixmogam_tpu.models.linear import kruskal_wallis
+
+        G, _, y = _data(72, n=64, m=300, ploidy=2)
+        rg = ResidentGenome.from_source(G, tile=64)
+        ref = kruskal_wallis(G, y, ploidy=2)
+        res = kruskal_wallis(rg, y)
+        np.testing.assert_allclose(res["stats"], ref["stats"], rtol=1e-9)
+        np.testing.assert_allclose(res["ps"], ref["ps"], rtol=1e-9)
+
+    def test_kw_parity_missing(self):
+        from mixmogam_tpu.models.linear import kruskal_wallis
+
+        G, _, y = _data(73, n=64, m=300, ploidy=2, missing=0.06)
+        rg = ResidentGenome.from_source(G, tile=64)
+        ref = kruskal_wallis(G, y, ploidy=2)
+        res = kruskal_wallis(rg, y)
+        np.testing.assert_allclose(res["stats"], ref["stats"], rtol=1e-9)
+        np.testing.assert_allclose(res["ps"], ref["ps"], rtol=1e-9)
+
+    def test_kw_parity_haploid_missing(self):
+        from mixmogam_tpu.models.linear import kruskal_wallis
+
+        G, _, y = _data(74, n=48, m=200, ploidy=1, missing=0.1)
+        rg = ResidentGenome.from_source(G, tile=64)
+        ref = kruskal_wallis(G, y, ploidy=1)
+        res = kruskal_wallis(rg, y)
+        np.testing.assert_allclose(res["ps"], ref["ps"], rtol=1e-9)
+
+    def test_anova_scipy_direct(self):
+        """Anchor the packed path against scipy.stats.f_oneway on a
+        handful of SNPs (not just the host-path implementation)."""
+        import scipy.stats
+
+        from mixmogam_tpu.models.linear import anova
+
+        G, _, y = _data(75, n=80, m=60, ploidy=2, missing=0.05)
+        rg = ResidentGenome.from_source(G, tile=64)
+        res = anova(rg, y)
+        for j in [0, 7, 33]:
+            groups = [y[G[j] == g] for g in range(3)
+                      if (G[j] == g).sum() > 0]
+            if len(groups) < 2:
+                continue
+            f, p = scipy.stats.f_oneway(*groups)
+            assert res["ps"][j] == pytest.approx(p, rel=1e-8)
+
+
 class TestResidentPermutation:
     def test_perm_parity(self):
         from mixmogam_tpu.models.permutation import emmax_perm_test
