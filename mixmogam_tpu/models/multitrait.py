@@ -69,7 +69,8 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
                       esp: float = 1e-6,
                       dtype=None, tile: Optional[int] = None,
                       tile_budget: int = 1 << 27,
-                      stream_budget_bytes: int = STREAM_BUDGET_BYTES
+                      stream_budget_bytes: int = STREAM_BUDGET_BYTES,
+                      _keep_cols: Optional[np.ndarray] = None
                       ) -> Dict[str, np.ndarray]:
     """EMMAX over T phenotypes sharing one kinship/eigenbasis.
 
@@ -79,7 +80,10 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
     with the kinship sub-block (prepare_k semantics) and its own
     eigenbasis — exact, one host eigh per DISTINCT pattern (the
     reference's multi-phenotype files typically have few). Fully
-    observed input keeps the single shared eigenbasis.
+    observed input keeps the single shared eigenbasis. A ResidentGenome
+    works with missing phenotypes too: each pattern group gathers its
+    sample columns on device per tile (no host decode of the packed
+    container).
 
     Returns ps/f_stats/betas of shape (T, M) + per-trait deltas and h2;
     'dof' is a scalar when all traits share the sample set, else a (T,)
@@ -91,11 +95,9 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
 
     rg = G if isinstance(G, ResidentGenome) else None
     if np.isnan(Y).any():
-        if rg is not None:
-            raise ValueError(
-                "per-trait missing phenotypes need per-group SAMPLE "
-                "subsets, which a column-packed ResidentGenome cannot "
-                "slice; pass the host genotype source instead")
+        # per-trait missing phenotypes: group by missingness pattern;
+        # a ResidentGenome's pattern groups gather their SAMPLE subset
+        # on device per tile (no host decode)
         return _multi_trait_grouped(G, Y, K=K, X0=X0, ngrids=ngrids,
                                     llim=llim, ulim=ulim, esp=esp,
                                     dtype=dtype,
@@ -112,6 +114,17 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
 
     G_src = resolve_source(G)
     M = G_src.shape[0]
+    keep_cols_dev = None
+    if rg is not None:
+        if _keep_cols is not None:
+            _keep_cols = np.asarray(_keep_cols)
+            if _keep_cols.shape[0] != n:
+                raise ValueError("_keep_cols must list one container "
+                                 "column per Y column")
+            keep_cols_dev = jnp.asarray(_keep_cols, jnp.int32)
+        elif rg.n != n:
+            raise ValueError(f"Y has {n} samples but the resident "
+                             f"genome holds {rg.n}")
     streamed = (False if rg is not None
                 else should_stream(G_src, n, dtype, stream_budget_bytes))
     Gf = None if (streamed or rg is not None) else _as_dosage(G, dtype)
@@ -167,11 +180,18 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
     for s in range(0, M, tile):
         e = min(s + tile, M)
         if rg is not None:
-            from mixmogam_tpu.models.resident import _tile_from_packed
+            from mixmogam_tpu.models.resident import (_tile_from_packed,
+                                                      _tile_from_packed_cols)
             from mixmogam_tpu.models.streaming import _impute_tile
 
-            Gt = _tile_from_packed(rg.packed, jnp.asarray(s, jnp.int32),
-                                   rg.tile, n)
+            if _keep_cols is not None:
+                Gt = _tile_from_packed_cols(
+                    rg.packed, jnp.asarray(s, jnp.int32), rg.tile, rg.n,
+                    keep_cols_dev)
+            else:
+                Gt = _tile_from_packed(rg.packed,
+                                       jnp.asarray(s, jnp.int32),
+                                       rg.tile, n)
             if rg.has_missing:
                 Gt = _impute_tile(Gt, dtype)
         elif streamed:
@@ -210,7 +230,11 @@ def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
     """Per-trait missing phenotypes: group traits by missingness pattern;
     each group = one sample subset, one kinship sub-block, one shared
     eigenbasis, one batched scan. SNP degeneracy on a subset is handled by
-    the kernel's per-SNP mask (p = 1), matching the package-wide rule."""
+    the kernel's per-SNP mask (p = 1), matching the package-wide rule.
+    A ResidentGenome group recurses with the container + a device
+    column-gather index (VERDICT r3 #7) instead of decoding to host."""
+    from mixmogam_tpu.models.resident import ResidentGenome
+
     T, n = Y.shape
     if dtype is None:
         dtype = jnp.zeros(0).dtype
@@ -219,6 +243,7 @@ def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
     # 80 GB at the 1M x 10k configuration
     from mixmogam_tpu.models.source import resolve_source
 
+    rg = G if isinstance(G, ResidentGenome) else None
     G_src = resolve_source(G)
     M = G_src.shape[0]
     if X0 is None:
@@ -250,12 +275,21 @@ def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
             raise ValueError(
                 f"traits {tids} have only {ns} observed samples "
                 f"(need at least q+3 = {q + 3})")
-        sub = emmax_multi_trait(
-            np.ascontiguousarray(np.asarray(G_src)[:, keep]),
-            Y[np.ix_(tids, np.flatnonzero(keep))],
-            K=K[np.ix_(keep, keep)], X0=X0[keep], ngrids=ngrids,
-            llim=llim, ulim=ulim, esp=esp, dtype=dtype, tile=tile,
-            tile_budget=tile_budget)
+        if rg is not None:
+            sub = emmax_multi_trait(
+                rg, Y[np.ix_(tids, np.flatnonzero(keep))],
+                K=K[np.ix_(keep, keep)], X0=X0[keep], ngrids=ngrids,
+                llim=llim, ulim=ulim, esp=esp, dtype=dtype, tile=tile,
+                tile_budget=tile_budget,
+                _keep_cols=(np.flatnonzero(keep)
+                            if not keep.all() else None))
+        else:
+            sub = emmax_multi_trait(
+                np.ascontiguousarray(np.asarray(G_src)[:, keep]),
+                Y[np.ix_(tids, np.flatnonzero(keep))],
+                K=K[np.ix_(keep, keep)], X0=X0[keep], ngrids=ngrids,
+                llim=llim, ulim=ulim, esp=esp, dtype=dtype, tile=tile,
+                tile_budget=tile_budget)
         ps[tids] = sub["ps"]
         fs[tids] = sub["f_stats"]
         betas[tids] = sub["betas"]

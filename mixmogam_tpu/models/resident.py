@@ -375,6 +375,17 @@ def _tile_from_packed(packed: jnp.ndarray, s, tile: int, n: int
     return unpack_2bit_device(pt, n)
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "n"))
+def _tile_from_packed_cols(packed: jnp.ndarray, s, tile: int, n: int,
+                           cols: jnp.ndarray) -> jnp.ndarray:
+    """Unpack a tile and gather a SAMPLE subset on device (multi-trait
+    missingness-pattern groups scan a column subset of the container —
+    VERDICT r3 #7: no host decode). Returns raw int8 (missing = -1);
+    impute after the gather so subset means match the host path."""
+    pt = jax.lax.dynamic_slice_in_dim(packed, s, tile, axis=0)
+    return jnp.take(unpack_2bit_device(pt, n), cols, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "tile", "M", "ploidy"))
 def _ibs_resident_fused(packed: jnp.ndarray, n: int, tile: int, M: int,
                         ploidy: int) -> jnp.ndarray:

@@ -156,6 +156,88 @@ def resolve_precision(precision: str, G=None, backend=None):
     return rb, mp, p
 
 
+def quantize_rotation(W, rotate_dtype, sd_dtype=None):
+    """Encode an (n, n) rotation operator in the MXU tier named by
+    `rotate_dtype` -> (W_repr, w_scale | None). The representation is
+    decoded by apply_rotation; tier semantics as documented on
+    build_rotated_null. Shared by the EMMAX scan (W = U*sd) and the GxE
+    product rotations (env-scaled copies of U)."""
+    if sd_dtype is None:
+        sd_dtype = W.dtype
+    if rotate_dtype in ("int8x2", "int8x3", "int8x4"):
+        k = int(rotate_dtype[5])
+        bits = 8 * k - 2  # top balanced digit stays within int8
+        colmax = jnp.max(jnp.abs(W), axis=0)
+        _, e = jnp.frexp(colmax)          # colmax <= 2^e exactly
+        w_scale = jnp.exp2((e - bits).astype(sd_dtype))
+        Wi = jnp.round(W / w_scale[None, :]).astype(jnp.int32)
+        planes = []
+        r = Wi
+        for _ in range(k):                # balanced base-256 digits
+            d = ((r + 128) % 256) - 128
+            planes.append(d.astype(jnp.int8))
+            r = (r - d) // 256
+        return jnp.stack(planes), w_scale  # (k, n, n) int8, low digit 1st
+    if rotate_dtype in ("bf16x2", "bf16x3", "bf16x2c", "bf16x3c"):
+        concat = rotate_dtype.endswith("c")
+        k = int(rotate_dtype[5])
+        resid = W.astype(jnp.float32)
+        parts = []
+        for _ in range(k):
+            p = resid.astype(jnp.bfloat16)
+            parts.append(p)
+            resid = resid - p.astype(jnp.float32)
+        # stacked (k, n, n): k separate dots. concat (n, k*n): ONE wide
+        # dot (XLA keeps all passes in one fused matmul kernel) + a
+        # 3-way column-block sum; detected downstream by
+        # W.shape[1] == k * W.shape[0].
+        return (jnp.concatenate(parts, axis=1) if concat
+                else jnp.stack(parts)), None
+    if rotate_dtype is not None:
+        return W.astype(rotate_dtype), None
+    return W, None
+
+
+def apply_rotation(G_tile, W, w_scale, dt):
+    """Xs = G_tile @ W where W is a quantize_rotation representation;
+    dt is the accumulate/output dtype (the epilogue precision)."""
+    prec = (jax.lax.Precision.DEFAULT
+            if W.dtype == jnp.bfloat16 else None)
+    if W.dtype == jnp.int8:
+        # int8 digit-plane tier ('int8xK'): K exact int8->int32 MXU
+        # matmuls (2x bf16 rate on v5e), recombined base-256 in fp32.
+        # precision=DEFAULT is MANDATORY: the package-global 'highest'
+        # would otherwise force an f32 upcast of the int8 dots.
+        Gb = (G_tile if G_tile.dtype == jnp.int8
+              else jnp.round(G_tile).astype(jnp.int8))
+        Xs = None
+        for i in range(W.shape[0]):
+            Ai = jnp.dot(Gb, W[i], preferred_element_type=jnp.int32,
+                         precision=jax.lax.Precision.DEFAULT)
+            term = Ai.astype(dt) * (256.0 ** i)
+            Xs = term if Xs is None else Xs + term
+        return Xs * w_scale[None, :].astype(dt)
+    if W.ndim == 3:
+        # split-W tier ('bf16xK'): sum of K single-pass bf16 matmuls,
+        # fp32 accumulation
+        Gb = G_tile.astype(W.dtype)
+        Xs = jnp.dot(Gb, W[0], preferred_element_type=dt, precision=prec)
+        for i in range(1, W.shape[0]):
+            Xs = Xs + jnp.dot(Gb, W[i], preferred_element_type=dt,
+                              precision=prec)
+        return Xs
+    if W.shape[1] != W.shape[0] and W.shape[1] % W.shape[0] == 0:
+        # concat split-W tier ('bf16xKc'): one wide matmul, then sum
+        # the K column blocks
+        k = W.shape[1] // W.shape[0]
+        m = G_tile.shape[0]
+        Xw = jnp.dot(G_tile.astype(W.dtype), W,
+                     preferred_element_type=dt, precision=prec)
+        return jnp.sum(Xw.reshape(m, k, W.shape[0]), axis=1)
+    return jnp.dot(G_tile.astype(W.dtype), W,
+                   preferred_element_type=dt, precision=prec)
+
+
 def build_rotated_null(null: NullModel, rotate_dtype=None) -> RotatedNull:
     """rotate_dtype selects the MXU tier for the rotation matmul:
 
@@ -183,39 +265,8 @@ def build_rotated_null(null: NullModel, rotate_dtype=None) -> RotatedNull:
 
     phi, U, delta = null.phi, null.U, null.delta
     sd = 1.0 / jnp.sqrt(phi + delta)
-    W = U * sd[None, :]
-    w_scale = None
-    if rotate_dtype in ("int8x2", "int8x3", "int8x4"):
-        k = int(rotate_dtype[5])
-        bits = 8 * k - 2  # top balanced digit stays within int8
-        colmax = jnp.max(jnp.abs(W), axis=0)
-        _, e = jnp.frexp(colmax)          # colmax <= 2^e exactly
-        w_scale = jnp.exp2((e - bits).astype(sd.dtype))
-        Wi = jnp.round(W / w_scale[None, :]).astype(jnp.int32)
-        planes = []
-        r = Wi
-        for _ in range(k):                # balanced base-256 digits
-            d = ((r + 128) % 256) - 128
-            planes.append(d.astype(jnp.int8))
-            r = (r - d) // 256
-        W = jnp.stack(planes)             # (k, n, n) int8, low digit first
-    elif rotate_dtype in ("bf16x2", "bf16x3", "bf16x2c", "bf16x3c"):
-        concat = rotate_dtype.endswith("c")
-        k = int(rotate_dtype[5])
-        resid = W.astype(jnp.float32)
-        parts = []
-        for _ in range(k):
-            p = resid.astype(jnp.bfloat16)
-            parts.append(p)
-            resid = resid - p.astype(jnp.float32)
-        # stacked (k, n, n): k separate dots. concat (n, k*n): ONE wide
-        # dot (XLA keeps all passes in one fused matmul kernel) + a
-        # 3-way column-block sum; detected downstream by
-        # W.shape[1] == k * W.shape[0].
-        W = (jnp.concatenate(parts, axis=1) if concat
-             else jnp.stack(parts))
-    elif rotate_dtype is not None:
-        W = W.astype(rotate_dtype)
+    W, w_scale = quantize_rotation(U * sd[None, :], rotate_dtype,
+                                   sd_dtype=sd.dtype)
     y_star = (null.y @ U) * sd
     X0_star = (null.X0.T @ U).T * sd[:, None]
     Q0 = orthonormal_basis(X0_star)
@@ -242,50 +293,10 @@ def emmax_scan_stats(G_tile: jnp.ndarray, rot: RotatedNull,
     if pre_rotated:
         Xs = G_tile.astype(dt) * rot.sd[None, :]
     else:
-        # rot.W's dtype selects the MXU precision for the rotation matmul
-        # (bf16 W = the fast path: single MXU pass, fp32 accumulation;
-        # see PrecisionConfig.rotate_in_bf16); epilogue stays in fp32+.
-        # bf16 inputs must pin precision=DEFAULT explicitly — the
-        # package-global 'highest' (see ops.__init__) would otherwise
-        # force multi-pass emulation and erase the fast tier (measured
-        # 2x slower on v5e).
-        prec = (jax.lax.Precision.DEFAULT
-                if rot.W.dtype == jnp.bfloat16 else None)
-        if rot.W.dtype == jnp.int8:
-            # int8 digit-plane tier ('int8xK'): K exact int8->int32 MXU
-            # matmuls (2x bf16 rate on v5e), recombined base-256 in fp32.
-            # precision=DEFAULT is MANDATORY: the package-global 'highest'
-            # would otherwise force an f32 upcast of the int8 dots.
-            Gb = (G_tile if G_tile.dtype == jnp.int8
-                  else jnp.round(G_tile).astype(jnp.int8))
-            Xs = None
-            for i in range(rot.W.shape[0]):
-                Ai = jnp.dot(Gb, rot.W[i], preferred_element_type=jnp.int32,
-                             precision=jax.lax.Precision.DEFAULT)
-                term = Ai.astype(dt) * (256.0 ** i)
-                Xs = term if Xs is None else Xs + term
-            Xs = Xs * rot.w_scale[None, :].astype(dt)
-        elif rot.W.ndim == 3:
-            # split-W tier (build_rotated_null 'bf16xK'): sum of K
-            # single-pass bf16 matmuls, fp32 accumulation
-            Gb = G_tile.astype(rot.W.dtype)
-            Xs = jnp.dot(Gb, rot.W[0], preferred_element_type=dt,
-                         precision=prec)
-            for i in range(1, rot.W.shape[0]):
-                Xs = Xs + jnp.dot(Gb, rot.W[i], preferred_element_type=dt,
-                                  precision=prec)
-        elif rot.W.shape[1] != rot.W.shape[0] and \
-                rot.W.shape[1] % rot.W.shape[0] == 0:
-            # concat split-W tier ('bf16xKc'): one wide matmul, then sum
-            # the K column blocks
-            k = rot.W.shape[1] // rot.W.shape[0]
-            m = G_tile.shape[0]
-            Xw = jnp.dot(G_tile.astype(rot.W.dtype), rot.W,
-                         preferred_element_type=dt, precision=prec)
-            Xs = jnp.sum(Xw.reshape(m, k, rot.W.shape[0]), axis=1)
-        else:
-            Xs = jnp.dot(G_tile.astype(rot.W.dtype), rot.W,
-                         preferred_element_type=dt, precision=prec)
+        # rot.W's dtype/shape selects the MXU tier for the rotation
+        # matmul (see quantize_rotation/apply_rotation); epilogue stays
+        # in fp32+.
+        Xs = apply_rotation(G_tile, rot.W, rot.w_scale, dt)
     c = Xs @ rot.Q0                                    # (m, q)
     xy = Xs @ rot.y_res                                # (m,)
     ss = jnp.sum(Xs * Xs, axis=1)

@@ -1,9 +1,11 @@
 """Whole-genome GxE at BASELINE config #3 scale (1M x 10,240) on the
-device-resident container: upload (cached packed rows), null fit on
-[1, env] off the cached eigendecomposition, then the packed-HBM GxE
-scan (unpack + TWO rotate matmuls per tile -> expect ~2x the plain
-resident scan's 3.6 s exact wall). Appends a record to
-docs/baseline_r3.json."""
+device-resident container, round 4: precision tiers (VERDICT r3 #3).
+
+Measures emmax_gxe end-to-end per tier off the cached packed rows +
+eigendecomposition: exact fp32, int8x3 (fp32-grade), int8x2 + exact
+rescore (exact-grade reported hits), and a 2-environment batch (shared
+genotype rotation: E+1 rotations per tile instead of 2E). Appends
+records to docs/baseline_r4.json."""
 
 import json
 import os
@@ -26,11 +28,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from mixmogam_tpu.models.gxe import _gxe_scan_packed
+    from mixmogam_tpu.models.gxe import emmax_gxe
     from mixmogam_tpu.models.resident import ResidentGenome
-    from mixmogam_tpu.models.stepwise import _rot_null_from_delta
-    from mixmogam_tpu.ops.reml import fit_null_model
-    from mixmogam_tpu.ops.stats import f_sf_host
 
     np.asarray(jnp.zeros(8))
     log(f"claimed; backend={jax.default_backend()}")
@@ -47,49 +46,50 @@ def main():
 
     with np.load(os.path.join(CACHE, f"eig_{N}x{M}.npz")) as z:
         phi, U = z["phi"].astype(np.float32), z["U"].astype(np.float32)
-    X0e = np.column_stack([np.ones(N), env]).astype(np.float32)
-    t0 = time.time()
-    null = fit_null_model(y.astype(np.float32), X0e, eig_k=(phi, U))
-    log(f"null fit on [1, env]: {time.time()-t0:.1f}s "
-        f"delta={float(null.delta):.4g}")
 
-    phi_d = jnp.asarray(phi)
-    U_d = jnp.asarray(U)
-    y_rot = U_d.T @ jnp.asarray(y, jnp.float32)
-    X_rot = U_d.T @ jnp.asarray(X0e)
-    rot = _rot_null_from_delta(phi_d, null.delta, y_rot, X_rot,
-                               jnp.float32, U=U_d)
-    ed = jnp.asarray(env, jnp.float32)
-    t0 = time.time()
-    out = jax.block_until_ready(
-        _gxe_scan_packed(rg.packed, ed, rot, rg.n, rg.tile))
-    cold = time.time() - t0
-    log(f"GxE scan cold (incl. compile): {cold:.2f}s")
-    best = np.inf
-    for _ in range(2):
+    recs = []
+
+    def run(label, envv, **kw):
+        # warm-up call compiles; second call is the steady-state wall
         t0 = time.time()
-        out = jax.block_until_ready(
-            _gxe_scan_packed(rg.packed, ed, rot, rg.n, rg.tile))
-        best = min(best, time.time() - t0)
-    rate = M / best
-    log(f"GxE scan warm: {best:.2f}s FULL {M:,} -> {rate:,.0f} "
-        f"SNP-GxE-tests/s/chip (marginal+inter+joint per SNP)")
-    f_inter = np.asarray(out[1][:M], np.float64)
-    mask_p = np.asarray(out[4][:M])
-    ps = np.where(mask_p, f_sf_host(f_inter, 1.0, float(rot.dof) - 1.0),
-                  1.0)
-    log(f"min inter p = {ps.min():.3g} (null env: expect no extreme "
-        f"hits); masked = {int((~mask_p).sum())}")
-    rec = {"phase": "resident_gxe_1M", "ts": time.strftime("%F %T"),
-           "n": N, "M": M, "scan_cold_s": round(cold, 2),
-           "scan_warm_s": round(best, 2),
-           "tests_per_s": round(rate), "min_inter_p": float(ps.min()),
-           "masked": int((~mask_p).sum())}
-    p = os.path.join(REPO, "docs", "baseline_r3.json")
-    d = json.load(open(p))
-    d.append(rec)
+        emmax_gxe(rg, y, envv, eig_k=(phi, U), **kw)
+        cold = time.time() - t0
+        t0 = time.time()
+        out = emmax_gxe(rg, y, envv, eig_k=(phi, U), **kw)
+        warm = time.time() - t0
+        n_env = 1 if envv.ndim == 1 else envv.shape[1]
+        rate = M * n_env / warm
+        ip = out["inter_ps"]
+        log(f"GxE {label}: cold {cold:.1f}s warm {warm:.2f}s -> "
+            f"{rate:,.0f} SNP-GxE-tests/s/chip (E={n_env}); "
+            f"min inter p = {np.min(ip):.3g}")
+        recs.append({"phase": f"resident_gxe_1M_{label}",
+                     "ts": time.strftime("%F %T"), "n": N, "M": M,
+                     "n_env": n_env, "cold_s": round(cold, 2),
+                     "warm_s": round(warm, 2), "tests_per_s": round(rate),
+                     "min_inter_p": float(np.min(ip))})
+        return out
+
+    ref = run("exact", env)
+    r3 = run("int8x3", env, precision="int8x3")
+    rf = run("fast_int8x2_rescore", env, precision="fast")
+    # parity of the fp32-grade tier vs exact on the leaders
+    top = np.argsort(ref["inter_ps"])[:100]
+    d3 = float(np.max(np.abs(r3["inter_ps"][top] - ref["inter_ps"][top])))
+    df = float(np.max(np.abs(rf["inter_ps"][top] - ref["inter_ps"][top])))
+    log(f"top-100 |dp|: int8x3 {d3:.3g}, fast+rescore {df:.3g}")
+    recs[-2]["top100_max_dp_vs_exact"] = d3
+    recs[-1]["top100_max_dp_vs_exact"] = df
+    # 2-env batch: shared genotype rotation
+    env2 = np.column_stack([env, rng.normal(size=N)])
+    run("exact_E2", env2)
+    run("int8x3_E2", env2, precision="int8x3")
+
+    p = os.path.join(REPO, "docs", "baseline_r4.json")
+    d = json.load(open(p)) if os.path.exists(p) else []
+    d.extend(recs)
     json.dump(d, open(p, "w"), indent=2)
-    print(json.dumps(rec), flush=True)
+    print(json.dumps(recs[-1]), flush=True)
 
 
 if __name__ == "__main__":
