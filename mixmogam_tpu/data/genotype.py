@@ -100,7 +100,7 @@ class GenotypeData:
     # ---- filters (reference: filter_mac_snps / filter_maf_snps) ----
     def select_snps(self, mask: np.ndarray) -> "GenotypeData":
         mask = np.asarray(mask)
-        return GenotypeData(
+        return type(self)(
             matrix=self.matrix[mask],
             chromosomes=self.chromosomes[mask],
             positions=self.positions[mask],
@@ -121,7 +121,7 @@ class GenotypeData:
     # ---- sample operations ----
     def select_samples(self, idx: Sequence[int]) -> "GenotypeData":
         idx = np.asarray(idx, dtype=np.int64)
-        return GenotypeData(
+        return type(self)(
             matrix=np.ascontiguousarray(self.matrix[:, idx]),
             chromosomes=self.chromosomes,
             positions=self.positions,
@@ -271,3 +271,91 @@ class GenotypeData:
 # SNPsDataSet (snpsdata.py); this framework's single packed container plays
 # that role.
 SNPsDataSet = GenotypeData
+
+
+class DosageData(GenotypeData):
+    """Float dosage container — NaN = missing (capability extension;
+    reference snpsdata.py stores hard calls only). Backing store for
+    imputed/expected ALT dosages, e.g. a VCF's DS FORMAT field
+    (data/vcf.py read_vcf(field='DS')).
+
+    Mirrors the GenotypeData surface the pipelines use (filters,
+    sample selection, phenotype coordination, kinship delegation); the
+    scan paths treat the float matrix like any imputed source. Dosages
+    are fractional, so the int8 digit-plane tiers refuse it
+    (precision='auto'/'fast' resolve to exact/bf16) and the 2-bit
+    ResidentGenome packing does not apply — use the streamed float path
+    at scale. MAC/MAF are EXPECTED allele counts (sums of dosages over
+    observed samples); filter_mac_snps thresholds that expectation."""
+
+    def __post_init__(self):
+        self.matrix = np.ascontiguousarray(self.matrix, dtype=np.float32)
+        self.chromosomes = np.asarray(self.chromosomes, dtype=np.int32)
+        self.positions = np.asarray(self.positions, dtype=np.int64)
+        self.accessions = [str(a) for a in self.accessions]
+        assert self.matrix.shape == (len(self.chromosomes),
+                                     len(self.accessions))
+
+    def allele_counts(self) -> Tuple[np.ndarray, np.ndarray]:
+        obs = ~np.isnan(self.matrix)
+        tot = obs.sum(axis=1) * self.ploidy
+        alt = np.where(obs, self.matrix, 0.0).sum(axis=1)
+        mac = np.minimum(alt, tot - alt)
+        return mac, tot.astype(np.int64)
+
+    def dosage_f64(self) -> np.ndarray:
+        Z = self.matrix.astype(np.float64)
+        miss = np.isnan(Z)
+        if miss.any():
+            mu = np.nanmean(np.where(miss, np.nan, Z), axis=1)
+            mu = np.where(np.isnan(mu), 0.0, mu)
+            idx = np.where(miss)
+            Z[idx] = mu[idx[0]]
+        return Z
+
+    def content_hash(self) -> str:
+        h = hashlib.sha256()
+        h.update(self.matrix.tobytes())
+        h.update(self.chromosomes.tobytes())
+        h.update(self.positions.tobytes())
+        h.update("|".join(self.accessions).encode())
+        h.update(str(self.ploidy).encode())
+        return h.hexdigest()[:16]
+
+    def write_csv(self, path: str) -> None:
+        raise NotImplementedError(
+            "DosageData holds fractional dosages; the CSV container "
+            "stores hard calls. Use write_hdf5 or keep the source VCF.")
+
+    def write_packed(self, path: str) -> None:
+        raise NotImplementedError(
+            "2-bit packing stores hard calls 0..2; fractional dosages "
+            "cannot pack. Use write_hdf5.")
+
+    def write_hdf5(self, path: str) -> None:
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            f.create_dataset("matrix", data=self.matrix,
+                             compression="gzip")
+            f.create_dataset("chromosomes", data=self.chromosomes)
+            f.create_dataset("positions", data=self.positions)
+            f.create_dataset(
+                "accessions",
+                data=np.asarray(self.accessions, dtype="S"))
+            f.attrs["ploidy"] = self.ploidy
+            f.attrs["dosage"] = True
+
+    @staticmethod
+    def read_hdf5(path: str) -> "DosageData":
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return DosageData(
+                matrix=f["matrix"][:],
+                chromosomes=f["chromosomes"][:],
+                positions=f["positions"][:],
+                accessions=[a.decode() if isinstance(a, bytes) else str(a)
+                            for a in f["accessions"][:]],
+                ploidy=int(f.attrs.get("ploidy", 2)),
+            )

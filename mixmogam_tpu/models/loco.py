@@ -13,10 +13,16 @@ LOCO matrices cost ONE extra pass over the genome, not C of them:
 
 with (num, den) = (sharing counts, a*M) for IBS and (W'W, ploidy*sum
 p(1-p)) for VanRaden — the per-chromosome grams ride the same int8 MXU
-update kernels as the global kinship. The per-chromosome null re-fits
-(REML + host eigh of each K_loco) are the irreducible LOCO surcharge
-and are documented as such (C eighs; use eigh_dtype=np.float32 /
-precision='fast' to halve them).
+update kernels as the global kinship (a ResidentGenome sources them
+from packed-HBM row slices, zero host traffic). The per-chromosome
+null re-fits (REML + host eigh of each K_loco) are the irreducible
+LOCO surcharge: round 4 PIPELINES them — chromosome c+1's host eigh
+runs in a worker thread under chromosome c's null fit + device scan,
+so the end-to-end wall approaches max(sum eighs, sum fits+scans)
+instead of their sum. precision='fast' takes the f32 ssyevd tier
+(measured 1.45x) and the scan's int8x2+rescore tier. Measured at
+config #3 (1M x 10,240, 22 chromosomes): see docs/PERFORMANCE.md
+§LOCO / docs/baseline_r4.json.
 """
 
 from __future__ import annotations
@@ -117,16 +123,26 @@ def loco_kinships(G, chromosomes=None, method: str = "ibs",
         K_total = kinship(G, method=method, ploidy=ploidy, **kin_kw)
     K_total = np.asarray(K_total, dtype=np.float64)
 
+    from mixmogam_tpu.models.resident import (ResidentGenome,
+                                              kinship_resident)
+
+    rg = G if isinstance(G, ResidentGenome) else None
     out: Dict[object, np.ndarray] = {}
     nums: Dict[object, np.ndarray] = {}
     dens: Dict[object, float] = {}
     for c, s, e in ranges:
-        rows = _rows(G, s, e)
-        K_c = kinship(rows, method=method, ploidy=ploidy, **kin_kw)
-        if vr:
-            dens[c] = _vanraden_den(rows, ploidy)
+        if rg is not None:
+            # per-chromosome gram straight off the packed HBM slice —
+            # no host decode (round 4; rides the fused int8 kernels)
+            K_c, den = kinship_resident(rg.slice_rows(s, e),
+                                        method=method, ploidy=ploidy,
+                                        return_den=True)
+            dens[c] = den
         else:
-            dens[c] = float(e - s)
+            rows = _rows(G, s, e)
+            K_c = kinship(rows, method=method, ploidy=ploidy, **kin_kw)
+            dens[c] = (_vanraden_den(rows, ploidy) if vr
+                       else float(e - s))
         nums[c] = np.asarray(K_c, np.float64) * dens[c]
     if vr:
         den_tot = sum(dens.values())
@@ -145,17 +161,28 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
                ngrids: int = 100, llim: float = -10.0, ulim: float = 10.0,
                esp: float = 1e-6, with_betas: bool = True,
                precision: Optional[str] = None,
-               dtype=None, **kw) -> Dict[str, np.ndarray]:
+               dtype=None, pipeline_eigh: bool = True,
+               **kw) -> Dict[str, np.ndarray]:
     """EMMAX where each chromosome is scanned under the null whose
     random effect excludes that chromosome (LOCO).
 
     Returns the models.emmax dict (arrays in source SNP order) plus
     'loco': {chrom: {delta, pseudo_heritability, ll_null}}. Cost note:
-    one REML + one host eigh PER chromosome (the LOCO surcharge;
-    precision='fast' runs them in f32/ssyevd). kinships: reuse
-    loco_kinships output (e.g. cached); built here otherwise.
+    one REML + one host eigh PER chromosome — the irreducible LOCO
+    surcharge (precision='fast' runs the eighs in f32/ssyevd, measured
+    1.45x). pipeline_eigh overlaps chromosome c+1's host eigh with
+    chromosome c's null fit + device scan in a single worker thread
+    (prefetch depth 1 — two (phi, U) pairs live at once, ~0.9 GB at
+    n=10,240 f32). A ResidentGenome source scans each chromosome off
+    its packed-HBM row slice (slice_rows) and rides the scan precision
+    tiers; no host decode anywhere. kinships: reuse loco_kinships
+    output (e.g. cached); built here otherwise.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from mixmogam_tpu.models.emmax import emmax
+    from mixmogam_tpu.models.resident import ResidentGenome
+    from mixmogam_tpu.ops.eigen import eigen_k
 
     if chromosomes is None:
         chromosomes = getattr(G, "chromosomes", None)
@@ -168,25 +195,42 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
                                  ploidy=ploidy)
     y = np.asarray(y, dtype=np.float64).ravel()
     M = len(chromosomes)
+    rg = G if isinstance(G, ResidentGenome) else None
+    factor_dtype = np.float32 if str(precision) == "fast" else None
     merged: Dict[str, np.ndarray] = {}
     loco_info: Dict[object, Dict[str, float]] = {}
-    for c, s, e in ranges:
-        res = emmax(_rows(G, s, e), y, K=kinships[c], X0=X0,
-                    ngrids=ngrids, llim=llim, ulim=ulim, esp=esp,
-                    with_betas=with_betas, precision=precision,
-                    dtype=dtype, **kw)
-        loco_info[c] = {
-            "delta": res["delta"],
-            "pseudo_heritability": res["pseudo_heritability"],
-            "ll_null": res["ll_null"],
-        }
-        for k in ("ps", "f_stats", "mask", "betas", "var_perc"):
-            if k not in res or res[k] is None:
-                continue
-            if k not in merged:
-                merged[k] = np.empty((M,) + np.shape(res[k])[1:],
-                                     dtype=np.asarray(res[k]).dtype)
-            merged[k][s:e] = np.asarray(res[k])[: e - s]
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futs: Dict[object, object] = {}
+
+        def submit(i: int) -> None:
+            if pipeline_eigh and i < len(ranges):
+                c_i = ranges[i][0]
+                futs[c_i] = ex.submit(eigen_k, kinships[c_i], True,
+                                      factor_dtype)
+
+        submit(0)
+        for i, (c, s, e) in enumerate(ranges):
+            submit(i + 1)  # c+1's eigh runs under c's fit + scan
+            eig = futs.pop(c).result() if pipeline_eigh else None
+            src = rg.slice_rows(s, e) if rg is not None \
+                else _rows(G, s, e)
+            res = emmax(src, y, K=None if eig is not None
+                        else kinships[c], eig_k=eig, X0=X0,
+                        ngrids=ngrids, llim=llim, ulim=ulim, esp=esp,
+                        with_betas=with_betas, precision=precision,
+                        dtype=dtype, **kw)
+            loco_info[c] = {
+                "delta": res["delta"],
+                "pseudo_heritability": res["pseudo_heritability"],
+                "ll_null": res["ll_null"],
+            }
+            for k in ("ps", "f_stats", "mask", "betas", "var_perc"):
+                if k not in res or res[k] is None:
+                    continue
+                if k not in merged:
+                    merged[k] = np.empty((M,) + np.shape(res[k])[1:],
+                                         dtype=np.asarray(res[k]).dtype)
+                merged[k][s:e] = np.asarray(res[k])[: e - s]
     merged["loco"] = loco_info
     merged["dof"] = res["dof"]
     return merged

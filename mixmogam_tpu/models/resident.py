@@ -111,6 +111,24 @@ class ResidentGenome:
                                        axis=0))
         return native.unpack_2bit(rows, self.n)
 
+    def slice_rows(self, s: int, e: int) -> "ResidentGenome":
+        """Row range [s, e) as its own tile-padded container — a device
+        copy of the packed slice only (~n/4 bytes per SNP row). Used by
+        the LOCO per-chromosome scans/kinships: every resident entry
+        point then works on the sub-genome with zero host traffic.
+        Zero pad rows are degenerate in the scan (masked) and cancel in
+        every kinship accumulation (real-row counts are explicit)."""
+        if not (0 <= s < e <= self.M):
+            raise ValueError(f"invalid row range [{s}, {e}) for "
+                             f"M={self.M}")
+        m = e - s
+        m_pad = -(-m // self.tile) * self.tile
+        sub = self.packed[s:e]
+        if m_pad > m:
+            sub = jnp.pad(sub, ((0, m_pad - m), (0, 0)))
+        return ResidentGenome(sub, m, self.n, self.ploidy, self.tile,
+                              self.has_missing)
+
     # ---- construction ----
     @classmethod
     def from_source(cls, G, tile: int = 16_384, chunk: int = 65_536,
@@ -453,12 +471,16 @@ def _ibs_resident_fused(packed: jnp.ndarray, n: int, tile: int, M: int,
 
 def kinship_resident(rg: ResidentGenome, method: str = "ibs",
                      ploidy: Optional[int] = None,
-                     dtype=jnp.float32) -> np.ndarray:
+                     dtype=jnp.float32, return_den: bool = False):
     """Kinship from a ResidentGenome: tiles are sliced+unpacked in HBM
     and fed to the SAME accumulation kernels as the streamed path
     (ops.kinship) — zero host traffic, device gram at the int8 MXU rate
     (measured 253 TOPS; the full 1M x 10k gram is < 1 s of compute).
-    Zero pad rows cancel in every update given m_eff counts real rows."""
+    Zero pad rows cancel in every update given m_eff counts real rows.
+
+    return_den=True also returns the normalization denominator
+    (VanRaden: ploidy * sum p(1-p); IBS: the SNP count) — what LOCO's
+    gram-subtraction identity needs (models/loco.py)."""
     from mixmogam_tpu.models.streaming import _impute_tile
     from mixmogam_tpu.ops.kinship import (_ibs_binary_update,
                                           _ibs_diploid_int8_update,
@@ -495,7 +517,8 @@ def kinship_resident(rg: ResidentGenome, method: str = "ibs",
             denom += float(dn)
         from mixmogam_tpu.ops.transfer import fetch_array
 
-        return fetch_array(K).astype(np.float64) / denom
+        Kh = fetch_array(K).astype(np.float64) / denom
+        return (Kh, denom) if return_den else Kh
     if method != "ibs":
         raise ValueError(f"unknown kinship method {method!r}")
 
@@ -506,7 +529,8 @@ def kinship_resident(rg: ResidentGenome, method: str = "ibs",
         # device->host payload on this image (scripts/d2h_probe.py)
         S = fetch_array(jax.block_until_ready(_ibs_resident_fused(
             rg.packed, n, tile, M, ploidy))).astype(np.float64)
-        return S / M if ploidy == 1 else S / (2.0 * M)
+        Kh = S / M if ploidy == 1 else S / (2.0 * M)
+        return (Kh, float(M)) if return_den else Kh
 
     # missing genotypes: device-imputed float accumulation (same rule
     # as the streamed float path)
@@ -533,7 +557,8 @@ def kinship_resident(rg: ResidentGenome, method: str = "ibs",
             K = _ibs_diploid_update(K, *parts, float(meffs[i]))
     from mixmogam_tpu.ops.transfer import fetch_array
 
-    return fetch_array(K).astype(np.float64) / M
+    Kh = fetch_array(K).astype(np.float64) / M
+    return (Kh, float(M)) if return_den else Kh
 
 
 def rotate_resident_to_device(rg: ResidentGenome, U=None, dtype=None

@@ -64,18 +64,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.unpack_2bit.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                     ctypes.c_int64, ctypes.c_int64,
                                     ctypes.POINTER(ctypes.c_int8)]
-        lib.count_vcf.restype = ctypes.c_int
-        lib.count_vcf.argtypes = [ctypes.c_char_p,
-                                  ctypes.POINTER(ctypes.c_int64),
-                                  ctypes.POINTER(ctypes.c_int64),
-                                  ctypes.POINTER(ctypes.c_int64)]
-        lib.parse_vcf.restype = ctypes.c_int64
-        lib.parse_vcf.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_int8),
+        lib.vcf_open.restype = ctypes.c_void_p
+        lib.vcf_open.argtypes = [ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_int64)]
+        lib.vcf_close.restype = None
+        lib.vcf_close.argtypes = [ctypes.c_void_p]
+        lib.vcf_next.restype = ctypes.c_int64
+        lib.vcf_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
         _lib = lib
         return _lib
@@ -118,53 +119,96 @@ def parse_dosage_csv(path: str, n_threads: int = 0
     return mat, chroms, poss, n
 
 
-def parse_vcf(path: str, n_samples: int, n_threads: int = 0
+def iter_vcf(path: str, n_samples: int, chunk_rows: int = 65_536,
+             n_threads: int = 0):
+    """Stream a VCF's GT records natively (native/fast_vcf.cpp, round 4:
+    one pass, memory-bounded, zlib-transparent so plain .vcf, gzip AND
+    bgzip all parse in C++). Yields per-chunk tuples
+    (matrix int8 (m, n), positions, chrom_codes int32 (-1 = non-
+    numeric), chrom_names bytes (m, 16) NUL-padded, alleles (m, 2) str,
+    chunk_max_arity). Raises ValueError on a structurally malformed
+    body (the caller catches and falls back to the Python reader, which
+    raises the descriptive error) and RuntimeError when the native
+    library is unavailable or the header disagrees — use
+    `native.available()` / a Python header pre-check first."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    ns = ctypes.c_int64()
+    h = lib.vcf_open(path.encode(), ctypes.byref(ns))
+    if not h:
+        raise RuntimeError("native header parse failed")
+    try:
+        if int(ns.value) != n_samples:
+            raise RuntimeError(
+                f"native header sample count {int(ns.value)} != "
+                f"python's {n_samples}")
+        mat = np.empty((chunk_rows, n_samples), dtype=np.int8)
+        poss = np.empty(chunk_rows, dtype=np.int64)
+        codes = np.empty(chunk_rows, dtype=np.int32)
+        names = np.zeros(chunk_rows * 16, dtype=np.uint8)
+        offs = np.zeros(2 * chunk_rows, dtype=np.int64)
+        acap = 64 * chunk_rows
+        arena = np.zeros(acap, dtype=np.uint8)
+        while True:
+            arity = ctypes.c_int32(1)
+            got = lib.vcf_next(
+                h, chunk_rows,
+                mat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                poss.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                names.ctypes.data_as(ctypes.c_char_p),
+                arena.ctypes.data_as(ctypes.c_char_p), arena.size,
+                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.byref(arity), n_threads)
+            if got == -3:      # arena too small: grow and retry (input
+                acap *= 4      # is carried inside the native handle)
+                arena = np.zeros(acap, dtype=np.uint8)
+                continue
+            if got < 0:
+                raise ValueError("malformed VCF body (native)")
+            w = int(got)
+            if w == 0:
+                return
+            parts = arena.tobytes().split(b"\0")[:2 * w]
+            alleles = (np.asarray(
+                [p.decode("utf-8", "replace") for p in parts],
+                dtype=object).reshape(w, 2) if w
+                else np.zeros((0, 2), dtype=object))
+            yield (mat[:w].copy(), poss[:w].copy(), codes[:w].copy(),
+                   names.reshape(chunk_rows, 16)[:w].copy(),
+                   np.asarray(alleles, dtype=str), int(arity.value))
+    finally:
+        lib.vcf_close(h)
+
+
+def parse_vcf(path: str, n_samples: int, n_threads: int = 0,
+              chunk_rows: int = 65_536
               ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray,
                                   np.ndarray, np.ndarray, int]]:
-    """Parse a plain-text VCF body natively (native/fast_vcf.cpp):
+    """Parse a whole VCF natively via the streaming iterator:
     (matrix int8 (M, n), positions, chrom_codes int32 (-1 = non-numeric),
     chrom_names bytes (M, 16) NUL-padded, alleles (M, 2) str, max_arity)
     — or None if native is unavailable / the file needs the Python path
-    (gzip, malformed lines, >15-char chromosome names). The caller
-    parses the header (sample IDs) and resolves -1 chromosome codes."""
-    lib = get_lib()
-    if lib is None:
+    (malformed lines, >15-char chromosome names). The caller parses the
+    header (sample IDs) and resolves -1 chromosome codes."""
+    try:
+        chunks = list(iter_vcf(path, n_samples, chunk_rows=chunk_rows,
+                               n_threads=n_threads))
+    except (RuntimeError, ValueError):
         return None
-    n_rows = ctypes.c_int64()
-    ns = ctypes.c_int64()
-    abytes = ctypes.c_int64()
-    if lib.count_vcf(path.encode(), ctypes.byref(n_rows),
-                     ctypes.byref(ns), ctypes.byref(abytes)) != 0:
-        return None
-    M = int(n_rows.value)
-    if int(ns.value) != n_samples or M < 0:
-        return None
-    mat = np.empty((M, n_samples), dtype=np.int8)
-    poss = np.empty(M, dtype=np.int64)
-    codes = np.empty(M, dtype=np.int32)
-    names = np.zeros(M * 16, dtype=np.uint8)
-    arena = np.zeros(max(int(abytes.value), 1), dtype=np.uint8)
-    offs = np.zeros(2 * max(M, 1), dtype=np.int64)
-    arity = ctypes.c_int32(1)
-    got = lib.parse_vcf(
-        path.encode(), M, n_samples, arena.size,
-        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-        poss.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        names.ctypes.data_as(ctypes.c_char_p),
-        arena.ctypes.data_as(ctypes.c_char_p),
-        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        ctypes.byref(arity), n_threads)
-    if got < 0:
-        return None
-    w = int(got)
-    parts = arena.tobytes().split(b"\0")[:2 * w]
-    alleles = np.asarray([p.decode("utf-8", "replace") for p in parts],
-                         dtype=object).reshape(w, 2) if w else \
-        np.zeros((0, 2), dtype=object)
-    return (mat[:w], poss[:w], codes[:w],
-            names.reshape(M, 16)[:w], np.asarray(alleles, dtype=str),
-            int(arity.value))
+    if not chunks:
+        return (np.zeros((0, n_samples), np.int8),
+                np.zeros(0, np.int64), np.zeros(0, np.int32),
+                np.zeros((0, 16), np.uint8),
+                np.zeros((0, 2), dtype=str), 1)
+    mat = np.vstack([c[0] for c in chunks])
+    poss = np.concatenate([c[1] for c in chunks])
+    codes = np.concatenate([c[2] for c in chunks])
+    names = np.vstack([c[3] for c in chunks])
+    alleles = np.concatenate([c[4].reshape(-1, 2) for c in chunks])
+    arity = max(c[5] for c in chunks)
+    return mat, poss, codes, names, np.asarray(alleles, dtype=str), arity
 
 
 def pack_2bit(mat: np.ndarray) -> np.ndarray:

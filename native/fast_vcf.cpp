@@ -1,26 +1,41 @@
-// Native VCF GT parser (mixmogam_tpu.native.parse_vcf).
+// Native VCF GT parser (mixmogam_tpu.native — streaming, round 4).
 //
 // Same data-plane role as fast_parse.cpp's CSV parser: the Python VCF
 // reader (data/vcf.py) is line-by-line pure Python — fine for toy files,
-// a bottleneck at cohort scale where the GT matrix is GBs. This parses
-// the GT field of a PLAIN-TEXT VCF (gzip falls back to Python) into the
-// package's row-major (M, n) int8 dosage layout with the EXACT semantics
-// of data/vcf.py (parity-pinned in tests/test_vcf.py):
+// a bottleneck at cohort scale where the GT matrix is GBs. Round 3's
+// parser slurped the whole file into RAM plus a second counting pass
+// (ADVICE r3: multi-GB cohort VCFs could OOM the 2-vCPU host); this is
+// a one-pass STREAMING parser behind an opaque handle:
+//
+//   vcf_open(path)  -> handle; reads the header, exposes n_samples.
+//                      zlib's gzFile transparently reads plain text,
+//                      gzip AND bgzip (concatenated gzip members), so
+//                      .vcf.gz no longer falls back to Python.
+//   vcf_next(h,...) -> parse up to max_rows GT records into caller
+//                      buffers (chunk-sized, reused); 0 at EOF. Peak
+//                      RSS = one chunk of lines + outputs.
+//   vcf_close(h)
+//
+// Semantics are EXACTLY data/vcf.py's (parity-pinned in tests/test_vcf.py):
 //   - dosage = sum of allele indices; any allele >= 2 (2nd ALT) or a
 //     non-integer allele token -> missing (-1); '.'-only calls missing;
 //     partial './1' keeps the observed allele; '|' == '/'.
 //   - records whose FORMAT lacks GT are skipped.
-//   - ploidy = max observed call arity.
+//   - ploidy = max observed call arity (accumulated across chunks by
+//     the caller via the per-chunk max).
 //   - CHROM: 'chr' prefix stripped; numeric -> its value; non-numeric ->
 //     code -1 + the raw name (Python assigns first-appearance codes).
 // Any structural surprise returns -2 and the caller falls back to the
-// Python parser, which raises a descriptive error.
+// Python parser, which raises a descriptive error. -3 = REF/ALT arena
+// too small for this chunk (caller grows it and retries the chunk —
+// no input is lost: lines are carried in the handle).
 //
-// Build: make -C native (g++ -O3 -shared -fPIC, no deps).
+// Build: make -C native (g++ -O3 -shared -fPIC -lz).
+
+#include <zlib.h>
 
 #include <atomic>
 #include <cstdint>
-#include <cstdio>
 #include <cstring>
 #include <string>
 #include <thread>
@@ -64,132 +79,154 @@ inline int8_t parse_gt_token(const char* b, const char* e, int* arity) {
   return (int8_t)dos;
 }
 
-struct LineSpan {
-  const char* p;
-  const char* e;
+struct VcfStream {
+  gzFile f = nullptr;
+  int64_t n_samples = -1;
+  std::string carry;              // partial line from the last read
+  std::vector<std::string> lines; // carried-over unconsumed record lines
+  bool eof = false;
+  bool header_done = false;
 };
+
+// pull the next content line (header or record) into `out`; false at EOF
+bool next_line(VcfStream* h, std::string* out) {
+  out->clear();
+  char buf[1 << 16];
+  while (true) {
+    size_t nl = h->carry.find('\n');
+    if (nl != std::string::npos) {
+      out->assign(h->carry, 0, nl);
+      h->carry.erase(0, nl + 1);
+      while (!out->empty() && out->back() == '\r') out->pop_back();
+      return true;
+    }
+    if (h->eof) {
+      if (h->carry.empty()) return false;
+      *out = h->carry;
+      h->carry.clear();
+      while (!out->empty() && out->back() == '\r') out->pop_back();
+      return true;
+    }
+    int got = gzread(h->f, buf, sizeof(buf));
+    if (got <= 0) {
+      h->eof = true;
+      continue;
+    }
+    h->carry.append(buf, (size_t)got);
+  }
+}
 
 }  // namespace
 
 extern "C" {
 
-// Pass 1: sample count from the #CHROM header, candidate record count,
-// and an exact byte budget for the REF/ALT0 string arena
-// (len(REF) + len(first ALT) + 2 NULs per record). Returns 0 on
-// success, 1 on I/O error, 2 on a malformed/missing header.
-int count_vcf(const char* path, int64_t* n_rows, int64_t* n_samples,
-              int64_t* allele_bytes) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return 1;
+// Open a VCF (.vcf / .vcf.gz / bgzip) and parse its header.
+// Returns an opaque handle (NULL on I/O error or malformed header) and
+// writes the sample count. The caller reads sample NAMES from the
+// #CHROM line itself (cheap, Python-side) — this keeps the ABI small.
+void* vcf_open(const char* path, int64_t* n_samples) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return nullptr;
+  gzbuffer(f, 1 << 20);
+  VcfStream* h = new VcfStream();
+  h->f = f;
   std::string line;
-  line.reserve(1 << 16);
-  int c;
-  int64_t samples = -1, rows = 0, abytes = 0;
-  while (true) {
-    line.clear();
-    while ((c = fgetc(f)) != EOF && c != '\n') line.push_back((char)c);
-    if (line.empty() && c == EOF) break;
+  while (next_line(h, &line)) {
     if (line.empty()) continue;
     if (line[0] == '#') {
       if (line.rfind("#CHROM", 0) == 0) {
-        // 9 fixed columns + samples
         int64_t tabs = 0;
         for (char ch : line)
           if (ch == '\t') tabs++;
-        samples = tabs - 8;
-        if (samples < 1) { fclose(f); return 2; }
+        h->n_samples = tabs - 8;  // 9 fixed columns + samples
+        // "#CHROM...FORMAT" sanity: field 8 must be FORMAT
+        int field = 0;
+        size_t fs = 0;
+        bool fmt_ok = false;
+        for (size_t i = 0; i <= line.size(); i++) {
+          if (i == line.size() || line[i] == '\t') {
+            if (field == 8)
+              fmt_ok = line.compare(fs, i - fs, "FORMAT") == 0;
+            field++;
+            fs = i + 1;
+          }
+        }
+        if (h->n_samples < 1 || !fmt_ok) {
+          gzclose(f);
+          delete h;
+          return nullptr;
+        }
+        h->header_done = true;
+        break;
       }
-      if (c == EOF) break;
       continue;
     }
+    // data line before #CHROM: malformed
+    gzclose(f);
+    delete h;
+    return nullptr;
+  }
+  if (!h->header_done) {
+    gzclose(f);
+    delete h;
+    return nullptr;
+  }
+  *n_samples = h->n_samples;
+  return h;
+}
+
+void vcf_close(void* vh) {
+  VcfStream* h = (VcfStream*)vh;
+  if (!h) return;
+  if (h->f) gzclose(h->f);
+  delete h;
+}
+
+// Parse up to max_rows records into the caller's chunk buffers:
+//   mat          (max_rows, n_samples) int8 dosages
+//   poss         (max_rows) int64
+//   chrom_codes  (max_rows) int32 — numeric value, or -1 (see names)
+//   chrom_names  (max_rows * 16) char — raw CHROM token, NUL-padded
+//   ref_alt      arena of NUL-terminated REF,ALT strings per kept row
+//   ref_alt_off  (2*max_rows) int64 — offsets of REF and ALT in arena
+//   max_arity    int32 — ploidy observed IN THIS CHUNK
+// Returns kept rows (0 = EOF), -2 malformed (fall back to Python),
+// -3 arena too small (grow allele_cap, call again — input preserved).
+int64_t vcf_next(void* vh, int64_t max_rows, int8_t* mat, int64_t* poss,
+                 int32_t* chrom_codes, char* chrom_names, char* ref_alt,
+                 int64_t allele_cap, int64_t* ref_alt_off,
+                 int32_t* max_arity, int n_threads) {
+  VcfStream* h = (VcfStream*)vh;
+  if (!h || max_rows < 1) return -2;
+  int64_t n_samples = h->n_samples;
+
+  // gather up to max_rows candidate record lines (serial: decompression
+  // is inherently serial); carried lines from a -3 retry come first
+  std::string line;
+  while ((int64_t)h->lines.size() < max_rows) {
+    if (!next_line(h, &line)) break;
     bool content = false;
     for (char ch : line)
       if (!is_ws(ch)) { content = true; break; }
-    if (content) {
-      rows++;
-      // REF = field 3, ALT = field 4 (0-based tab split)
-      int field = 0;
-      int64_t ref_len = 0, alt_len = 0;
-      for (size_t i = 0; i < line.size() && field <= 4; i++) {
-        if (line[i] == '\t') {
-          field++;
-          continue;
-        }
-        if (field == 3) ref_len++;
-        if (field == 4) {
-          if (line[i] == ',') field = 5;  // first ALT only
-          else alt_len++;
-        }
-      }
-      abytes += ref_len + alt_len + 2;
-    }
-    if (c == EOF) break;
+    if (!content) continue;
+    if (line[0] == '#') return -2;  // header line mid-body
+    h->lines.push_back(std::move(line));
   }
-  fclose(f);
-  if (samples < 0) return 2;
-  *n_rows = rows;
-  *n_samples = samples;
-  *allele_bytes = abytes;
-  return 0;
-}
+  int64_t nlines = (int64_t)h->lines.size();
+  if (nlines == 0) return 0;
 
-// Pass 2: parse records. Outputs (all preallocated by the caller):
-//   mat          (n_rows_cap, n_samples) int8 dosages
-//   poss         (n_rows_cap) int64
-//   chrom_codes  (n_rows_cap) int32 — numeric value, or -1 (see names)
-//   chrom_names  (n_rows_cap * 16) char — raw CHROM token, NUL-padded
-//   ref_alt      arena of NUL-terminated REF,ALT strings per kept row
-//   ref_alt_off  (2*n_rows_cap) int64 — offsets of REF and ALT in arena
-//   max_arity    int32 — observed ploidy
-// Returns kept rows (records with GT), -1 on I/O error, -2 on anything
-// malformed (caller falls back to Python).
-int64_t parse_vcf(const char* path, int64_t n_rows_cap, int64_t n_samples,
-                  int64_t allele_cap, int8_t* mat, int64_t* poss,
-                  int32_t* chrom_codes, char* chrom_names, char* ref_alt,
-                  int64_t* ref_alt_off, int32_t* max_arity,
-                  int n_threads) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return -1;
-  fseek(f, 0, SEEK_END);
-  long sz = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  std::vector<char> data((size_t)sz);
-  if (fread(data.data(), 1, (size_t)sz, f) != (size_t)sz) {
-    fclose(f);
-    return -1;
-  }
-  fclose(f);
-  const char* p = data.data();
-  const char* eof = p + sz;
-
-  // index candidate record lines (skip headers/blank)
-  std::vector<LineSpan> lines;
-  lines.reserve((size_t)n_rows_cap);
-  while (p < eof && (int64_t)lines.size() < n_rows_cap) {
-    const char* nl = (const char*)memchr(p, '\n', (size_t)(eof - p));
-    const char* e = nl ? nl : eof;
-    while (e > p && (e[-1] == '\n' || e[-1] == '\r')) e--;
-    bool content = false;
-    for (const char* q = p; q < e; q++)
-      if (!is_ws(*q)) { content = true; break; }
-    if (content && *p != '#') lines.push_back({p, e});
-    p = nl ? nl + 1 : eof;
-  }
-  int64_t nlines = (int64_t)lines.size();
-
-  // parallel parse into per-line slots + keep flags
+  // parallel parse of the chunk's lines
   std::vector<uint8_t> keep((size_t)nlines, 0);
   std::vector<int> arities((size_t)nlines, 1);
-  // per-line REF/ALT spans, arena-compacted after the join
-  std::vector<const char*> refs((size_t)nlines), alts((size_t)nlines);
   std::vector<int32_t> ref_lens((size_t)nlines), alt_lens((size_t)nlines);
+  std::vector<const char*> refs((size_t)nlines), alts((size_t)nlines);
   std::atomic<bool> bad(false);
 
   auto work = [&](int64_t lo, int64_t hi) {
     for (int64_t r = lo; r < hi; r++) {
       if (bad.load(std::memory_order_relaxed)) return;
-      const char* q = lines[(size_t)r].p;
-      const char* e = lines[(size_t)r].e;
+      const char* q = h->lines[(size_t)r].data();
+      const char* e = q + h->lines[(size_t)r].size();
       // split the 9 fixed fields
       const char* fb[9];
       const char* fe[9];
@@ -290,9 +327,9 @@ int64_t parse_vcf(const char* path, int64_t n_rows_cap, int64_t n_samples,
   int nt = n_threads > 0 ? n_threads
                          : (int)std::thread::hardware_concurrency();
   if (nt < 1) nt = 1;
-  if (nt > nlines) nt = (int)(nlines > 0 ? nlines : 1);
+  if (nt > nlines) nt = (int)nlines;
   std::vector<std::thread> th;
-  int64_t per = nt > 0 ? (nlines + nt - 1) / nt : 0;
+  int64_t per = (nlines + nt - 1) / nt;
   for (int t = 0; t < nt; t++) {
     int64_t lo = t * per, hi = std::min(nlines, lo + per);
     if (lo >= hi) break;
@@ -300,6 +337,14 @@ int64_t parse_vcf(const char* path, int64_t n_rows_cap, int64_t n_samples,
   }
   for (auto& x : th) x.join();
   if (bad.load()) return -2;
+
+  // arena capacity check BEFORE compaction: on -3 the carried lines
+  // stay in the handle and the caller retries with a bigger arena
+  int64_t need = 0;
+  for (int64_t r = 0; r < nlines; r++)
+    if (keep[(size_t)r])
+      need += ref_lens[(size_t)r] + alt_lens[(size_t)r] + 2;
+  if (need > allele_cap) return -3;
 
   // serial compaction of kept rows + arena fill
   int64_t w = 0, aoff = 0;
@@ -313,8 +358,6 @@ int64_t parse_vcf(const char* path, int64_t n_rows_cap, int64_t n_samples,
       chrom_codes[w] = chrom_codes[r];
       memcpy(chrom_names + w * 16, chrom_names + r * 16, 16);
     }
-    if (aoff + ref_lens[(size_t)r] + alt_lens[(size_t)r] + 2 > allele_cap)
-      return -2;
     ref_alt_off[2 * w] = aoff;
     memcpy(ref_alt + aoff, refs[(size_t)r], (size_t)ref_lens[(size_t)r]);
     aoff += ref_lens[(size_t)r];
@@ -327,6 +370,7 @@ int64_t parse_vcf(const char* path, int64_t n_rows_cap, int64_t n_samples,
     w++;
   }
   *max_arity = arity;
+  h->lines.clear();
   return w;
 }
 

@@ -123,3 +123,74 @@ class TestEmmaxLoco:
         ks_h = loco_kinships(G, ch, ploidy=2, scale=False)
         for c in ks_h:
             np.testing.assert_allclose(ks_r[c], ks_h[c], atol=1e-8)
+
+
+class TestLocoRound4:
+    """Round 4 (VERDICT r3 #4): resident packed-HBM LOCO + pipelined
+    eighs; parity vs the host path with and without the pipeline."""
+
+    def _data(self, seed=31, n=48, m=180, n_chrom=3, missing=0.0):
+        rng = np.random.default_rng(seed)
+        G = rng.integers(0, 3, (m, n)).astype(np.int8)
+        if missing:
+            G[rng.random((m, n)) < missing] = -1
+        ch = np.repeat(np.arange(1, n_chrom + 1), m // n_chrom)
+        y = np.where(G[7] < 0, 1, G[7]).astype(float) \
+            + rng.normal(size=n)
+        return G, ch, y
+
+    def test_resident_matches_host(self):
+        from mixmogam_tpu.models.loco import emmax_loco
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, ch, y = self._data()
+        ref = emmax_loco(G, y, chromosomes=ch, pipeline_eigh=False)
+        rg = ResidentGenome.from_source(G, tile=32)
+        res = emmax_loco(rg, y, chromosomes=ch)
+        np.testing.assert_allclose(res["ps"], ref["ps"], atol=1e-9)
+        for c in ref["loco"]:
+            assert res["loco"][c]["delta"] == pytest.approx(
+                ref["loco"][c]["delta"], rel=1e-9)
+
+    def test_resident_missing_matches_host(self):
+        from mixmogam_tpu.models.loco import emmax_loco
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, ch, y = self._data(seed=32, missing=0.05)
+        ref = emmax_loco(G, y, chromosomes=ch, pipeline_eigh=False)
+        rg = ResidentGenome.from_source(G, tile=32)
+        res = emmax_loco(rg, y, chromosomes=ch)
+        # missing-genotype kinship accumulates in f32 on device vs f64
+        # on host -> K_loco differs at f32 eps; ~1e-6 p-drift expected
+        np.testing.assert_allclose(res["ps"], ref["ps"], atol=1e-4)
+        assert int(np.argmin(res["ps"])) == int(np.argmin(ref["ps"]))
+
+    def test_resident_vanraden_kinships(self):
+        from mixmogam_tpu.models.loco import loco_kinships
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, ch, _ = self._data(seed=33)
+        ref = loco_kinships(G, ch, method="vanraden", ploidy=2)
+        rg = ResidentGenome.from_source(G, tile=32)
+        res = loco_kinships(rg, ch, method="vanraden")
+        for c in ref:
+            np.testing.assert_allclose(res[c], ref[c], atol=1e-5)
+
+    def test_pipeline_matches_serial(self):
+        from mixmogam_tpu.models.loco import emmax_loco
+
+        G, ch, y = self._data(seed=34)
+        a = emmax_loco(G, y, chromosomes=ch, pipeline_eigh=True)
+        b = emmax_loco(G, y, chromosomes=ch, pipeline_eigh=False)
+        np.testing.assert_allclose(a["ps"], b["ps"], atol=1e-12)
+
+    def test_slice_rows(self):
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, ch, _ = self._data(seed=35, missing=0.03)
+        rg = ResidentGenome.from_source(G, tile=32)
+        sub = rg.slice_rows(60, 120)
+        assert sub.M == 60 and sub.n == rg.n
+        np.testing.assert_array_equal(sub[0:60], G[60:120])
+        with pytest.raises(ValueError, match="invalid row range"):
+            rg.slice_rows(10, 5)

@@ -236,3 +236,202 @@ class TestWriteVcfValidation:
         bad = dataclasses.replace(gd, ploidy=1)  # dosage 2 under ploidy 1
         with pytest.raises(ValueError, match="exceed ploidy"):
             write_vcf(bad, str(tmp_path / "bad.vcf"))
+
+
+class TestRound4VcfFeatures:
+    """Round 4 (VERDICT r3 #8 + ADVICE): streaming native parser
+    (.gz/bgzip in C++), DS dosage reads, and the memory-bounded
+    packed-container parse."""
+
+    def _big_vcf(self, tmp_path, M=300, n=3, seed=0, name="big.vcf",
+                 missing=0.05):
+        rng = np.random.default_rng(seed)
+        mat = rng.integers(0, 3, size=(M, n)).astype(np.int8)
+        mat[rng.random((M, n)) < missing] = -1
+        codes = {0: "0/0", 1: "0/1", 2: "1/1", -1: "./."}
+        lines = []
+        for j in range(M):
+            calls = "\t".join(codes[int(g)] for g in mat[j])
+            lines.append(f"{1 + j // 200}\t{100 + j}\t.\tA\tG\t.\t.\t.\t"
+                         f"GT\t{calls}\n")
+        return _write(tmp_path, "".join(lines), name=name), mat
+
+    def test_gz_native_python_parity(self, tmp_path):
+        """.vcf.gz now parses natively (zlib stream); identical output
+        to the Python reader on the same bytes."""
+        from mixmogam_tpu import native
+        from mixmogam_tpu.data import vcf as vcf_mod
+
+        p, mat = self._big_vcf(tmp_path, name="big.vcf.gz")
+        gd = read_vcf(p)
+        np.testing.assert_array_equal(gd.matrix, mat)
+        if native.available():
+            # force the python path and compare
+            import unittest.mock as mock
+
+            with mock.patch.object(vcf_mod, "_read_vcf_native",
+                                   lambda _p: None):
+                gd_py = read_vcf(p)
+            np.testing.assert_array_equal(gd.matrix, gd_py.matrix)
+            np.testing.assert_array_equal(gd.positions, gd_py.positions)
+            np.testing.assert_array_equal(gd.chromosomes,
+                                          gd_py.chromosomes)
+            assert gd.ploidy == gd_py.ploidy
+
+    def test_native_chunked_stream_matches_single_chunk(self, tmp_path):
+        from mixmogam_tpu import native
+
+        if not native.available():
+            pytest.skip("no native lib")
+        p, mat = self._big_vcf(tmp_path, M=257)
+        chunks = list(native.iter_vcf(p, 3, chunk_rows=64))
+        assert sum(c[0].shape[0] for c in chunks) == 257
+        np.testing.assert_array_equal(np.vstack([c[0] for c in chunks]),
+                                      mat)
+
+    def test_read_vcf_packed_parity(self, tmp_path):
+        from mixmogam_tpu.data.vcf import read_vcf_packed
+
+        p, mat = self._big_vcf(tmp_path, M=300)
+        gd = read_vcf(p)
+        rg, meta = read_vcf_packed(p, tile=64, chunk_rows=50)
+        assert rg.M == 300 and rg.n == 3 and rg.has_missing
+        np.testing.assert_array_equal(rg[0:300], mat)
+        np.testing.assert_array_equal(meta["chromosomes"],
+                                      gd.chromosomes)
+        np.testing.assert_array_equal(meta["positions"], gd.positions)
+        assert meta["accessions"] == gd.accessions
+        np.testing.assert_array_equal(np.asarray(meta["alleles"]),
+                                      np.asarray(gd.alleles))
+
+    def test_read_vcf_packed_gz_and_python_fallback(self, tmp_path):
+        import unittest.mock as mock
+
+        from mixmogam_tpu import native
+        from mixmogam_tpu.data.vcf import read_vcf_packed
+
+        p, mat = self._big_vcf(tmp_path, M=120, name="z.vcf.gz")
+        rg, meta = read_vcf_packed(p, tile=64, chunk_rows=32)
+        np.testing.assert_array_equal(rg[0:120], mat)
+        with mock.patch.object(native, "available", lambda: False):
+            rg2, meta2 = read_vcf_packed(p, tile=64, chunk_rows=32)
+        np.testing.assert_array_equal(rg2[0:120], mat)
+        np.testing.assert_array_equal(meta2["chromosomes"],
+                                      meta["chromosomes"])
+
+    def test_read_vcf_packed_polyploid_refuses(self, tmp_path):
+        from mixmogam_tpu.data.vcf import read_vcf_packed
+
+        body = "1\t10\t.\tA\tG\t.\t.\t.\tGT\t0/1/1/1\t0/0/0/0\t1/1/1/1\n"
+        p = _write(tmp_path, body)
+        with pytest.raises(ValueError, match="polyploid"):
+            read_vcf_packed(p)
+
+    def test_read_vcf_packed_scan_end_to_end(self, tmp_path):
+        """The packed container off a VCF drives the EMMAX scan
+        directly (the cohort-scale workflow)."""
+        from mixmogam_tpu.data.vcf import read_vcf_packed
+        from mixmogam_tpu.models.emmax import emmax
+        from mixmogam_tpu.oracle.kinship import scale_k, ibs_kinship
+
+        rng = np.random.default_rng(7)
+        n, M = 32, 200
+        mat = rng.integers(0, 3, size=(M, n)).astype(np.int8)
+        codes = {0: "0/0", 1: "0/1", 2: "1/1"}
+        lines = []
+        header = ("##fileformat=VCFv4.2\n"
+                  "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\t"
+                  "FORMAT\t" + "\t".join(f"s{i}" for i in range(n))
+                  + "\n")
+        for j in range(M):
+            calls = "\t".join(codes[int(g)] for g in mat[j])
+            lines.append(f"1\t{j + 1}\t.\tA\tG\t.\t.\t.\tGT\t{calls}\n")
+        p = str(tmp_path / "cohort.vcf")
+        with open(p, "w") as f:
+            f.write(header + "".join(lines))
+        rg, meta = read_vcf_packed(p, tile=64)
+        y = mat[11].astype(float) + rng.normal(size=n) * 0.3
+        K = scale_k(ibs_kinship(mat.astype(np.float64)))
+        res = emmax(rg, y, K=K)
+        ref = emmax(mat, y, K=K)
+        np.testing.assert_allclose(res["ps"], ref["ps"], atol=1e-9)
+
+    def test_ds_field_read(self, tmp_path):
+        from mixmogam_tpu.data.genotype import DosageData
+
+        body = ("1\t100\t.\tA\tG\t.\t.\t.\tGT:DS\t0/0:0.05\t0/1:1.1\t"
+                "1/1:1.98\n"
+                "1\t200\t.\tC\tT\t.\t.\t.\tDS\t0.5\t.\t1.25\n"
+                "2\t50\t.\tG\tA\t.\t.\t.\tGT\t0/0\t0/1\t1/1\n"  # no DS
+                "2\t60\t.\tG\tA,C\t.\t.\t.\tDS\t0.7,0.1\t0.2,0\t0\n")
+        gd = read_vcf(_write(tmp_path, body), field="DS")
+        assert isinstance(gd, DosageData)
+        assert gd.matrix.dtype == np.float32
+        assert gd.num_snps == 3  # the GT-only record is skipped
+        np.testing.assert_allclose(gd.matrix[0], [0.05, 1.1, 1.98],
+                                   rtol=1e-6)
+        assert np.isnan(gd.matrix[1, 1])
+        np.testing.assert_allclose(gd.matrix[2], [0.7, 0.2, 0.0],
+                                   rtol=1e-6)  # first ALT of the list
+        assert gd.ploidy == 2
+
+    def test_ds_scan_routes_to_float_path(self, tmp_path):
+        """DS dosages drive emmax via the float path; int8 tiers
+        refuse the fractional dosages."""
+        from mixmogam_tpu.models.emmax import emmax
+        from mixmogam_tpu.ops.scan import resolve_precision
+
+        rng = np.random.default_rng(3)
+        n, M = 24, 60
+        D = np.round(rng.uniform(0, 2, size=(M, n)), 2)
+        header = ("##fileformat=VCFv4.2\n"
+                  "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\t"
+                  "FORMAT\t" + "\t".join(f"s{i}" for i in range(n))
+                  + "\n")
+        lines = [f"1\t{j + 1}\t.\tA\tG\t.\t.\t.\tDS\t"
+                 + "\t".join(f"{v:.2f}" for v in D[j]) + "\n"
+                 for j in range(M)]
+        p = str(tmp_path / "ds.vcf")
+        with open(p, "w") as f:
+            f.write(header + "".join(lines))
+        gd = read_vcf(p, field="DS")
+        np.testing.assert_allclose(gd.matrix, D, rtol=1e-5)
+        y = D[5] + rng.normal(size=n) * 0.5
+        from mixmogam_tpu.oracle.kinship import scale_k
+        K = scale_k(np.eye(n) + 0.05)
+        out = emmax(gd, y, K=K)
+        assert np.isfinite(out["ps"]).all()
+        # 'auto' refuses int8 for fractional dosages -> exact
+        _, _, name = resolve_precision("auto", G=gd.matrix,
+                                       backend="tpu")
+        assert name == "exact"
+
+    def test_dosage_data_surface(self, tmp_path):
+        from mixmogam_tpu.data.genotype import DosageData
+        from mixmogam_tpu.data.phenotype import PhenotypeData
+
+        rng = np.random.default_rng(5)
+        D = rng.uniform(0, 2, size=(20, 6)).astype(np.float32)
+        D[0, 0] = np.nan
+        gd = DosageData(D, np.repeat(1, 20), np.arange(20) * 10,
+                        [f"a{i}" for i in range(6)], ploidy=2)
+        assert gd.num_snps == 20 and gd.num_samples == 6
+        sub = gd.select_samples([0, 2, 4])
+        assert isinstance(sub, DosageData)
+        assert sub.matrix.dtype == np.float32
+        f = gd.filter_mac_snps(1)
+        assert isinstance(f, DosageData)
+        pd = PhenotypeData()
+        pd.add_phenotype(1, "t", gd.accessions[:5],
+                         rng.normal(size=5))
+        gd2, y, ids = gd.coordinate_with_phenotype(pd, 1)
+        assert isinstance(gd2, DosageData) and len(ids) == 5
+        Z = gd.dosage_f64()
+        assert np.isfinite(Z).all()
+        with pytest.raises(NotImplementedError):
+            gd.write_csv(str(tmp_path / "x.csv"))
+        h5 = str(tmp_path / "d.h5")
+        gd.write_hdf5(h5)
+        back = DosageData.read_hdf5(h5)
+        np.testing.assert_allclose(np.nan_to_num(back.matrix),
+                                   np.nan_to_num(gd.matrix))
