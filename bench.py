@@ -163,20 +163,29 @@ def main():
 
     r_exact = rate(None, "exact fp32")
     r_x3 = rate("int8x3", "int8x3 (fp32-grade)")
-    rate("int8x2", "int8x2 (~5e-4 drift; + exact rescore of top hits "
-         "= exact-grade reported p-values)")
-    rate(jnp.bfloat16, "bf16 1-pass (~6e-3 drift)")
+    r_x2 = rate("int8x2", "int8x2 (~5e-4 drift; + exact rescore of top "
+                "hits = exact-grade reported p-values)")
+    r_b16 = rate(jnp.bfloat16, "bf16 1-pass (~6e-3 drift)")
 
     headline = max(r_exact, r_x3)
-    # headline counts fp32-grade tiers only (exact and int8x3, whose
-    # measured p-drift ~1.4e-6 is the fp32 device envelope); int8x2/bf16
-    # are logged above and available via precision='fast' + rescore_top
+    # headline `value` counts fp32-grade tiers only (exact and int8x3,
+    # whose measured p-drift ~1.4e-6 is the fp32 device envelope); the
+    # `tiers` dict records every accuracy contract so the driver's
+    # JSON matches the north-star closure (docs/PERFORMANCE.md):
+    # exact-grade REPORTED p-values ship at the int8x2+rescore rate
+    # (precision='fast'), bf16 is the exploratory ceiling
     baseline = 1.0e4
     result = json.dumps({
         "metric": "emmax_scan_tests_per_s_chip_n10k",
         "value": round(headline),
         "unit": "SNP-tests/s",
         "vs_baseline": round(headline / baseline, 2),
+        "tiers": {
+            "fp32_grade": round(headline),
+            "exact_grade_reported_int8x2_rescore": round(r_x2),
+            "bf16": round(r_b16),
+            "exact_fp32": round(r_exact),
+        },
     })
     os.makedirs(CACHE, exist_ok=True)
     with open(os.path.join(CACHE, "last_result.json"), "w") as f:

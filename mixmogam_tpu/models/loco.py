@@ -124,7 +124,7 @@ def loco_kinships(G, chromosomes=None, method: str = "ibs",
     K_total = np.asarray(K_total, dtype=np.float64)
 
     from mixmogam_tpu.models.resident import (ResidentGenome,
-                                              kinship_resident)
+                                              kinship_resident_range)
 
     rg = G if isinstance(G, ResidentGenome) else None
     out: Dict[object, np.ndarray] = {}
@@ -132,11 +132,12 @@ def loco_kinships(G, chromosomes=None, method: str = "ibs",
     dens: Dict[object, float] = {}
     for c, s, e in ranges:
         if rg is not None:
-            # per-chromosome gram straight off the packed HBM slice —
-            # no host decode (round 4; rides the fused int8 kernels)
-            K_c, den = kinship_resident(rg.slice_rows(s, e),
-                                        method=method, ploidy=ploidy,
-                                        return_den=True)
+            # per-chromosome gram straight off packed HBM — no host
+            # decode; the range-masked fused kernel gives ONE compile
+            # across all chromosomes (round 4)
+            K_c, den = kinship_resident_range(rg, s, e, method=method,
+                                              ploidy=ploidy,
+                                              return_den=True)
             dens[c] = den
         else:
             rows = _rows(G, s, e)
@@ -212,8 +213,13 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
         for i, (c, s, e) in enumerate(ranges):
             submit(i + 1)  # c+1's eigh runs under c's fit + scan
             eig = futs.pop(c).result() if pipeline_eigh else None
-            src = rg.slice_rows(s, e) if rg is not None \
-                else _rows(G, s, e)
+            # resident source: scan the FULL container under this
+            # chromosome's null and keep rows [s, e) — one scan compile
+            # total, where per-chromosome packed slices would each
+            # recompile (22 distinct shapes x ~25 s on the remote
+            # toolchain); the discarded rows cost ~e-s/M of a 1.4-3.6 s
+            # scan, far below one compile
+            src = rg if rg is not None else _rows(G, s, e)
             res = emmax(src, y, K=None if eig is not None
                         else kinships[c], eig_k=eig, X0=X0,
                         ngrids=ngrids, llim=llim, ulim=ulim, esp=esp,
@@ -230,7 +236,9 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
                 if k not in merged:
                     merged[k] = np.empty((M,) + np.shape(res[k])[1:],
                                          dtype=np.asarray(res[k]).dtype)
-                merged[k][s:e] = np.asarray(res[k])[: e - s]
+                rows_out = (np.asarray(res[k])[s:e] if rg is not None
+                            else np.asarray(res[k])[: e - s])
+                merged[k][s:e] = rows_out
     merged["loco"] = loco_info
     merged["dof"] = res["dof"]
     return merged

@@ -469,6 +469,98 @@ def _ibs_resident_fused(packed: jnp.ndarray, n: int, tile: int, M: int,
     return 2 * jnp.int32(M) - absd
 
 
+@functools.partial(jax.jit, static_argnames=("n", "tile", "ploidy"))
+def _ibs_resident_fused_range(packed: jnp.ndarray, s, e, n: int,
+                              tile: int, ploidy: int) -> jnp.ndarray:
+    """Fully-observed int8 IBS sharing counts for the row RANGE [s, e)
+    of a packed genome, as ONE dispatch with TRACED bounds — so LOCO's
+    22 per-chromosome grams share a single compile (per-chromosome
+    shapes would otherwise each recompile the fused kernel, ~25 s a
+    piece through this image's remote toolchain). Rows outside the
+    range are zeroed before the accumulations; zero rows contribute
+    nothing to any term (the pad-row identity), and the final constant
+    uses the range's true row count."""
+    from mixmogam_tpu.ops.kinship import _INT8_PREC
+
+    dims = (((0,), (0,)), ((), ()))
+    t0 = s // tile
+    t1 = (e - 1) // tile + 1
+    Mr = (e - s).astype(jnp.int32)
+
+    def masked_tile(i):
+        base = i * tile
+        pt = jax.lax.dynamic_slice_in_dim(packed, base, tile, axis=0)
+        Gt = unpack_2bit_device(pt, n)
+        rows = base + jnp.arange(tile, dtype=s.dtype)
+        rm = ((rows >= s) & (rows < e)).astype(jnp.int8)[:, None]
+        return Gt * rm
+
+    if ploidy == 1:
+        def body(i, carry):
+            CtC, sm = carry
+            Gt = masked_tile(i)
+            CtC = CtC + jax.lax.dot_general(
+                Gt, Gt, dims, preferred_element_type=jnp.int32,
+                precision=_INT8_PREC)
+            sm = sm + jnp.sum(Gt.astype(jnp.int32), axis=0,
+                              dtype=jnp.int32)
+            return CtC, sm
+
+        CtC, sm = jax.lax.fori_loop(
+            t0, t1, body, (jnp.zeros((n, n), jnp.int32),
+                           jnp.zeros((n,), jnp.int32)))
+        return 2 * CtC - sm[:, None] - sm[None, :] + Mr
+
+    def body(i, carry):
+        CtC, corr, a2 = carry
+        Gt = masked_tile(i)
+        CtC = CtC + jax.lax.dot_general(
+            Gt, Gt, dims, preferred_element_type=jnp.int32,
+            precision=_INT8_PREC)
+        # masked rows are all-zero: W0 is 1 there but pairs with W2 = 0
+        # on the same row, so every cross term still vanishes
+        W0 = (Gt == 0).astype(jnp.int8)
+        W2 = (Gt == 2).astype(jnp.int8)
+        corr = corr + jax.lax.dot_general(
+            W0, W2, dims, preferred_element_type=jnp.int32,
+            precision=_INT8_PREC)
+        a2 = a2 + jnp.sum((Gt * Gt).astype(jnp.int32), axis=0,
+                          dtype=jnp.int32)
+        return CtC, corr, a2
+
+    CtC, corr, a2 = jax.lax.fori_loop(
+        t0, t1, body, (jnp.zeros((n, n), jnp.int32),
+                       jnp.zeros((n, n), jnp.int32),
+                       jnp.zeros((n,), jnp.int32)))
+    absd = a2[:, None] + a2[None, :] - 2 * CtC - 2 * (corr + corr.T)
+    return 2 * Mr - absd
+
+
+def kinship_resident_range(rg: ResidentGenome, s: int, e: int,
+                           method: str = "ibs",
+                           ploidy: Optional[int] = None,
+                           return_den: bool = False):
+    """Kinship over the SNP row range [s, e) of a resident genome
+    (LOCO's per-chromosome grams). Fully-observed IBS rides the
+    range-masked fused kernel — one compile for every chromosome;
+    everything else takes a tile-padded slice (per-shape compiles)."""
+    if not (0 <= s < e <= rg.M):
+        raise ValueError(f"invalid row range [{s}, {e}) for M={rg.M}")
+    ploidy = rg.ploidy if ploidy is None else ploidy
+    if method == "ibs" and not rg.has_missing:
+        from mixmogam_tpu.ops.transfer import fetch_array
+
+        S = fetch_array(jax.block_until_ready(_ibs_resident_fused_range(
+            rg.packed, jnp.asarray(s, jnp.int32),
+            jnp.asarray(e, jnp.int32), rg.n, rg.tile,
+            ploidy))).astype(np.float64)
+        m = e - s
+        Kh = S / m if ploidy == 1 else S / (2.0 * m)
+        return (Kh, float(m)) if return_den else Kh
+    return kinship_resident(rg.slice_rows(s, e), method=method,
+                            ploidy=ploidy, return_den=return_den)
+
+
 def kinship_resident(rg: ResidentGenome, method: str = "ibs",
                      ploidy: Optional[int] = None,
                      dtype=jnp.float32, return_den: bool = False):

@@ -1,0 +1,173 @@
+"""Round-4 campaign measurements at BASELINE config #3 (1,048,576 SNPs
+x 10,240 samples) off the device-resident container — VERDICT r3 items
+#1 (anova/KW resident walls), #4 (22-chromosome LOCO with pipelined f32
+eighs), #5 (EMMA exact + permutation >=100 perms, no extrapolation).
+
+ONE TPU process (CLAUDE.md: never run two); each phase appends its
+record to docs/baseline_r4.json immediately so partial results survive.
+Caches: ~/.cache/mixmogam_bench (packed rows, y, K, eig) — prewarmed by
+bench.py runs on this machine.
+
+Usage: python scripts/campaign_r4.py [phase ...]
+  phases: anova kw perm emma loco   (default: all, in that order)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+CACHE = os.path.expanduser("~/.cache/mixmogam_bench")
+N, M = 10240, 1048576
+N_CHROM = 22
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def record(rec):
+    p = os.path.join(REPO, "docs", "baseline_r4.json")
+    d = json.load(open(p)) if os.path.exists(p) else []
+    d.append(rec)
+    json.dump(d, open(p, "w"), indent=2)
+    log("RECORDED", json.dumps(rec))
+
+
+def chrom_blocks():
+    """22 contiguous chromosome blocks over the simulated campaign
+    genome (block sizes uneven, human-like ratios)."""
+    w = np.linspace(1.6, 0.45, N_CHROM)
+    sizes = np.floor(w / w.sum() * M).astype(np.int64)
+    sizes[-1] += M - sizes.sum()
+    return np.repeat(np.arange(1, N_CHROM + 1), sizes)
+
+
+def main():
+    phases = sys.argv[1:] or ["anova", "kw", "perm", "emma", "loco"]
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    log(f"backend={jax.default_backend()}")
+    t0 = time.time()
+    claimed = threading.Event()
+    threading.Thread(target=lambda: (np.asarray(jnp.zeros(8)),
+                                     claimed.set()), daemon=True).start()
+    if not claimed.wait(1500):
+        log("TPU claim timed out; aborting")
+        return 1
+    log(f"claim+dial: {time.time()-t0:.1f}s")
+
+    from mixmogam_tpu.models.resident import ResidentGenome
+
+    with np.load(os.path.join(CACHE, f"simbig_{N}x{M}_y.npz")) as z:
+        y = z["y"]
+    t0 = time.time()
+    rg = ResidentGenome.from_source(
+        None, cache_path=os.path.join(CACHE, f"packed_{N}x{M}.bin"))
+    log(f"packed upload: {time.time()-t0:.1f}s  has_missing="
+        f"{rg.has_missing} ploidy={rg.ploidy}")
+    K = np.load(os.path.join(CACHE, f"K_{N}x{M}.npy"))
+    with np.load(os.path.join(CACHE, f"eig_{N}x{M}.npz")) as z:
+        phi, U = z["phi"], z["U"]
+
+    if "anova" in phases:
+        from mixmogam_tpu.models.linear import anova
+
+        t0 = time.time()
+        a = anova(rg, y)
+        cold = time.time() - t0
+        t0 = time.time()
+        a = anova(rg, y)
+        warm = time.time() - t0
+        record({"phase": "anova_resident_1M", "ts": time.strftime("%F %T"),
+                "n": N, "M": M, "cold_s": round(cold, 2),
+                "warm_s": round(warm, 2),
+                "tests_per_s": round(M / warm),
+                "min_p": float(np.min(a["ps"])),
+                "n_valid": int((a["ps"] < 1.0).sum())})
+
+    if "kw" in phases:
+        from mixmogam_tpu.models.linear import kruskal_wallis
+
+        t0 = time.time()
+        k = kruskal_wallis(rg, y)
+        cold = time.time() - t0
+        t0 = time.time()
+        k = kruskal_wallis(rg, y)
+        warm = time.time() - t0
+        record({"phase": "kw_resident_1M", "ts": time.strftime("%F %T"),
+                "n": N, "M": M, "cold_s": round(cold, 2),
+                "warm_s": round(warm, 2),
+                "tests_per_s": round(M / warm),
+                "min_p": float(np.min(k["ps"]))})
+
+    if "perm" in phases:
+        from mixmogam_tpu.models.permutation import emmax_perm_test
+
+        n_perm = 128
+        t0 = time.time()
+        pr = emmax_perm_test(rg, y, K=K, num_perm=n_perm, seed=1,
+                             eig_k=(phi, U))
+        wall = time.time() - t0
+        record({"phase": "perm_resident_1M", "ts": time.strftime("%F %T"),
+                "n": N, "M": M, "num_perm": n_perm,
+                "wall_s": round(wall, 1),
+                "perm_scans_per_s": round(n_perm * M / wall),
+                "threshold_p": float(pr["threshold"]),
+                "min_p_quantiles": [float(q) for q in np.quantile(
+                    pr["min_ps"], [0.05, 0.5, 0.95])]})
+
+    if "emma" in phases:
+        from mixmogam_tpu.models.emma import emma
+
+        t0 = time.time()
+        em = emma(rg, y, K=K, eig_k=(phi, U))
+        wall = time.time() - t0
+        record({"phase": "emma_exact_resident_1M",
+                "ts": time.strftime("%F %T"), "n": N, "M": M,
+                "wall_s": round(wall, 1),
+                "tests_per_s": round(M / wall),
+                "min_p": float(np.min(em["ps"])),
+                "delta_spread": [float(np.quantile(em["deltas"], q))
+                                 for q in (0.05, 0.5, 0.95)]})
+
+    if "loco" in phases:
+        from mixmogam_tpu.models.loco import emmax_loco, loco_kinships
+
+        ch = chrom_blocks()
+        t0 = time.time()
+        kin = loco_kinships(rg, ch, method="ibs",
+                            K_total=None)  # fused resident grams
+        t_kin = time.time() - t0
+        log(f"22 LOCO kinships (device grams + host algebra): "
+            f"{t_kin:.1f}s")
+        t0 = time.time()
+        res = emmax_loco(rg, y, chromosomes=ch, kinships=kin,
+                         precision="fast")
+        t_scan = time.time() - t0
+        wall = t_kin + t_scan
+        deltas = [round(v["delta"], 4) for v in res["loco"].values()]
+        record({"phase": "loco_resident_1M_22chrom",
+                "ts": time.strftime("%F %T"), "n": N, "M": M,
+                "n_chrom": N_CHROM, "kinships_s": round(t_kin, 1),
+                "fit_scan_s": round(t_scan, 1),
+                "total_s": round(wall, 1),
+                "s_per_chrom": round(t_scan / N_CHROM, 1),
+                "precision": "fast (f32 ssyevd eigh, int8x2+rescore "
+                             "scan, eigh pipelined depth-1)",
+                "min_p": float(np.min(res["ps"])),
+                "delta_range": [min(deltas), max(deltas)]})
+
+    log("campaign_r4 done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -184,6 +184,26 @@ class TestLocoRound4:
         b = emmax_loco(G, y, chromosomes=ch, pipeline_eigh=False)
         np.testing.assert_allclose(a["ps"], b["ps"], atol=1e-12)
 
+    def test_kinship_range_kernel(self):
+        """The range-masked fused gram (one compile for all
+        chromosomes) == the slice-based gram == the host oracle."""
+        from mixmogam_tpu.models.resident import (
+            ResidentGenome, kinship_resident, kinship_resident_range)
+
+        for ploidy, seed in ((2, 36), (1, 37)):
+            rng = np.random.default_rng(seed)
+            G = rng.integers(0, ploidy + 1, (200, 40)).astype(np.int8)
+            rg = ResidentGenome.from_source(G, tile=32)
+            for s, e in ((0, 70), (70, 145), (145, 200)):
+                a = kinship_resident_range(rg, s, e)
+                # the slice-based path is oracle-pinned elsewhere
+                # (test_resident.py); pin range-masked == slice-based
+                b = kinship_resident(rg.slice_rows(s, e))
+                np.testing.assert_allclose(a, b, atol=1e-12)
+            K, den = kinship_resident_range(rg, 0, 200,
+                                            return_den=True)
+            assert den == 200.0
+
     def test_slice_rows(self):
         from mixmogam_tpu.models.resident import ResidentGenome
 
