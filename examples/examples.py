@@ -372,8 +372,123 @@ def example_gxe():
           f"p_joint = {res['joint_ps'][j]:.2e}")
 
 
+def example_multi_env_gxe():
+    """Round-4: multi-environment GxE batch. env is (n, E); the
+    genotype rotation is computed once per tile and shared across
+    environments (E+1 matmuls instead of 2E), each environment gets
+    its own exact null fit. Precision tiers apply to BOTH rotations
+    (the environment folds into the weight side of the matmul)."""
+    import numpy as np
+
+    from mixmogam_tpu.data.simulate import (simulate_genotypes,
+                                            simulate_phenotype)
+    from mixmogam_tpu.models.gxe import emmax_gxe
+    from mixmogam_tpu.ops.kinship import kinship
+    from mixmogam_tpu.oracle.kinship import scale_k
+
+    G, ch, po = simulate_genotypes(250, 3000, seed=9)
+    rng = np.random.default_rng(9)
+    envs = np.column_stack([rng.normal(size=250),          # temperature
+                            (rng.random(250) > 0.5) * 1.0,  # site A/B
+                            rng.normal(size=250)])          # rainfall
+    y, _ = simulate_phenotype(G, h2=0.5, n_causal=8, seed=9)
+    # plant a site-dependent QTL on a common SNP
+    mafs = G.mean(axis=1)
+    j_qtl = int(np.argmin(np.abs(mafs - 0.5)))
+    y = y + 1.6 * G[j_qtl].astype(float) * envs[:, 1]
+    K = scale_k(kinship(G, ploidy=1))
+    res = emmax_gxe(G, y, envs, K=K)
+    print(f"inter_ps shape (E, M) = {res['inter_ps'].shape}; "
+          f"per-env deltas = {np.round(res['deltas'], 3)}")
+    for e in range(3):
+        j = int(np.argmin(res["inter_ps"][e]))
+        print(f"  env {e}: top GxE SNP {j} "
+              f"p = {res['inter_ps'][e][j]:.2e}"
+              + ("  <- the planted site QTL" if j == j_qtl else ""))
+
+
+def example_many_phenotypes_missing():
+    """Round-4: a reference-style many-phenotype study (107-phenotype
+    pattern) with per-trait MISSING phenotype coverage, batched over
+    one device-resident genome. Traits are grouped by missingness
+    pattern; each group gathers its sample columns ON DEVICE from the
+    packed 2-bit rows — no host decode, exact per-group eigenbases."""
+    import numpy as np
+
+    from mixmogam_tpu.data.simulate import (simulate_genotypes,
+                                            simulate_phenotype)
+    from mixmogam_tpu.models.multitrait import emmax_multi_trait
+    from mixmogam_tpu.models.resident import ResidentGenome
+    from mixmogam_tpu.ops.kinship import kinship
+    from mixmogam_tpu.oracle.kinship import scale_k
+
+    n, m, T = 200, 2000, 12
+    G, ch, po = simulate_genotypes(n, m, seed=12)
+    rng = np.random.default_rng(12)
+    Y = np.stack([simulate_phenotype(G, h2=0.5, n_causal=5,
+                                     seed=12 + t)[0] for t in range(T)])
+    # three field seasons -> three missingness patterns over the traits
+    Y[0:4, :30] = np.nan
+    Y[4:8, 150:] = np.nan
+    K = scale_k(kinship(G, ploidy=1))
+    rg = ResidentGenome.from_source(G)       # one upload
+    res = emmax_multi_trait(rg, Y, K=K)
+    n_pat = len({tuple(np.isnan(Y[t])) for t in range(T)})
+    print(f"{T} traits, {n_pat} missingness patterns, genome resident "
+          f"2-bit in HBM; ps shape = {res['ps'].shape}")
+    n_sig = int((np.min(res["ps"], axis=1) < 0.05 / m).sum())
+    print(f"{n_sig}/{T} traits carry a Bonferroni-significant hit")
+
+
+def example_cohort_vcf_packed():
+    """Round-4: cohort-scale VCF -> device-resident container without
+    ever materializing the (M, n) int8 matrix (RAM ~ M*n/4): the
+    streaming C++ parser (plain/gzip/bgzip) feeds the 2-bit packer
+    chunk by chunk. Also: read_vcf(field='DS') for imputed dosages."""
+    import numpy as np
+
+    from mixmogam_tpu.data.genotype import GenotypeData
+    from mixmogam_tpu.data.simulate import (simulate_genotypes,
+                                            simulate_phenotype)
+    from mixmogam_tpu.data.vcf import read_vcf, read_vcf_packed, write_vcf
+    from mixmogam_tpu.models.emmax import emmax
+    from mixmogam_tpu.ops.kinship import kinship
+    from mixmogam_tpu.oracle.kinship import scale_k
+
+    G, ch, po = simulate_genotypes(150, 3000, seed=21)
+    y, causal = simulate_phenotype(G, h2=0.6, n_causal=4, seed=21)
+    gd = GenotypeData(G, ch, po, [f"s{i}" for i in range(150)], ploidy=1)
+    path = os.path.join(OUT, "cohort_big.vcf.gz")
+    write_vcf(gd, path)
+
+    rg, meta = read_vcf_packed(path, tile=1024)  # streaming -> HBM
+    print(f"packed container: {rg.shape}, "
+          f"{rg.nbytes_packed / 1e3:.0f} KB packed "
+          f"(int8 would be {rg.M * rg.n / 1e3:.0f} KB)")
+    K = scale_k(kinship(rg))
+    res = emmax(rg, y, K=K)
+    top = np.argsort(res["ps"])[:6]
+    hits = len(set(po[causal]) & set(meta["positions"][top]))
+    print(f"EMMAX off the VCF-packed container: {hits}/4 causal in "
+          f"top 6")
+
+    # DS (imputed dosage) read: fractional dosages -> float container
+    ds_path = os.path.join(OUT, "dosages.vcf")
+    with open(ds_path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL"
+                "\tFILTER\tINFO\tFORMAT\t"
+                + "\t".join(f"s{i}" for i in range(4)) + "\n")
+        f.write("1\t100\t.\tA\tG\t.\t.\t.\tDS\t0.12\t1.40\t1.96\t.\n")
+    dd = read_vcf(ds_path, field="DS")
+    print(f"DS read -> {type(dd).__name__}, dosages {dd.matrix[0]} "
+          "(NaN = missing; routed to the non-int8 tiers)")
+
+
 EXAMPLES = {
     "emmax": example_emmax,
+    "multi_env_gxe": example_multi_env_gxe,
+    "many_phenotypes_missing": example_many_phenotypes_missing,
+    "cohort_vcf_packed": example_cohort_vcf_packed,
     "loco": example_loco,
     "vcf_and_gblup": example_vcf_and_gblup,
     "gxe": example_gxe,

@@ -57,9 +57,14 @@ def parse_snp_data(path: str, data_format: str = "binary",
                     f"{gd.matrix.max()} in {path}")
             gd = dataclasses.replace(gd, ploidy=ploidy)
         return gd
-    if path.endswith((".vcf", ".vcf.gz")) or data_format == "vcf":
+    if path.endswith((".vcf", ".vcf.gz")) or data_format in ("vcf",
+                                                            "vcf_ds"):
         from mixmogam_tpu.data.vcf import read_vcf
 
+        if data_format == "vcf_ds":
+            # imputed ALT dosages -> float DosageData (NaN missing);
+            # fractional dosages route to the non-int8 scan tiers
+            return read_vcf(path, field="DS")
         gd = read_vcf(path)
         if ploidy is not None and ploidy != gd.ploidy:
             if gd.matrix.max(initial=0) > ploidy:

@@ -435,3 +435,33 @@ class TestRound4VcfFeatures:
         back = DosageData.read_hdf5(h5)
         np.testing.assert_allclose(np.nan_to_num(back.matrix),
                                    np.nan_to_num(gd.matrix))
+
+    def test_run_gwas_vcf_ds(self, tmp_path):
+        """run_gwas(data_format='vcf_ds'): DS dosages drive the full
+        facade pipeline (coordinate, MAC-expectation filter, kinship
+        cache on the float container, float scan path)."""
+        from mixmogam_tpu.api import run_gwas
+        from mixmogam_tpu.data.phenotype import PhenotypeData
+
+        rng = np.random.default_rng(9)
+        n, M = 40, 120
+        D = np.round(rng.uniform(0, 2, size=(M, n)), 2)
+        samples = [f"s{i}" for i in range(n)]
+        vp = str(tmp_path / "d.vcf")
+        with open(vp, "w") as f:
+            f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\t"
+                    "QUAL\tFILTER\tINFO\tFORMAT\t"
+                    + "\t".join(samples) + "\n")
+            for j in range(M):
+                f.write(f"1\t{j + 1}\t.\tA\tG\t.\t.\t.\tDS\t"
+                        + "\t".join(f"{v:.2f}" for v in D[j]) + "\n")
+        y = D[17] + rng.normal(size=n) * 0.4
+        pp = str(tmp_path / "p.csv")
+        pd = PhenotypeData()
+        pd.add_phenotype(1, "t", samples, y)
+        pd.write_to_file(pp)
+        out = run_gwas(vp, pp, pid=1, data_format="vcf_ds", min_mac=1,
+                       plots=False)
+        assert np.isfinite(out["scan"]["ps"]).all()
+        j_min = int(np.argmin(out["scan"]["ps"]))
+        assert int(out["genotype"].positions[j_min]) == 18
