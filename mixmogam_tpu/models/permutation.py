@@ -10,6 +10,7 @@ columns come from ONE (m,n)x(n,P) matmul; only the per-permutation max-F
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -41,12 +42,60 @@ def _perm_tile_max_f(G_rot_tile, sd, Q0, Y_res, rss0, dof, running_max):
     return jnp.maximum(running_max, jnp.max(f, axis=0))
 
 
+@functools.partial(jax.jit, static_argnames=("n", "tile", "impute"))
+def _perm_scan_packed(packed, W, w_scale, sd, Q0, Y_res, rss0, dof,
+                      n: int, tile: int, impute: bool = False):
+    """Per-permutation max-F over a 2-bit packed genome in HBM as ONE
+    dispatch (round 4: the per-tile host loop measured 860 s for
+    128 perms x 1M x 10,240 — eager rotations + 64 round trips; fused,
+    the whole thing is scan-shaped). W: quantize_rotation repr of
+    U * sd (tierable), or None for identity whitening (Xs = Gt * sd).
+    Pad rows are dosage-0 -> degenerate -> masked."""
+    from mixmogam_tpu.models.streaming import _impute_tile
+    from mixmogam_tpu.ops.pack2 import unpack_2bit_device
+    from mixmogam_tpu.ops.scan import apply_rotation
+
+    T = packed.shape[0] // tile
+    tiles = packed.reshape(T, tile, packed.shape[1])
+    dt = Y_res.dtype
+
+    def kern(pt):
+        Gt = unpack_2bit_device(pt, n)
+        if impute:
+            Gt = _impute_tile(Gt, dt)
+        Xs = (Gt.astype(dt) * sd[None, :] if W is None
+              else apply_rotation(Gt, W, w_scale, dt))
+        c = Xs @ Q0
+        ss = jnp.sum(Xs * Xs, axis=1)
+        xx = ss - jnp.sum(c * c, axis=1)
+        eps = 100.0 * jnp.finfo(dt).eps
+        mask = xx > eps * jnp.maximum(ss, jnp.finfo(dt).tiny)
+        xy = Xs @ Y_res.T                              # (m, P)
+        expl = jnp.where(
+            mask[:, None],
+            jnp.minimum(xy * xy / jnp.where(mask, xx, 1.0)[:, None],
+                        rss0[None, :]), 0.0)
+        rss1 = jnp.maximum(rss0[None, :] - expl, jnp.finfo(dt).tiny)
+        f = expl * dof / rss1                          # (m, P)
+        return jnp.max(f, axis=0)
+
+    return jnp.max(jax.lax.map(kern, tiles), axis=0)
+
+
 def emmax_perm_test(G, y, K=None, num_perm: int = 100,
                     X0: Optional[np.ndarray] = None, seed: int = 0,
                     alpha: float = 0.05, dtype=None, tile: int = 4096,
-                    eig_k=None) -> Dict[str, np.ndarray]:
+                    eig_k=None,
+                    precision: Optional[str] = None
+                    ) -> Dict[str, np.ndarray]:
     """Returns the empirical min-p distribution and the alpha-quantile
-    genome-wide threshold."""
+    genome-wide threshold.
+
+    A ResidentGenome runs the whole permutation sweep as one fused
+    device dispatch off packed HBM; `precision` selects the rotation
+    tier there (same names as emmax — threshold estimation is a
+    quantile over max-F, tolerant of tier-level drift; int8 tiers need
+    fully-observed dosages)."""
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
     if dtype is None:
@@ -87,29 +136,48 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
     rss0 = jnp.sum(Y_res * Y_res, axis=1)
     dof = n - q - 1
 
-    Gd = None if rg is not None else jnp.asarray(Gf)
     if rg is not None:
-        tile = rg.tile  # packed rows are padded to this granularity
-    max_f = jnp.zeros(num_perm, dtype=Ys.dtype)
-    for s in range(0, M, tile):
-        e = min(s + tile, M)
-        if rg is not None:
-            # packed HBM source (round 3): unpack + impute per tile —
-            # genome never materializes as float (40 GB at 1M x 10k)
-            from mixmogam_tpu.models.resident import _tile_from_packed
-            from mixmogam_tpu.models.streaming import _impute_tile
+        # packed HBM source: the entire perm sweep is ONE fused
+        # dispatch (genome never materializes as float — 40 GB at
+        # 1M x 10k; no per-tile round trips)
+        from mixmogam_tpu.ops.scan import (normalize_rotate_tier,
+                                           quantize_rotation,
+                                           resolve_precision)
 
-            Gt = _tile_from_packed(rg.packed, jnp.asarray(s, jnp.int32),
-                                   rg.tile, n)
-            Gt = (_impute_tile(Gt, dtype) if rg.has_missing
-                  else Gt.astype(dtype))
+        rd = None
+        if precision is not None:
+            probe = (np.full((1, 1), np.nan) if rg.has_missing
+                     else np.zeros((1, 1), dtype=np.int8))
+            rb, _mp, _name = resolve_precision(precision, G=probe)
+            rd = normalize_rotate_tier(rb)
+            if isinstance(rd, str) and rd.startswith("int8") \
+                    and rg.has_missing:
+                raise ValueError(
+                    "int8 digit-plane tiers need fully-observed "
+                    "dosages; use precision='exact'/'bf16'")
+        if identity_k:
+            W, w_scale = None, None
         else:
+            W, w_scale = quantize_rotation(U * sd[None, :], rd,
+                                           sd_dtype=sd.dtype)
+        max_f = _perm_scan_packed(rg.packed, W, w_scale, sd, Q0, Y_res,
+                                  rss0, jnp.asarray(float(dof), Ys.dtype),
+                                  rg.n, rg.tile, impute=rg.has_missing)
+    else:
+        if precision is not None:
+            raise ValueError("precision tiers apply to the "
+                             "ResidentGenome permutation path; pass a "
+                             "resident container for tiered sweeps")
+        Gd = jnp.asarray(Gf)
+        max_f = jnp.zeros(num_perm, dtype=Ys.dtype)
+        for s in range(0, M, tile):
+            e = min(s + tile, M)
             Gt = Gd[s:e]
             if e - s < tile:
                 Gt = jnp.pad(Gt, ((0, tile - (e - s)), (0, 0)))
-        G_rot_tile = Gt if identity_k else Gt @ U
-        max_f = _perm_tile_max_f(G_rot_tile, sd, Q0, Y_res, rss0,
-                                 float(dof), max_f)
+            G_rot_tile = Gt if identity_k else Gt @ U
+            max_f = _perm_tile_max_f(G_rot_tile, sd, Q0, Y_res, rss0,
+                                     float(dof), max_f)
     min_ps = f_sf_host(np.asarray(max_f), 1.0, dof)
     thr = float(np.quantile(min_ps, alpha))
     return {"min_ps": np.sort(min_ps), "threshold": thr,

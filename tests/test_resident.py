@@ -545,3 +545,39 @@ class TestResidentLinear:
         ka = kruskal_wallis(rg, y)
         kb = kruskal_wallis(G, y)
         np.testing.assert_allclose(ka["ps"], kb["ps"], atol=1e-12)
+
+
+class TestResidentPermFused:
+    """Round 4: the resident perm sweep is ONE fused dispatch with
+    optional rotation tiers."""
+
+    def test_int8_tier_close_to_exact(self):
+        from mixmogam_tpu.models.permutation import emmax_perm_test
+
+        G, imp, y = _data(55, n=64, m=260)
+        K = scale_k(kinship(G, method="ibs"))
+        rg = ResidentGenome.from_source(G, tile=64)
+        ref = emmax_perm_test(rg, y, K=K, num_perm=24, seed=5)
+        res = emmax_perm_test(rg, y, K=K, num_perm=24, seed=5,
+                              precision="int8x3")
+        np.testing.assert_allclose(res["min_ps"], ref["min_ps"],
+                                   rtol=1e-4)
+        assert res["threshold"] == pytest.approx(ref["threshold"],
+                                                 rel=1e-4)
+
+    def test_tier_refuses_missing(self):
+        from mixmogam_tpu.models.permutation import emmax_perm_test
+
+        G, imp, y = _data(56, n=48, m=150, missing=0.05)
+        K = scale_k(kinship(G, method="ibs"))
+        rg = ResidentGenome.from_source(G, tile=64)
+        with pytest.raises(ValueError, match="int8"):
+            emmax_perm_test(rg, y, K=K, num_perm=8, precision="int8x2")
+
+    def test_incore_refuses_precision(self):
+        from mixmogam_tpu.models.permutation import emmax_perm_test
+
+        G, imp, y = _data(57, n=48, m=100)
+        with pytest.raises(ValueError, match="ResidentGenome"):
+            emmax_perm_test(imp, y, K=None, num_perm=8,
+                            precision="bf16")
