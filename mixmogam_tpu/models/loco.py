@@ -174,10 +174,13 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
     1.45x). pipeline_eigh overlaps chromosome c+1's host eigh with
     chromosome c's null fit + device scan in a single worker thread
     (prefetch depth 1 — two (phi, U) pairs live at once, ~0.9 GB at
-    n=10,240 f32). A ResidentGenome source scans each chromosome off
-    its packed-HBM row slice (slice_rows) and rides the scan precision
-    tiers; no host decode anywhere. kinships: reuse loco_kinships
-    output (e.g. cached); built here otherwise.
+    n=10,240 f32). A ResidentGenome source with kinships=None goes
+    further: each K_loco is built lazily inside the worker (range-
+    masked device gram + D2H + recombination algebra + eigh), so the
+    whole kinship bill ALSO overlaps the scans and only ~2 LOCO
+    matrices are alive at once. The scans source packed HBM and ride
+    the precision tiers; no host decode anywhere. kinships: reuse
+    loco_kinships output (e.g. cached); built here otherwise.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -191,13 +194,38 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
             raise ValueError("pass chromosomes= for a bare matrix source")
     chromosomes = np.asarray(chromosomes)
     ranges = _chrom_ranges(chromosomes)
-    if kinships is None:
-        kinships = loco_kinships(G, chromosomes, method=method,
-                                 ploidy=ploidy)
     y = np.asarray(y, dtype=np.float64).ravel()
     M = len(chromosomes)
     rg = G if isinstance(G, ResidentGenome) else None
     factor_dtype = np.float32 if str(precision) == "fast" else None
+    lazy = kinships is None and rg is not None and pipeline_eigh
+    if kinships is None and not lazy:
+        kinships = loco_kinships(G, chromosomes, method=method,
+                                 ploidy=ploidy)
+    if lazy:
+        # build each K_loco INSIDE the worker, right before its eigh:
+        # the per-chromosome device gram, its D2H fetch (the dominant
+        # cost on this image's ~20 MB/s link — 22 x 420 MB), the
+        # recombination algebra AND the eigh all overlap the main
+        # thread's null fits + device scans, and only ~2 LOCO matrices
+        # are ever alive (vs 22 x 0.8 GB precomputed)
+        from mixmogam_tpu.models.resident import (kinship_resident,
+                                                  kinship_resident_range)
+        from mixmogam_tpu.oracle.kinship import scale_k
+
+        pl = rg.ploidy if ploidy is None else ploidy
+        K_tot, den_tot = kinship_resident(rg, method=method, ploidy=pl,
+                                          return_den=True)
+        num_tot = np.asarray(K_tot, np.float64) * den_tot
+
+        def prep_eig(s_c: int, e_c: int):
+            K_c, den_c = kinship_resident_range(rg, s_c, e_c,
+                                                method=method,
+                                                ploidy=pl,
+                                                return_den=True)
+            Kl = (num_tot - np.asarray(K_c, np.float64) * den_c) \
+                / (den_tot - den_c)
+            return eigen_k(scale_k(Kl), True, factor_dtype)
     merged: Dict[str, np.ndarray] = {}
     loco_info: Dict[object, Dict[str, float]] = {}
     with ThreadPoolExecutor(max_workers=1) as ex:
@@ -205,9 +233,10 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
 
         def submit(i: int) -> None:
             if pipeline_eigh and i < len(ranges):
-                c_i = ranges[i][0]
-                futs[c_i] = ex.submit(eigen_k, kinships[c_i], True,
-                                      factor_dtype)
+                c_i, s_i, e_i = ranges[i]
+                futs[c_i] = (ex.submit(prep_eig, s_i, e_i) if lazy
+                             else ex.submit(eigen_k, kinships[c_i],
+                                            True, factor_dtype))
 
         submit(0)
         for i, (c, s, e) in enumerate(ranges):

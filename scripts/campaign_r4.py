@@ -165,6 +165,41 @@ def main():
                 "min_p": float(np.min(res["ps"])),
                 "delta_range": [min(deltas), max(deltas)]})
 
+    if "loco_lazy" in phases:
+        # round-4 follow-up: kinships=None on a resident source builds
+        # each K_loco lazily in the eigh worker — gram D2H + algebra +
+        # eigh ALL overlap the scans (expect ~ the eigh bill alone)
+        from mixmogam_tpu.models.loco import emmax_loco
+
+        ch = chrom_blocks()
+        t0 = time.time()
+        res = emmax_loco(rg, y, chromosomes=ch, precision="fast")
+        wall = time.time() - t0
+        deltas = [round(v["delta"], 4) for v in res["loco"].values()]
+        record({"phase": "loco_resident_1M_22chrom_lazy_overlap",
+                "ts": time.strftime("%F %T"), "n": N, "M": M,
+                "n_chrom": N_CHROM, "total_s": round(wall, 1),
+                "s_per_chrom": round(wall / N_CHROM, 1),
+                "precision": "fast (f32 ssyevd eigh; gram+D2H+algebra+"
+                             "eigh in worker, overlapped with scans)",
+                "min_p": float(np.min(res["ps"])),
+                "delta_range": [min(deltas), max(deltas)]})
+
+    if "perm_fused" in phases:
+        # round-4 follow-up: the fused single-dispatch perm sweep
+        from mixmogam_tpu.models.permutation import emmax_perm_test
+
+        for prec, tag in ((None, "exact"), ("int8x2", "int8x2")):
+            t0 = time.time()
+            pr = emmax_perm_test(rg, y, K=K, num_perm=128, seed=1,
+                                 eig_k=(phi, U), precision=prec)
+            wall = time.time() - t0
+            record({"phase": f"perm_resident_1M_fused_{tag}",
+                    "ts": time.strftime("%F %T"), "n": N, "M": M,
+                    "num_perm": 128, "wall_s": round(wall, 1),
+                    "perm_scans_per_s": round(128 * M / wall),
+                    "threshold_p": float(pr["threshold"])})
+
     log("campaign_r4 done")
     return 0
 
