@@ -27,11 +27,15 @@ config #3 (1M x 10,240, 22 chromosomes): see docs/PERFORMANCE.md
 
 from __future__ import annotations
 
+import logging
+import time as _time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 __all__ = ["loco_kinships", "emmax_loco"]
+
+_log = logging.getLogger("mixmogam_tpu.loco")
 
 
 def _chrom_ranges(chromosomes: np.ndarray) -> List[Tuple[object, int, int]]:
@@ -56,6 +60,21 @@ def _chrom_ranges(chromosomes: np.ndarray) -> List[Tuple[object, int, int]]:
             out.append((c, s, i))
             s = i
     return out
+
+
+def _eigh_host_np(K, factor_dtype=None) -> Tuple[np.ndarray, np.ndarray]:
+    """(phi, U) descending (EMMA convention) as HOST numpy arrays.
+
+    emmax_loco's pipeline keeps eigendecompositions on host: the null
+    REML runs in host float64 anyway, so returning device arrays (as
+    eigen_k does) would cost a 420 MB H2D upload AND a 420 MB D2H
+    readback per chromosome through this image's tunnel; the scan's
+    one W upload happens inside build_rotated_null regardless."""
+    from mixmogam_tpu.ops.eigen import _host_eigh
+
+    w, v = _host_eigh(K, np.float64 if factor_dtype is None
+                      else factor_dtype)
+    return w[::-1].copy(), v[:, ::-1].copy()
 
 
 def _rows(G, s: int, e: int) -> np.ndarray:
@@ -186,7 +205,6 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
 
     from mixmogam_tpu.models.emmax import emmax
     from mixmogam_tpu.models.resident import ResidentGenome
-    from mixmogam_tpu.ops.eigen import eigen_k
 
     if chromosomes is None:
         chromosomes = getattr(G, "chromosomes", None)
@@ -219,13 +237,19 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
         num_tot = np.asarray(K_tot, np.float64) * den_tot
 
         def prep_eig(s_c: int, e_c: int):
+            t0 = _time.time()
             K_c, den_c = kinship_resident_range(rg, s_c, e_c,
                                                 method=method,
                                                 ploidy=pl,
                                                 return_den=True)
+            t1 = _time.time()
             Kl = (num_tot - np.asarray(K_c, np.float64) * den_c) \
                 / (den_tot - den_c)
-            return eigen_k(scale_k(Kl), True, factor_dtype)
+            eig = _eigh_host_np(scale_k(Kl), factor_dtype)
+            _log.info("loco prep [%d,%d): gram+fetch %.1fs, "
+                      "algebra+eigh %.1fs", s_c, e_c, t1 - t0,
+                      _time.time() - t1)
+            return eig
     merged: Dict[str, np.ndarray] = {}
     loco_info: Dict[object, Dict[str, float]] = {}
     with ThreadPoolExecutor(max_workers=1) as ex:
@@ -235,13 +259,16 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
             if pipeline_eigh and i < len(ranges):
                 c_i, s_i, e_i = ranges[i]
                 futs[c_i] = (ex.submit(prep_eig, s_i, e_i) if lazy
-                             else ex.submit(eigen_k, kinships[c_i],
-                                            True, factor_dtype))
+                             else ex.submit(_eigh_host_np,
+                                            kinships[c_i],
+                                            factor_dtype))
 
         submit(0)
         for i, (c, s, e) in enumerate(ranges):
             submit(i + 1)  # c+1's eigh runs under c's fit + scan
+            t_w = _time.time()
             eig = futs.pop(c).result() if pipeline_eigh else None
+            t_fit = _time.time()
             # resident source: scan the FULL container under this
             # chromosome's null and keep rows [s, e) — one scan compile
             # total, where per-chromosome packed slices would each
@@ -254,6 +281,9 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
                         ngrids=ngrids, llim=llim, ulim=ulim, esp=esp,
                         with_betas=with_betas, precision=precision,
                         dtype=dtype, **kw)
+            _log.info("loco chrom %s: waited-on-eigh %.1fs, "
+                      "fit+scan %.1fs", c, t_fit - t_w,
+                      _time.time() - t_fit)
             loco_info[c] = {
                 "delta": res["delta"],
                 "pseudo_heritability": res["pseudo_heritability"],

@@ -40,7 +40,14 @@ def eigen_k(K, host: bool = True, factor_dtype=None
     factor_dtype: host factorization dtype (None = float64 = exact
     default; np.float32 = ssyevd fast tier)."""
     if host:
-        dt = jnp.asarray(K).dtype if hasattr(K, "dtype") else None
+        # canonicalize the dtype WITHOUT a device round-trip: the old
+        # jnp.asarray(K).dtype probe uploaded the full (n, n) K —
+        # 420 MB per call through this image's tunnel — only to read
+        # .dtype (surfaced by LOCO's 22 per-chromosome eighs)
+        import jax
+
+        dt = (jax.dtypes.canonicalize_dtype(K.dtype)
+              if hasattr(K, "dtype") else None)
         w, v = _host_eigh(K, np.float64 if factor_dtype is None
                           else factor_dtype)
         phi = jnp.asarray(w[::-1].copy(), dtype=dt)

@@ -38,16 +38,20 @@ def record(rec):
     log("RECORDED", json.dumps(rec))
 
 
-def chrom_blocks():
-    """22 contiguous chromosome blocks over the simulated campaign
-    genome (block sizes uneven, human-like ratios)."""
-    w = np.linspace(1.6, 0.45, N_CHROM)
+def chrom_blocks(n_chrom=N_CHROM):
+    """Contiguous chromosome blocks over the simulated campaign genome
+    (block sizes uneven, human-like ratios)."""
+    w = np.linspace(1.6, 0.45, n_chrom)
     sizes = np.floor(w / w.sum() * M).astype(np.int64)
     sizes[-1] += M - sizes.sum()
-    return np.repeat(np.arange(1, N_CHROM + 1), sizes)
+    return np.repeat(np.arange(1, n_chrom + 1), sizes)
 
 
 def main():
+    import logging
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
     phases = sys.argv[1:] or ["anova", "kw", "perm", "emma", "loco"]
     import threading
 
@@ -165,25 +169,36 @@ def main():
                 "min_p": float(np.min(res["ps"])),
                 "delta_range": [min(deltas), max(deltas)]})
 
-    if "loco_lazy" in phases:
+    lazy = [ph for ph in phases if ph.startswith("loco_lazy")]
+    if lazy:
         # round-4 follow-up: kinships=None on a resident source builds
         # each K_loco lazily in the eigh worker — gram D2H + algebra +
-        # eigh ALL overlap the scans (expect ~ the eigh bill alone)
+        # eigh ALL overlap the scans (expect ~ the per-chrom eigh bill
+        # alone). "loco_lazyK" measures K chromosomes over the FULL
+        # genome: the pipeline is linear in chromosomes (each pays one
+        # eigh at the SAME n), so the 22-chromosome wall is startup +
+        # 22 x the measured steady-state per-chromosome time.
         from mixmogam_tpu.models.loco import emmax_loco
 
-        ch = chrom_blocks()
+        n_chrom = int(lazy[0][len("loco_lazy"):] or N_CHROM)
+        ch = chrom_blocks(n_chrom)
         t0 = time.time()
         res = emmax_loco(rg, y, chromosomes=ch, precision="fast")
         wall = time.time() - t0
         deltas = [round(v["delta"], 4) for v in res["loco"].values()]
-        record({"phase": "loco_resident_1M_22chrom_lazy_overlap",
+        record({"phase": f"loco_resident_1M_{n_chrom}chrom_lazy_overlap",
                 "ts": time.strftime("%F %T"), "n": N, "M": M,
-                "n_chrom": N_CHROM, "total_s": round(wall, 1),
-                "s_per_chrom": round(wall / N_CHROM, 1),
+                "n_chrom": n_chrom, "total_s": round(wall, 1),
+                "s_per_chrom": round(wall / n_chrom, 1),
                 "precision": "fast (f32 ssyevd eigh; gram+D2H+algebra+"
                              "eigh in worker, overlapped with scans)",
                 "min_p": float(np.min(res["ps"])),
                 "delta_range": [min(deltas), max(deltas)]})
+
+    if "gxe" in phases:
+        import gxe_scale_bench
+
+        gxe_scale_bench.main()
 
     if "perm_fused" in phases:
         # round-4 follow-up: the fused single-dispatch perm sweep
