@@ -281,7 +281,13 @@ def _iter_vcf_python(path: str, chunk_rows: int = 65_536,
             alleles.append((ref, alt.split(",")[0]))
             row = np.full(len(samples), miss, dtype=mdt)
             for i, call in enumerate(parts[9:9 + len(samples)]):
-                tok = call.split(":")[f_idx] if ":" in call else call
+                if ":" in call:
+                    toks = call.split(":")
+                    # trailing FORMAT fields may be dropped per sample
+                    # (VCF 4.x spec) -> missing, not IndexError
+                    tok = toks[f_idx] if f_idx < len(toks) else "."
+                else:
+                    tok = call
                 if field == "DS":
                     try:
                         row[i] = float(tok.split(",")[0])

@@ -148,13 +148,11 @@ def _gxe_scan_packed(packed, RU, ru_scale, RUes, rue_scales, sds, Q0s,
 
 
 def _sub_tile(tile: int, n_env: int) -> int:
-    """Packed rows fix the outer granularity; re-view them finer when
-    several environments multiply the per-tile float intermediates."""
-    target = max(2048, 16_384 // max(n_env, 1))
-    sub = tile
-    while sub > target and sub % 2 == 0:
-        sub //= 2
-    return sub
+    """Finer packed-row granularity when several environments multiply
+    the per-tile float intermediates (models.resident.subdivide_tile)."""
+    from mixmogam_tpu.models.resident import subdivide_tile
+
+    return subdivide_tile(tile, max(2048, 16_384 // max(n_env, 1)))
 
 
 def emmax_gxe(G, y, env, K=None, X0: Optional[np.ndarray] = None,

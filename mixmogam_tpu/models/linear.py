@@ -89,15 +89,11 @@ def _class_sums(G, w, n_classes: int):
 
 
 def _subdivide_tile(tile: int, target: int = 2048) -> int:
-    """Largest divisor of `tile` <= target: the packed class-sum/rank
-    kernels hold a few (tile, n) float intermediates per map step —
-    at the flagship tile=16,384 x n=10,240 that is ~0.6 GB each, so the
-    packed rows (whose padding fixes the outer granularity) are
-    re-viewed as finer tiles to bound HBM."""
-    sub = tile
-    while sub > target and sub % 2 == 0:
-        sub //= 2
-    return sub
+    """models.resident.subdivide_tile (shared; lazy import — linear is
+    imported by the facade before the resident module)."""
+    from mixmogam_tpu.models.resident import subdivide_tile
+
+    return subdivide_tile(tile, target)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "tile", "n_classes"))

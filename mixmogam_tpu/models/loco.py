@@ -212,6 +212,10 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
             raise ValueError("pass chromosomes= for a bare matrix source")
     chromosomes = np.asarray(chromosomes)
     ranges = _chrom_ranges(chromosomes)
+    if len(ranges) < 2:
+        # the lazy path must refuse too (review r4 #1: den_tot - den_c
+        # == 0 would make K_loco = 0/0 -> NaN -> all-p=1 garbage)
+        raise ValueError("LOCO needs at least 2 chromosomes")
     y = np.asarray(y, dtype=np.float64).ravel()
     M = len(chromosomes)
     rg = G if isinstance(G, ResidentGenome) else None

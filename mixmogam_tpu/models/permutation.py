@@ -144,11 +144,13 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
                                            quantize_rotation,
                                            resolve_precision)
 
-        rd = None
+        import contextlib
+
+        rd, mp = None, None
         if precision is not None:
             probe = (np.full((1, 1), np.nan) if rg.has_missing
                      else np.zeros((1, 1), dtype=np.int8))
-            rb, _mp, _name = resolve_precision(precision, G=probe)
+            rb, mp, _name = resolve_precision(precision, G=probe)
             rd = normalize_rotate_tier(rb)
             if isinstance(rd, str) and rd.startswith("int8") \
                     and rg.has_missing:
@@ -160,9 +162,14 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
         else:
             W, w_scale = quantize_rotation(U * sd[None, :], rd,
                                            sd_dtype=sd.dtype)
-        max_f = _perm_scan_packed(rg.packed, W, w_scale, sd, Q0, Y_res,
-                                  rss0, jnp.asarray(float(dof), Ys.dtype),
-                                  rg.n, rg.tile, impute=rg.has_missing)
+        # matmul-precision tiers ('high') apply at TRACE time
+        ctx = (jax.default_matmul_precision(mp) if mp
+               else contextlib.nullcontext())
+        with ctx:
+            max_f = _perm_scan_packed(
+                rg.packed, W, w_scale, sd, Q0, Y_res, rss0,
+                jnp.asarray(float(dof), Ys.dtype), rg.n, rg.tile,
+                impute=rg.has_missing)
     else:
         if precision is not None:
             raise ValueError("precision tiers apply to the "

@@ -43,6 +43,17 @@ from mixmogam_tpu.ops.scan import emmax_scan_stats
 RESIDENT_BUDGET_BYTES = 6 << 30
 
 
+def subdivide_tile(tile: int, target: int = 2048) -> int:
+    """Largest divisor of `tile` <= target. Packed rows fix the outer
+    tile granularity; kernels that hold several (tile, n) float
+    intermediates per map step (anova/KW class sums, multi-env GxE)
+    re-view the packed rows at this finer granularity to bound HBM."""
+    sub = tile
+    while sub > target and sub % 2 == 0:
+        sub //= 2
+    return sub
+
+
 class ResidentGenome:
     """(M, n) int8 dosages held 2-bit packed in device HBM.
 

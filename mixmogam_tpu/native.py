@@ -170,7 +170,13 @@ def iter_vcf(path: str, n_samples: int, chunk_rows: int = 65_536,
             w = int(got)
             if w == 0:
                 return
-            parts = arena.tobytes().split(b"\0")[:2 * w]
+            # split only the USED arena extent: the last ALT string
+            # starts at offs[2w-1] and ends at its NUL (splitting the
+            # whole mostly-zero arena would materialize millions of
+            # empty byte-strings per chunk)
+            off_last = int(offs[2 * w - 1])
+            used = off_last + int(np.argmax(arena[off_last:] == 0)) + 1
+            parts = arena[:used].tobytes().split(b"\0")[:2 * w]
             alleles = (np.asarray(
                 [p.decode("utf-8", "replace") for p in parts],
                 dtype=object).reshape(w, 2) if w

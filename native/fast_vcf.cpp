@@ -85,6 +85,7 @@ struct VcfStream {
   std::string carry;              // partial line from the last read
   std::vector<std::string> lines; // carried-over unconsumed record lines
   bool eof = false;
+  bool bad = false;               // decompression/read error: NOT EOF
   bool header_done = false;
 };
 
@@ -109,6 +110,15 @@ bool next_line(VcfStream* h, std::string* out) {
     }
     int got = gzread(h->f, buf, sizeof(buf));
     if (got <= 0) {
+      // distinguish clean EOF from a read/decompression error
+      // (truncated or corrupt .gz/bgzip): treating an error as EOF
+      // would silently return a truncated genome
+      if (got < 0 || !gzeof(h->f)) {
+        int errnum = Z_OK;
+        gzerror(h->f, &errnum);
+        if (got < 0 || (errnum != Z_OK && errnum != Z_STREAM_END))
+          h->bad = true;
+      }
       h->eof = true;
       continue;
     }
@@ -212,6 +222,7 @@ int64_t vcf_next(void* vh, int64_t max_rows, int8_t* mat, int64_t* poss,
     if (line[0] == '#') return -2;  // header line mid-body
     h->lines.push_back(std::move(line));
   }
+  if (h->bad) return -2;  // corrupt/truncated stream: never silent EOF
   int64_t nlines = (int64_t)h->lines.size();
   if (nlines == 0) return 0;
 

@@ -200,6 +200,57 @@ def main():
 
         gxe_scale_bench.main()
 
+    if "gxe_kernel" in phases:
+        # scan-kernel-only GxE walls per tier (the r3 93k/s record was
+        # kernel-level; end-to-end walls add a fixed ~14 s per-study
+        # REML + p-finalize) — one shared null, warm repeats
+        from mixmogam_tpu.models.gxe import _gxe_scan_packed, _sub_tile
+        from mixmogam_tpu.ops.eigen import orthonormal_basis
+        from mixmogam_tpu.ops.reml import fit_null_model
+        from mixmogam_tpu.ops.scan import (normalize_rotate_tier,
+                                           quantize_rotation)
+
+        rngl = np.random.default_rng(99)
+        env = rngl.normal(size=N)
+        X0e = np.column_stack([np.ones(N), env]).astype(np.float32)
+        null = fit_null_model(y.astype(np.float32), X0e, eig_k=(phi, U))
+        dt = jnp.float32
+        phi_d = jnp.asarray(phi, dt)
+        U_d = jnp.asarray(U, dt)
+        sd = 1.0 / jnp.sqrt(phi_d + jnp.asarray(null.delta, dt))
+        ys = (U_d.T @ jnp.asarray(y, dt)) * sd
+        X0s = (U_d.T @ jnp.asarray(X0e, dt)) * sd[:, None]
+        Q0 = orthonormal_basis(X0s)
+        y_res = ys - Q0 @ (Q0.T @ ys)
+        sds, Q0s = jnp.stack([sd]), jnp.stack([Q0])
+        y_ress = jnp.stack([y_res])
+        rss0s = jnp.stack([y_res @ y_res])
+        dof_d = jnp.asarray(float(N - 3), dt)
+        Ue = jnp.asarray(env, dt)[:, None] * U_d
+        st = _sub_tile(rg.tile, 1)
+        for tier in (None, "int8x3", "int8x2"):
+            rd = normalize_rotate_tier(tier) if tier else None
+            RU, rs = quantize_rotation(U_d, rd, sd_dtype=dt)
+            We, ws = quantize_rotation(Ue, rd, sd_dtype=dt)
+            RUes = jnp.stack([We])
+            wss = None if ws is None else jnp.stack([ws])
+
+            def run_once():
+                return jax.block_until_ready(_gxe_scan_packed(
+                    rg.packed, RU, rs, RUes, wss, sds, Q0s, y_ress,
+                    rss0s, dof_d, rg.n, st, False)[1])
+
+            run_once()  # compile
+            best = np.inf
+            for _ in range(2):
+                t0 = time.time()
+                run_once()
+                best = min(best, time.time() - t0)
+            record({"phase": f"gxe_kernel_1M_{tier or 'exact'}",
+                    "ts": time.strftime("%F %T"), "n": N, "M": M,
+                    "warm_s": round(best, 2),
+                    "tests_per_s": round(M / best)})
+
     if "perm_fused" in phases:
         # round-4 follow-up: the fused single-dispatch perm sweep
         from mixmogam_tpu.models.permutation import emmax_perm_test

@@ -118,3 +118,56 @@ class TestGblupKinshipValidation:
         y, _ = simulate_phenotype(G, h2=0.5, n_causal=3, seed=1)
         with pytest.raises(ValueError, match="kinship method"):
             gblup_cv(G, y, n_folds=2, kinship_method="vanRaden")
+
+
+class TestReviewR4Fixes:
+    """Round-4 self-review findings (code-review pass)."""
+
+    def test_loco_lazy_single_chromosome_raises(self):
+        from mixmogam_tpu.models.loco import emmax_loco
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        rng = np.random.default_rng(0)
+        G = rng.integers(0, 3, (100, 32)).astype(np.int8)
+        rg = ResidentGenome.from_source(G, tile=32)
+        y = rng.normal(size=32)
+        with pytest.raises(ValueError, match="at least 2"):
+            emmax_loco(rg, y, chromosomes=np.ones(100, dtype=np.int32))
+
+    def test_ds_trailing_field_dropped(self, tmp_path):
+        """VCF 4.x allows per-sample dropping of trailing FORMAT
+        fields: a call missing DS records NaN, not IndexError."""
+        from mixmogam_tpu.data.vcf import read_vcf
+
+        body = ("##fileformat=VCFv4.2\n"
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                "\ts0\ts1\ts2\n"
+                "1\t100\t.\tA\tG\t.\t.\t.\tGT:DP:DS\t0/1:12:0.9\t"
+                "0/1:12\t1/1:3:1.8\n")
+        p = str(tmp_path / "drop.vcf")
+        with open(p, "w") as f:
+            f.write(body)
+        gd = read_vcf(p, field="DS")
+        np.testing.assert_allclose(gd.matrix[0, [0, 2]], [0.9, 1.8],
+                                   rtol=1e-6)
+        assert np.isnan(gd.matrix[0, 1])
+
+    def test_truncated_gz_never_silently_truncates(self, tmp_path):
+        """A corrupt/truncated .vcf.gz must raise (native returns -2 ->
+        python gzip raises), never return fewer SNPs silently."""
+        import gzip
+
+        from mixmogam_tpu.data.vcf import read_vcf
+
+        rows = "".join(f"1\t{j + 1}\t.\tA\tG\t.\t.\t.\tGT\t0/1\t1/1\n"
+                       for j in range(500))
+        full = ("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL"
+                "\tFILTER\tINFO\tFORMAT\ts0\ts1\n" + rows)
+        p = str(tmp_path / "t.vcf.gz")
+        with gzip.open(p, "wt") as f:
+            f.write(full)
+        blob = open(p, "rb").read()
+        with open(p, "wb") as f:
+            f.write(blob[: len(blob) // 2])  # truncate mid-stream
+        with pytest.raises(Exception):
+            read_vcf(p)
