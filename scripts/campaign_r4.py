@@ -63,7 +63,8 @@ def main():
     claimed = threading.Event()
     threading.Thread(target=lambda: (np.asarray(jnp.zeros(8)),
                                      claimed.set()), daemon=True).start()
-    if not claimed.wait(1500):
+    budget = float(os.environ.get("MIXMOGAM_BENCH_CLAIM_TIMEOUT", 1500))
+    if not claimed.wait(budget):
         log("TPU claim timed out; aborting")
         return 1
     log(f"claim+dial: {time.time()-t0:.1f}s")
