@@ -465,3 +465,51 @@ class TestRound4VcfFeatures:
         assert np.isfinite(out["scan"]["ps"]).all()
         j_min = int(np.argmin(out["scan"]["ps"]))
         assert int(out["genotype"].positions[j_min]) == 18
+
+    def test_native_arena_growth_retry(self, tmp_path):
+        """REF/ALT strings larger than the default 64 B/row arena
+        budget trigger the -3 grow-and-retry path; carried lines must
+        not be lost or duplicated."""
+        from mixmogam_tpu import native
+
+        if not native.available():
+            pytest.skip("no native lib")
+        rng = np.random.default_rng(2)
+        M = 40
+        refs = ["".join(rng.choice(list("ACGT"), size=300)) for _ in
+                range(M)]
+        lines = [f"1\t{j + 1}\t.\t{refs[j]}\tG\t.\t.\t.\tGT\t0/1\t1/1\t"
+                 f"0/0\n" for j in range(M)]
+        p = _write(tmp_path, "".join(lines), name="longref.vcf")
+        chunks = list(native.iter_vcf(p, 3, chunk_rows=8))
+        assert sum(c[0].shape[0] for c in chunks) == M
+        alleles = np.concatenate([c[4].reshape(-1, 2) for c in chunks])
+        assert list(alleles[:, 0]) == refs
+        gd = read_vcf(p)
+        np.testing.assert_array_equal(
+            np.vstack([c[0] for c in chunks]), gd.matrix)
+
+    def test_gz_truncation_sweep(self, tmp_path):
+        """Several truncation points of a .vcf.gz: the reader must
+        either raise or (for a truncation that happens to end at a
+        clean gzip stream boundary) return the full parse — never a
+        silently truncated genome."""
+        import gzip
+
+        rows = "".join(f"1\t{j + 1}\t.\tA\tG\t.\t.\t.\tGT\t0/1\t1/1\n"
+                       for j in range(400))
+        full = ("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL"
+                "\tFILTER\tINFO\tFORMAT\ts0\ts1\n" + rows)
+        src = str(tmp_path / "full.vcf.gz")
+        with gzip.open(src, "wt") as f:
+            f.write(full)
+        blob = open(src, "rb").read()
+        for frac in (0.3, 0.6, 0.9):
+            p = str(tmp_path / f"t{int(frac * 10)}.vcf.gz")
+            with open(p, "wb") as f:
+                f.write(blob[: int(len(blob) * frac)])
+            try:
+                gd = read_vcf(p)
+            except Exception:
+                continue  # raising is the expected outcome
+            assert gd.num_snps == 400  # only full parses may succeed
