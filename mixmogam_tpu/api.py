@@ -97,6 +97,13 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
             p-values alongside in the scan dict).
     transform: None | 'log' | 'sqrt' | 'box_cox' | 'exp' | 'arcsin_sqrt'
                | 'most_normal'.
+    model_kw['X0'] (a user-supplied fixed-effects design) must have its
+    rows in the COORDINATED sample order — the genotype/phenotype
+    intersection order established by coordinate_with_phenotype (the
+    order of the emitted result's samples). When covariate_pids/env_pid
+    drop further samples, X0 rows are subset by position; only the row
+    COUNT is verifiable, so a same-sized design in a different sample
+    order would be silently misaligned.
     Returns {'result': Result, 'scan': scan dict, 'files': {...}}.
     """
     from mixmogam_tpu.config import GwasConfig, DEFAULT
@@ -161,7 +168,14 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
                 if "X0" in model_kw and np.shape(
                         model_kw["X0"])[0] == len(sample_ids):
                     # a user-supplied design built on the pre-drop
-                    # coordinated set: keep its rows aligned
+                    # coordinated set: keep its rows aligned.
+                    # CONTRACT (ADVICE r4): X0's rows must be in the
+                    # COORDINATED sample order (the genotype/phenotype
+                    # intersection order — what run_gwas callers get
+                    # from coordinate_with_phenotype); the row-count
+                    # match is all that can be verified here, a
+                    # same-sized design in a different order would be
+                    # silently mis-subset. Documented on run_gwas.
                     model_kw["X0"] = np.asarray(model_kw["X0"])[keep]
                 sample_ids = [sample_ids[i] for i in keep]
         if cov_maps:

@@ -63,8 +63,11 @@ def parse_snp_data(path: str, data_format: str = "binary",
 
         if data_format == "vcf_ds":
             # imputed ALT dosages -> float DosageData (NaN missing);
-            # fractional dosages route to the non-int8 scan tiers
-            return read_vcf(path, field="DS")
+            # fractional dosages route to the non-int8 scan tiers.
+            # ploidy threads through (ADVICE r4: the DS range heuristic
+            # misclassifies all-<=1 diploid chunks as haploid and the
+            # caller had no override)
+            return read_vcf(path, field="DS", ploidy=ploidy)
         gd = read_vcf(path)
         if ploidy is not None and ploidy != gd.ploidy:
             if gd.matrix.max(initial=0) > ploidy:

@@ -150,7 +150,7 @@ def _read_vcf_native(path: str):
 
 
 def read_vcf(path: str, return_chrom_map: bool = False,
-             field: str = "GT"
+             field: str = "GT", ploidy: Optional[int] = None
              ) -> Union[GenotypeData, Tuple[GenotypeData, Dict[str, int]]]:
     """Parse a VCF (.vcf or .vcf.gz) into a GenotypeData of hard-call
     ALT dosages. See the module docstring for coding conventions.
@@ -161,9 +161,15 @@ def read_vcf(path: str, return_chrom_map: bool = False,
 
     field='DS' reads the imputed ALT-dosage FORMAT field instead into a
     float DosageData (NaN missing; records without DS are skipped;
-    multi-allelic DS lists take the first ALT, matching the GT rule)."""
+    multi-allelic DS lists take the first ALT, matching the GT rule).
+    ploidy: explicit override for the DS path, where ploidy cannot be
+    read off the calls — the range heuristic ('2 if any dosage > 1')
+    misclassifies a diploid chunk whose dosages all happen to be <= 1
+    (e.g. rare variants), halving allele_counts downstream (ADVICE r4).
+    The GT path infers ploidy from call arity and ignores this kwarg
+    (use parse_snp_data(ploidy=...) for a validated GT override)."""
     if field == "DS":
-        return _read_vcf_ds(path, return_chrom_map)
+        return _read_vcf_ds(path, return_chrom_map, ploidy=ploidy)
     if field != "GT":
         raise ValueError(f"unsupported FORMAT field {field!r}; "
                          "supported: 'GT' (hard calls), 'DS' (dosages)")
@@ -228,8 +234,10 @@ def _iter_vcf_python(path: str, chunk_rows: int = 65_536,
     (samples, matrix, positions, chrom_names list, alleles (m, 2) str,
     chunk_max_arity). field='GT' -> int8 hard calls (-1 missing);
     field='DS' -> float32 dosages (NaN missing; first ALT of a
-    multi-allelic DS list, matching the GT rule; DS arity is reported
-    as 0 — the caller infers ploidy from the dosage range). At least
+    multi-allelic DS list, matching the GT rule; arity stays at its
+    initial value 1 for DS chunks — it is meaningless there and MUST be
+    ignored; callers take ploidy from an explicit kwarg or the dosage
+    range instead, see _read_vcf_ds). At least
     one (possibly empty) chunk is yielded so callers always see the
     sample list. Raises descriptive ValueErrors on malformed input."""
     samples: List[str] = []
@@ -314,10 +322,13 @@ def _iter_vcf_python(path: str, chunk_rows: int = 65_536,
         yield empty_chunk()
 
 
-def _read_vcf_ds(path: str, return_chrom_map: bool = False):
+def _read_vcf_ds(path: str, return_chrom_map: bool = False,
+                 ploidy: Optional[int] = None):
     """read_vcf(field='DS'): imputed ALT dosages -> DosageData (float32,
     NaN missing). Fractional dosages route to the non-int8 scan tiers
-    (resolve_precision refuses int8 digit planes for them)."""
+    (resolve_precision refuses int8 digit planes for them). ploidy:
+    explicit caller knowledge (validated against the dosage range);
+    None falls back to the '2 if max dosage > 1' heuristic."""
     from mixmogam_tpu.data.genotype import DosageData
 
     samples: List[str] = []
@@ -334,6 +345,10 @@ def _read_vcf_ds(path: str, return_chrom_map: bool = False):
     matrix = (np.vstack(mats) if mats
               else np.zeros((0, len(samples)), dtype=np.float32))
     vmax = np.nanmax(matrix, initial=0.0) if matrix.size else 0.0
+    if ploidy is not None and vmax > ploidy:
+        raise ValueError(
+            f"ploidy={ploidy} conflicts with DS dosages up to {vmax} "
+            f"in {path}")
     gd = DosageData(
         matrix=matrix,
         chromosomes=np.asarray([mapping[c] for c in chrom_names],
@@ -341,7 +356,8 @@ def _read_vcf_ds(path: str, return_chrom_map: bool = False):
         positions=(np.concatenate(poss_parts) if poss_parts
                    else np.zeros(0, dtype=np.int64)),
         accessions=samples,
-        ploidy=2 if vmax > 1 else 1,
+        ploidy=(int(ploidy) if ploidy is not None
+                else (2 if vmax > 1 else 1)),
         alleles=(np.concatenate(allele_parts)
                  if chrom_names else None),
     )

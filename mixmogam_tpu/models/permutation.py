@@ -171,10 +171,17 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
                 jnp.asarray(float(dof), Ys.dtype), rg.n, rg.tile,
                 impute=rg.has_missing)
     else:
-        if precision is not None:
-            raise ValueError("precision tiers apply to the "
-                             "ResidentGenome permutation path; pass a "
-                             "resident container for tiered sweeps")
+        # the host-tile path computes everything at the exact tier, so
+        # tier names that RESOLVE to exact ('exact', None, and 'auto'
+        # outside its int8 conditions) are a no-op, accepted for API
+        # consistency with emmax/emmax_gxe (ADVICE r4); genuinely
+        # tiered names still need the resident container.
+        if precision is not None and str(precision) not in ("exact",
+                                                            "auto"):
+            raise ValueError(
+                f"precision={precision!r}: tiered permutation sweeps "
+                "need a ResidentGenome source (the host-tile path runs "
+                "exact; 'exact'/'auto' are accepted as no-ops)")
         Gd = jnp.asarray(Gf)
         max_f = jnp.zeros(num_perm, dtype=Ys.dtype)
         for s in range(0, M, tile):
