@@ -125,8 +125,11 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
     if str(precision) == "fast" and not rescore_top:
-        # 'fast' = highest-throughput tier + exact rescore of everything
-        # reported (the measured >10M-aggregate configuration)
+        # 'fast' = highest-throughput tier + THRESHOLD-COMPLETE exact
+        # rescore (the measured >10M-aggregate configuration): every
+        # returned p below the drift-widened Bonferroni cut is re-tested
+        # at the exact tier (ops.scan.select_rescore_idx, uncapped);
+        # rescore_top is only the floor of that set
         rescore_top = 1024
 
     # ---- big-M routing: decide BEFORE _as_dosage materializes a full
@@ -259,17 +262,13 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     rescored = np.zeros(0, dtype=np.int64)
     if rescore_top and (rd is not None or matmul_precision):
         from mixmogam_tpu.models.streaming import _exact_rescore
+        from mixmogam_tpu.ops.scan import (select_rescore_idx,
+                                           tier_drift_name)
 
-        M_all = Gf.shape[0]
-        k = min(int(rescore_top), M_all)
-        cand = np.argsort(ps, kind="stable")[:k]
-        near = np.flatnonzero(ps <= 2.0 * 0.05 / max(M_all, 1))
-        idx = np.union1d(cand, near)
-        # same 8*k cap as the streamed path: a structure-inflated trait
-        # (e.g. misspecified K) can put tens of thousands of SNPs under
-        # the near-Bonferroni cut — keep the rescore dispatch bounded
-        if len(idx) > 8 * k:
-            idx = idx[np.argsort(ps[idx], kind="stable")[:8 * k]]
+        # threshold-complete contract (VERDICT r4 #2): every reported
+        # p below the Bonferroni threshold is exact-tier, uncapped
+        idx = select_rescore_idx(ps, rescore_top,
+                                 tier_drift_name(rd, matmul_precision))
         idx, d_ex = _exact_rescore(Gf, idx, null, dtype)
         f_stats[idx] = np.asarray(d_ex["f_stats"], dtype=np.float64)
         mask_arr[idx] = np.asarray(d_ex["mask"])

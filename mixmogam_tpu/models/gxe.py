@@ -327,37 +327,42 @@ def emmax_gxe(G, y, env, K=None, X0: Optional[np.ndarray] = None,
     rescored = [np.zeros(0, dtype=np.int64)] * E
     tier_active = rd is not None or matmul_precision
     if rescore_top and tier_active:
+        from mixmogam_tpu.ops.scan import (select_rescore_idx,
+                                           tier_drift_name)
+
         source = rg if rg is not None else np.asarray(Gf)
+        drift_tier = tier_drift_name(rd, matmul_precision)
         for e in range(E):
-            k = min(int(rescore_top), M)
-            cand = np.argsort(inter_ps[e], kind="stable")[:k]
-            near = np.flatnonzero(inter_ps[e] <= 2.0 * 0.05 / max(M, 1))
-            idx = np.union1d(cand, near)
-            if len(idx) > 8 * k:
-                idx = idx[np.argsort(inter_ps[e][idx], kind="stable")
-                          [:8 * k]]
-            rows = np.asarray(source[idx], dtype=np.float64)
-            if (rows < 0).any():
-                obs = rows >= 0
-                mu = np.where(obs.any(axis=1),
-                              (rows * obs).sum(axis=1)
-                              / np.maximum(obs.sum(axis=1), 1), 0.0)
-                rows = np.where(obs, rows, mu[:, None])
-            Gd_sub = jnp.asarray(rows, dtype=dtype)
-            R = Gd_sub @ U_d
-            B = R * sds[e][None, :]
-            P = ((Gd_sub * jnp.asarray(env[:, e], dtype=dtype)[None, :])
-                 @ U_d) * sds[e][None, :]
-            fm, fi, fj, mb, mp = (np.asarray(v, np.float64) for v in
-                                  _gxe_stats_whitened(
-                                      B, P, Q0s[e], y_ress[e], rss0s[e],
-                                      dof_d))
-            mb, mp = mb.astype(bool), mp.astype(bool)
-            f_marg[e][idx], f_inter[e][idx], f_joint[e][idx] = fm, fi, fj
-            mask_b[e][idx], mask_p[e][idx] = mb, mp
-            m_ps, i_ps, j_ps = _finalize(fm, fi, fj, mb, mp)
-            marg_ps[e][idx], inter_ps[e][idx], joint_ps[e][idx] = \
-                m_ps, i_ps, j_ps
+            # threshold-complete contract (VERDICT r4 #2) on the
+            # INTERACTION p-field; uncapped, tiled dispatches below
+            idx = select_rescore_idx(inter_ps[e], rescore_top,
+                                     drift_tier)
+            for s0 in range(0, len(idx), 8192):
+                sub = idx[s0:s0 + 8192]
+                rows = np.asarray(source[sub], dtype=np.float64)
+                if (rows < 0).any():
+                    obs = rows >= 0
+                    mu = np.where(obs.any(axis=1),
+                                  (rows * obs).sum(axis=1)
+                                  / np.maximum(obs.sum(axis=1), 1), 0.0)
+                    rows = np.where(obs, rows, mu[:, None])
+                Gd_sub = jnp.asarray(rows, dtype=dtype)
+                R = Gd_sub @ U_d
+                B = R * sds[e][None, :]
+                P = ((Gd_sub
+                      * jnp.asarray(env[:, e], dtype=dtype)[None, :])
+                     @ U_d) * sds[e][None, :]
+                fm, fi, fj, mb, mp = (np.asarray(v, np.float64) for v in
+                                      _gxe_stats_whitened(
+                                          B, P, Q0s[e], y_ress[e],
+                                          rss0s[e], dof_d))
+                mb, mp = mb.astype(bool), mp.astype(bool)
+                f_marg[e][sub], f_inter[e][sub], f_joint[e][sub] = \
+                    fm, fi, fj
+                mask_b[e][sub], mask_p[e][sub] = mb, mp
+                m_ps, i_ps, j_ps = _finalize(fm, fi, fj, mb, mp)
+                marg_ps[e][sub], inter_ps[e][sub], joint_ps[e][sub] = \
+                    m_ps, i_ps, j_ps
             rescored[e] = idx
 
     deltas = np.array([float(nl.delta) for nl in nulls])

@@ -358,12 +358,13 @@ def emmax_resident(rg: ResidentGenome, y, K=None, X0=None, eig_k=None,
                if with_betas else None)
     rescored = np.zeros(0, dtype=np.int64)
     if rescore_top and (rd is not None or matmul_precision):
-        k = min(int(rescore_top), M)
-        cand = np.argsort(ps, kind="stable")[:k]
-        near = np.flatnonzero(ps <= 2.0 * 0.05 / max(M, 1))
-        idx = np.union1d(cand, near)
-        if len(idx) > 8 * k:
-            idx = idx[np.argsort(ps[idx], kind="stable")[:8 * k]]
+        from mixmogam_tpu.ops.scan import (select_rescore_idx,
+                                           tier_drift_name)
+
+        # threshold-complete contract (VERDICT r4 #2): every reported
+        # p below the Bonferroni threshold is exact-tier, uncapped
+        idx = select_rescore_idx(ps, rescore_top,
+                                 tier_drift_name(rd, matmul_precision))
         idx, d_ex = _exact_rescore(rg, idx, null, dtype)
         f_stats[idx] = np.asarray(d_ex["f_stats"], dtype=np.float64)
         mask_arr[idx] = np.asarray(d_ex["mask"])

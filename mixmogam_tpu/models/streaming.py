@@ -179,11 +179,12 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
     round; tiles are checked host-side and refused).
 
     rescore_top > 0 with an approximate tier re-tests the top-k SNPs
-    (plus any within 2x of the Bonferroni threshold) at the exact tier
-    and overwrites their stats — the fast tier's p-drift then only
-    affects SNPs nowhere near significance, so reported hits carry
-    exact-grade p-values at fast-tier scan cost ('rescored_idx' lists
-    the re-tested rows)."""
+    (a floor) plus EVERY SNP below the drift-widened Bonferroni cut
+    (ops.scan.select_rescore_idx — threshold-complete, uncapped) at the
+    exact tier and overwrites their stats — the fast tier's p-drift
+    then only affects SNPs nowhere near significance, so any p a user
+    would threshold as significant is exact-grade at fast-tier scan
+    cost ('rescored_idx' lists the re-tested rows)."""
     import contextlib
 
     from mixmogam_tpu.ops.reml import esp_to_refine_iters
@@ -390,16 +391,14 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
     ps = np.where(mask, f_sf_host(f_stats, 1.0, dof), 1.0)
     rescored = np.zeros(0, dtype=np.int64)
     if rescore_top and (rd is not None or matmul_precision):
-        # top-k plus anything within 2x of Bonferroni (drift near the
-        # threshold is exactly what rescoring must remove); the near set
-        # is capped at 8k so a strong-signal genome cannot make the
-        # rescore dispatch unbounded
-        k = min(int(rescore_top), M)
-        cand = np.argsort(ps, kind="stable")[:k]
-        near = np.flatnonzero(ps <= 2.0 * 0.05 / max(M, 1))
-        idx = np.union1d(cand, near)
-        if len(idx) > 8 * k:
-            idx = idx[np.argsort(ps[idx], kind="stable")[:8 * k]]
+        from mixmogam_tpu.ops.scan import (select_rescore_idx,
+                                           tier_drift_name)
+
+        # threshold-complete contract (VERDICT r4 #2): top-k is only a
+        # FLOOR; everything below the drift-widened Bonferroni cut is
+        # re-tested exactly, uncapped
+        idx = select_rescore_idx(ps, rescore_top,
+                                 tier_drift_name(rd, matmul_precision))
         idx, d_ex = _exact_rescore(matrix_source, idx, null, dtype)
         f_stats[idx] = np.asarray(d_ex["f_stats"], dtype=np.float64)
         betas[idx] = np.asarray(d_ex["betas"], dtype=np.float64)

@@ -156,6 +156,67 @@ def resolve_precision(precision: str, G=None, backend=None):
     return rb, mp, p
 
 
+#: measured ABSOLUTE p-value drift bound per tier (|p_tier - p_exact|;
+#: docs/PERFORMANCE.md tier table, scripts/scan_tuning.py + int8_bench.py
+#: on v5e). select_rescore_idx widens the Bonferroni cut by a safety
+#: multiple of this, making the rescore pass THRESHOLD-COMPLETE.
+TIER_P_DRIFT = {
+    "exact": 0.0,
+    "high": 2e-5,
+    "bf16": 6e-3,
+    "bf16x2": 1e-5, "bf16x2c": 1e-5,
+    "bf16x3": 1e-6, "bf16x3c": 1e-6,
+    "int8x2": 5e-4,
+    "int8x3": 1.5e-6,
+    "int8x4": 1e-6,
+}
+
+
+def tier_drift_name(rd, matmul_precision) -> str:
+    """Map a normalize_rotate_tier result + matmul_precision to the
+    TIER_P_DRIFT key of the ACTIVE scan tier."""
+    if isinstance(rd, str):
+        return rd
+    if rd is not None:          # jnp.bfloat16
+        return "bf16"
+    return matmul_precision or "exact"
+
+
+def rescore_p_cut(M: int, tier, alpha: float = 0.05,
+                  safety: float = 8.0) -> float:
+    """Fast-tier p-value cut below which EVERY SNP must be exactly
+    re-scored for the rescore pass to be threshold-complete: a SNP whose
+    EXACT p sits just under the Bonferroni threshold alpha/M can surface
+    from the fast tier with p up to threshold + drift, so the cut is
+    alpha/M + safety*drift (drift is ADDITIVE on p, not relative — at
+    M = 1e6 the threshold itself is 5e-8, far below every tier's
+    drift). Unknown tier names take the worst measured drift."""
+    drift = TIER_P_DRIFT.get(str(tier), max(TIER_P_DRIFT.values()))
+    return alpha / max(M, 1) + safety * drift
+
+
+def select_rescore_idx(ps, rescore_top: int, tier,
+                       alpha: float = 0.05, safety: float = 8.0):
+    """The rescore CONTRACT (VERDICT r4 #2): with precision='fast' (or
+    any tier + rescore_top), every returned p-value below the Bonferroni
+    threshold alpha/M is exact-tier — not just the top-k table. Selection
+    = {all SNPs with fast-tier p <= rescore_p_cut} ∪ {top rescore_top by
+    p} (the floor), UNCAPPED: a dense-signal genome with tens of
+    thousands of sub-threshold hits rescans them all (the exact rescore
+    is tiled, ~300k tests/s/chip — even 100k rows is sub-second), where
+    the former fixed 8*top-k cap silently left hits 8193+ at tier
+    drift. Expected null-genome set size is M * safety * drift
+    (~4k at M=1e6 for int8x2) plus the floor."""
+    import numpy as np
+
+    ps = np.asarray(ps)
+    M = ps.shape[0]
+    k = min(int(rescore_top), M)
+    cand = np.argsort(ps, kind="stable")[:k]
+    near = np.flatnonzero(ps <= rescore_p_cut(M, tier, alpha, safety))
+    return np.union1d(cand, near)
+
+
 def quantize_rotation(W, rotate_dtype, sd_dtype=None):
     """Encode an (n, n) rotation operator in the MXU tier named by
     `rotate_dtype` -> (W_repr, w_scale | None). The representation is

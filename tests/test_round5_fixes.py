@@ -56,6 +56,80 @@ class TestDsPloidyOverride:
         np.testing.assert_allclose(gd2.get_mafs(), expect, atol=1e-6)
 
 
+class TestThresholdCompleteRescore:
+    """VERDICT r4 #2: the rescore pass is a CONTRACT — every reported
+    p below the Bonferroni threshold is exact-tier, even when the
+    genome carries far more sub-threshold hits than the old fixed
+    top-1024 / 8x cap covered."""
+
+    @classmethod
+    def setup_class(cls):
+        from mixmogam_tpu.oracle.kinship import ibs_kinship, scale_k
+
+        rng = np.random.default_rng(42)
+        n, M, H = 128, 6000, 1500
+        g0 = (rng.random(n) < 0.5).astype(np.int8)
+        G = (rng.random((M, n)) < 0.4).astype(np.int8)
+        # H noisy copies of the causal SNP: a dense-signal genome where
+        # every copy is genome-wide significant
+        for j in range(H):
+            row = g0.copy()
+            flip = rng.choice(n, size=3, replace=False)
+            row[flip] = 1 - row[flip]
+            G[j] = row
+        y = 3.0 * g0 + rng.normal(size=n) * 0.3
+        cls.G, cls.y = G, y
+        # kinship from the NON-copy SNPs (LOCO-style): a whole-genome K
+        # would absorb the dense signal into the random effect and
+        # whiten the copies away
+        cls.K = scale_k(ibs_kinship(G[H:].astype(np.float64)))
+        cls.M, cls.H = M, H
+
+    def test_incore_contract(self):
+        from mixmogam_tpu.models.emmax import emmax
+
+        thr = 0.05 / self.M
+        exact = emmax(self.G, self.y, K=self.K)
+        n_hits = int(np.sum(exact["ps"] < thr))
+        assert n_hits > 1024, n_hits  # denser than the old fixed floor
+        fast = emmax(self.G, self.y, K=self.K, precision="int8x2",
+                     rescore_top=64)
+        # the old 8*k cap (512 here) would have truncated this set
+        assert len(fast["rescored_idx"]) > 8 * 64
+        assert len(fast["rescored_idx"]) >= n_hits
+        sub = (exact["ps"] < thr) | (fast["ps"] < thr)
+        assert np.abs(fast["ps"][sub] - exact["ps"][sub]).max() <= 1e-6
+
+    def test_resident_contract(self):
+        from mixmogam_tpu.models.emmax import emmax
+        from mixmogam_tpu.models.resident import (ResidentGenome,
+                                                  emmax_resident)
+
+        thr = 0.05 / self.M
+        exact = emmax(self.G, self.y, K=self.K)
+        rg = ResidentGenome.from_source(self.G, tile=512)
+        fast = emmax_resident(rg, self.y, K=self.K, precision="int8x2",
+                              rescore_top=64)
+        sub = (exact["ps"] < thr) | (fast["ps"] < thr)
+        assert sub.sum() > 1024
+        assert np.abs(fast["ps"][sub] - exact["ps"][sub]).max() <= 1e-6
+
+    def test_select_rescore_idx_semantics(self):
+        from mixmogam_tpu.ops.scan import (rescore_p_cut,
+                                           select_rescore_idx)
+
+        ps = np.linspace(1e-9, 1.0, 1000)
+        idx = select_rescore_idx(ps, 10, "int8x2")
+        cut = rescore_p_cut(1000, "int8x2")
+        assert set(np.flatnonzero(ps <= cut)) <= set(idx)
+        assert len(idx) >= 10  # top-k floor
+        # exact tier: only the floor + the bare Bonferroni cut
+        idx_exact = select_rescore_idx(ps, 10, "exact")
+        assert len(idx_exact) <= len(idx)
+        # unknown names take the worst measured drift (defensive)
+        assert rescore_p_cut(1000, "???") >= rescore_p_cut(1000, "bf16")
+
+
 class TestPermPrecisionConsistency:
     """ADVICE r4 #4: emmax_perm_test rejected EVERY precision value on
     the host-tile path, including the valid no-op tiers."""
