@@ -230,6 +230,10 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
             # would be wasted work and scale_k breaks gram additivity)
             from mixmogam_tpu.models.loco import emmax_loco
 
+            # the kinship cache_dir doubles as the LOCO eigen cache
+            # (per-chromosome (phi, U) keyed on content — a repeated
+            # campaign resumes scan-bound)
+            model_kw.setdefault("cache_dir", cache_dir)
             scan = emmax_loco(gd2, y, method=kinship_method,
                               dtype=dtype, **model_kw)
         else:

@@ -79,6 +79,25 @@ class ResidentGenome:
         # device->host readback (~35 s for 2.7 GB through this image's
         # tunnel). Set to None to free the host RAM.
         self.host_packed = host_packed
+        self._content_key: Optional[str] = None
+
+    def content_key(self) -> str:
+        """Stable content identity: sha256 of the packed rows (pad rows
+        are deterministic zeros) + shape/tile. Keys the LOCO eigen cache
+        and any other derived-artifact cache. One full pass over the
+        packed bytes (~2.7 GB at 1M x 10k, a few seconds host CPU),
+        computed lazily and memoized; prefers the retained host copy —
+        without one the packed rows read back through the device link."""
+        if self._content_key is None:
+            import hashlib
+
+            hp = (self.host_packed if self.host_packed is not None
+                  else np.asarray(self.packed))
+            h = hashlib.sha256()
+            h.update(f"{self.M}:{self.n}:{self.tile}:".encode())
+            h.update(np.ascontiguousarray(hp).tobytes())
+            self._content_key = h.hexdigest()[:16]
+        return self._content_key
 
     # ---- array-source protocol ----
     @property

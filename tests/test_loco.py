@@ -214,3 +214,85 @@ class TestLocoRound4:
         np.testing.assert_array_equal(sub[0:60], G[60:120])
         with pytest.raises(ValueError, match="invalid row range"):
             rg.slice_rows(10, 5)
+
+
+class TestLocoEigenCache:
+    """VERDICT r4 weak #4 / next #5: per-chromosome eigendecompositions
+    route through an on-disk cache keyed by source content + range, so
+    a repeated/resumed campaign is scan-bound."""
+
+    def test_cache_hit_skips_eigh_and_gram(self, tmp_path, monkeypatch):
+        import mixmogam_tpu.models.loco as loco_mod
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, ch, y = _data(seed=9, n=48, m=240)
+        rg = ResidentGenome.from_source(G, tile=32)
+        r1 = emmax_loco(rg, y, chromosomes=ch, cache_dir=str(tmp_path))
+        files = sorted(tmp_path.glob("loco_eigen_*.npz"))
+        assert len(files) == len(np.unique(ch))
+
+        # second run: every eigh AND the total-kinship gram must come
+        # from cache — poison both to prove they are never called
+        calls = {"eigh": 0, "kin": 0}
+
+        def no_eigh(*a, **k):
+            calls["eigh"] += 1
+            raise AssertionError("eigh ran despite a full cache")
+
+        monkeypatch.setattr(loco_mod, "_eigh_host_np", no_eigh)
+        import mixmogam_tpu.models.resident as res_mod
+
+        real_kin = res_mod.kinship_resident
+
+        def count_kin(*a, **k):
+            calls["kin"] += 1
+            return real_kin(*a, **k)
+
+        monkeypatch.setattr(res_mod, "kinship_resident", count_kin)
+        r2 = emmax_loco(rg, y, chromosomes=ch, cache_dir=str(tmp_path))
+        assert calls["eigh"] == 0
+        assert calls["kin"] == 0  # total gram skipped on a full cache
+        np.testing.assert_allclose(r2["ps"], r1["ps"], atol=1e-10)
+
+    def test_cache_keys_on_content(self, tmp_path):
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, ch, y = _data(seed=9, n=48, m=240)
+        rg = ResidentGenome.from_source(G, tile=32)
+        emmax_loco(rg, y, chromosomes=ch, cache_dir=str(tmp_path))
+        n1 = len(list(tmp_path.glob("loco_eigen_*.npz")))
+        # different CONTENT, same shape -> new cache entries
+        G2 = G.copy()
+        G2[0] = 1 - np.clip(G2[0], 0, 1)
+        rg2 = ResidentGenome.from_source(G2, tile=32)
+        assert rg2.content_key() != rg.content_key()
+        emmax_loco(rg2, y, chromosomes=ch, cache_dir=str(tmp_path))
+        n2 = len(list(tmp_path.glob("loco_eigen_*.npz")))
+        assert n2 == 2 * n1
+
+    def test_fast_tier_keyed_separately(self, tmp_path):
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, ch, y = _data(seed=9, n=48, m=240)
+        rg = ResidentGenome.from_source(G, tile=32)
+        emmax_loco(rg, y, chromosomes=ch, cache_dir=str(tmp_path))
+        files = {f.name for f in tmp_path.glob("loco_eigen_*.npz")}
+        assert all("_f64" in f for f in files)
+
+    def test_nonlazy_kinships_cached_by_content(self, tmp_path,
+                                                monkeypatch):
+        import mixmogam_tpu.models.loco as loco_mod
+
+        G, ch, y = _data(seed=9, n=48, m=240)
+        ks = loco_kinships(G, ch, ploidy=2)
+        r1 = emmax_loco(G, y, chromosomes=ch, kinships=ks,
+                        cache_dir=str(tmp_path))
+        assert list(tmp_path.glob("loco_eigen_K*.npz"))
+
+        def no_eigh(*a, **k):
+            raise AssertionError("eigh ran despite a full cache")
+
+        monkeypatch.setattr(loco_mod, "_eigh_host_np", no_eigh)
+        r2 = emmax_loco(G, y, chromosomes=ch, kinships=ks,
+                        cache_dir=str(tmp_path))
+        np.testing.assert_allclose(r2["ps"], r1["ps"], atol=1e-12)
