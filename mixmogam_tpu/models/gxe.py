@@ -159,8 +159,14 @@ def emmax_gxe(G, y, env, K=None, X0: Optional[np.ndarray] = None,
               eig_k=None, ngrids: int = 100, llim: float = -10.0,
               ulim: float = 10.0, dtype=None,
               precision: Optional[str] = None,
-              rescore_top: int = 0) -> Dict[str, np.ndarray]:
+              rescore_top: int = 0, mesh=None) -> Dict[str, np.ndarray]:
     """GxE interaction scan (see module docstring).
+
+    mesh: a ('snp', 'sample') device mesh SNP-shards the scan (VERDICT
+    r4 #4) — the per-env nulls replicate, genotypes shard row-wise, and
+    GSPMD partitions the (row-parallel) whitened-core kernel with one
+    gather of the stat fields; host-source only (decode a resident
+    container first). Parity-tested against the single-device scan.
 
     env: (n,) per-sample environment (continuous or 0/1), or (n, E) for
     E environments batched over one shared genotype rotation; always
@@ -291,6 +297,10 @@ def emmax_gxe(G, y, env, K=None, X0: Optional[np.ndarray] = None,
     rue_scales = (None if rue_scales[0] is None
                   else jnp.stack(rue_scales))
 
+    if mesh is not None and rg is not None:
+        raise ValueError(
+            "mesh-distributed GxE takes a host source (the resident "
+            "container is single-device; decode or pass the raw matrix)")
     ctx = (jax.default_matmul_precision(matmul_precision)
            if matmul_precision else contextlib.nullcontext())
     with ctx:
@@ -301,6 +311,28 @@ def emmax_gxe(G, y, env, K=None, X0: Optional[np.ndarray] = None,
                 impute=rg.has_missing)
             out5 = tuple(np.array(v, np.float64)[:, :rg.M]
                          for v in out5)
+        elif mesh is not None:
+            # SNP-sharded scan: zero pad rows are degenerate -> masked;
+            # the kernel is row-parallel so GSPMD partitions it from
+            # the input shardings alone, one gather on readback
+            from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
+                                                    put_global,
+                                                    replicated,
+                                                    snp_sharding)
+
+            Gp, M0 = pad_to_multiple(np.asarray(Gf),
+                                     mesh.shape["snp"], axis=0)
+            rep = replicated(mesh)
+
+            def place(v):
+                return None if v is None else put_global(v, rep)
+
+            out5 = _gxe_envs_incore(
+                put_global(Gp, snp_sharding(mesh)), place(RU),
+                place(ru_scale), place(RUes), place(rue_scales),
+                place(sds), place(Q0s), place(y_ress), place(rss0s),
+                place(dof_d))
+            out5 = tuple(np.array(v, np.float64)[:, :M0] for v in out5)
         else:
             out5 = _gxe_envs_incore(jnp.asarray(Gf), RU, ru_scale, RUes,
                                     rue_scales, sds, Q0s, y_ress, rss0s,

@@ -82,12 +82,30 @@ def _perm_scan_packed(packed, W, w_scale, sd, Q0, Y_res, rss0, dof,
     return jnp.max(jax.lax.map(kern, tiles), axis=0)
 
 
+@jax.jit
+def _perm_max_rotate(Gd, U, sd, Q0, Y_res, rss0, dof):
+    """Whole-matrix permutation max-F (mesh path): with Gd SNP-sharded
+    and the null replicated, GSPMD partitions the rotation + per-perm
+    stats row-wise and the max over SNPs becomes the run's single
+    cross-shard reduction."""
+    G_rot = jnp.dot(Gd.astype(U.dtype), U, preferred_element_type=U.dtype)
+    return _perm_tile_max_f(G_rot, sd, Q0, Y_res, rss0, dof,
+                            jnp.zeros(Y_res.shape[0], Y_res.dtype))
+
+
+@jax.jit
+def _perm_max_pre(Gd, sd, Q0, Y_res, rss0, dof):
+    """As _perm_max_rotate for the identity-K (no-rotation) case."""
+    return _perm_tile_max_f(Gd.astype(Y_res.dtype), sd, Q0, Y_res, rss0,
+                            dof, jnp.zeros(Y_res.shape[0], Y_res.dtype))
+
+
 def emmax_perm_test(G, y, K=None, num_perm: int = 100,
                     X0: Optional[np.ndarray] = None, seed: int = 0,
                     alpha: float = 0.05, dtype=None, tile: int = 4096,
                     eig_k=None,
-                    precision: Optional[str] = None
-                    ) -> Dict[str, np.ndarray]:
+                    precision: Optional[str] = None,
+                    mesh=None) -> Dict[str, np.ndarray]:
     """Returns the empirical min-p distribution and the alpha-quantile
     genome-wide threshold.
 
@@ -95,7 +113,12 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
     device dispatch off packed HBM; `precision` selects the rotation
     tier there (same names as emmax — threshold estimation is a
     quantile over max-F, tolerant of tier-level drift; int8 tiers need
-    fully-observed dosages)."""
+    fully-observed dosages).
+
+    mesh: a ('snp', 'sample') device mesh SNP-shards the sweep (VERDICT
+    r4 #4): one sharded whole-matrix dispatch, per-perm max-F reduced
+    across shards by GSPMD; host-source only, identical permutations
+    (same seed) and min-p values as the single-device path."""
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
     if dtype is None:
@@ -103,6 +126,10 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
     from mixmogam_tpu.models.resident import ResidentGenome
 
     rg = G if isinstance(G, ResidentGenome) else None
+    if mesh is not None and rg is not None:
+        raise ValueError(
+            "mesh-distributed permutation takes a host source (the "
+            "resident container is single-device)")
     Gf = None if rg is not None else _as_dosage(G, dtype)
     M = rg.M if rg is not None else Gf.shape[0]
     if X0 is None:
@@ -182,16 +209,40 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
                 f"precision={precision!r}: tiered permutation sweeps "
                 "need a ResidentGenome source (the host-tile path runs "
                 "exact; 'exact'/'auto' are accepted as no-ops)")
-        Gd = jnp.asarray(Gf)
-        max_f = jnp.zeros(num_perm, dtype=Ys.dtype)
-        for s in range(0, M, tile):
-            e = min(s + tile, M)
-            Gt = Gd[s:e]
-            if e - s < tile:
-                Gt = jnp.pad(Gt, ((0, tile - (e - s)), (0, 0)))
-            G_rot_tile = Gt if identity_k else Gt @ U
-            max_f = _perm_tile_max_f(G_rot_tile, sd, Q0, Y_res, rss0,
-                                     float(dof), max_f)
+        if mesh is not None:
+            # SNP-sharded sweep: zero pad rows are degenerate (f = 0,
+            # never the max); null pieces replicate
+            from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
+                                                    put_global,
+                                                    replicated,
+                                                    snp_sharding)
+
+            Gp, _ = pad_to_multiple(np.asarray(Gf),
+                                    mesh.shape["snp"], axis=0)
+            rep = replicated(mesh)
+            Gd = put_global(Gp, snp_sharding(mesh))
+            dof_d = put_global(jnp.asarray(float(dof), Ys.dtype), rep)
+            if identity_k:
+                max_f = _perm_max_pre(
+                    Gd, put_global(sd, rep), put_global(Q0, rep),
+                    put_global(Y_res, rep), put_global(rss0, rep),
+                    dof_d)
+            else:
+                max_f = _perm_max_rotate(
+                    Gd, put_global(U, rep), put_global(sd, rep),
+                    put_global(Q0, rep), put_global(Y_res, rep),
+                    put_global(rss0, rep), dof_d)
+        else:
+            Gd = jnp.asarray(Gf)
+            max_f = jnp.zeros(num_perm, dtype=Ys.dtype)
+            for s in range(0, M, tile):
+                e = min(s + tile, M)
+                Gt = Gd[s:e]
+                if e - s < tile:
+                    Gt = jnp.pad(Gt, ((0, tile - (e - s)), (0, 0)))
+                G_rot_tile = Gt if identity_k else Gt @ U
+                max_f = _perm_tile_max_f(G_rot_tile, sd, Q0, Y_res,
+                                         rss0, float(dof), max_f)
     min_ps = f_sf_host(np.asarray(max_f), 1.0, dof)
     thr = float(np.quantile(min_ps, alpha))
     return {"min_ps": np.sort(min_ps), "threshold": thr,

@@ -341,6 +341,74 @@ def build_rotated_null(null: NullModel, rotate_dtype=None) -> RotatedNull:
                        w_scale=w_scale)
 
 
+def apply_rotation_psum(G_tile, W, w_scale, dt, axis_name: str,
+                        n_out: int):
+    """Tensor-parallel apply_rotation: G_tile holds a SAMPLE-column
+    block and W the matching CONTRACTION-row block; partial products
+    reduce over `axis_name` (the 'sample' mesh axis). int8 digit planes
+    psum their int32 accumulators BEFORE the float conversion — integer
+    addition is associative, so the TP result is BIT-IDENTICAL to the
+    single-device dot (float tiers psum after local accumulation and
+    match to partial-sum rounding only).
+
+    n_out (the GLOBAL eigenbasis width) is explicit: apply_rotation's
+    concat-tier heuristic (W.shape[1] % W.shape[0] == 0) misreads a
+    row-sharded square W whose local row count divides n."""
+    prec = (jax.lax.Precision.DEFAULT
+            if W.dtype == jnp.bfloat16 else None)
+    if W.dtype == jnp.int8:
+        Gb = (G_tile if G_tile.dtype == jnp.int8
+              else jnp.round(G_tile).astype(jnp.int8))
+        Xs = None
+        for i in range(W.shape[0]):
+            Ai = jnp.dot(Gb, W[i], preferred_element_type=jnp.int32,
+                         precision=jax.lax.Precision.DEFAULT)
+            Ai = jax.lax.psum(Ai, axis_name)    # exact int32 reduce
+            term = Ai.astype(dt) * (256.0 ** i)
+            Xs = term if Xs is None else Xs + term
+        return Xs * w_scale[None, :].astype(dt)
+    if W.ndim == 3:                             # stacked bf16 tiers
+        Gb = G_tile.astype(W.dtype)
+        Xs = jnp.dot(Gb, W[0], preferred_element_type=dt, precision=prec)
+        for i in range(1, W.shape[0]):
+            Xs = Xs + jnp.dot(Gb, W[i], preferred_element_type=dt,
+                              precision=prec)
+    elif W.shape[1] != n_out:                   # concat tier (nl, k*n)
+        k = W.shape[1] // n_out
+        m = G_tile.shape[0]
+        Xw = jnp.dot(G_tile.astype(W.dtype), W,
+                     preferred_element_type=dt, precision=prec)
+        Xs = jnp.sum(Xw.reshape(m, k, n_out), axis=1)
+    else:
+        Xs = jnp.dot(G_tile.astype(W.dtype), W,
+                     preferred_element_type=dt, precision=prec)
+    return jax.lax.psum(Xs, axis_name)
+
+
+def scan_epilogue(Xs: jnp.ndarray, rot: RotatedNull
+                  ) -> Dict[str, jnp.ndarray]:
+    """F statistics/betas from whitened SNP rows Xs (m, n) — the VPU
+    epilogue shared by the single-device scan and the sample-sharded
+    (TP) shard_map kernel, which builds Xs via apply_rotation_psum."""
+    dt = rot.sd.dtype
+    c = Xs @ rot.Q0                                    # (m, q)
+    xy = Xs @ rot.y_res                                # (m,)
+    ss = jnp.sum(Xs * Xs, axis=1)
+    xx = ss - jnp.sum(c * c, axis=1)
+    eps = 100.0 * jnp.finfo(dt).eps
+    mask = xx > eps * jnp.maximum(ss, jnp.finfo(dt).tiny)
+    xx_safe = jnp.where(mask, xx, 1.0)
+    expl = xy * xy / xx_safe                           # rss0 - rss1
+    expl = jnp.where(mask, jnp.minimum(expl, rot.rss0), 0.0)
+    rss1 = rot.rss0 - expl
+    rss1_safe = jnp.maximum(rss1, jnp.finfo(dt).tiny)
+    f = expl * jnp.asarray(rot.dof, dt) / rss1_safe
+    beta = jnp.where(mask, xy / xx_safe, 0.0)
+    var_perc = jnp.where(mask, expl / rot.rss0, 0.0)
+    return {"f_stats": jnp.where(mask, f, 0.0), "betas": beta,
+            "var_perc": var_perc, "mask": mask}
+
+
 @functools.partial(jax.jit, static_argnames=("pre_rotated",))
 def emmax_scan_stats(G_tile: jnp.ndarray, rot: RotatedNull,
                      pre_rotated: bool = False) -> Dict[str, jnp.ndarray]:
@@ -358,22 +426,7 @@ def emmax_scan_stats(G_tile: jnp.ndarray, rot: RotatedNull,
         # matmul (see quantize_rotation/apply_rotation); epilogue stays
         # in fp32+.
         Xs = apply_rotation(G_tile, rot.W, rot.w_scale, dt)
-    c = Xs @ rot.Q0                                    # (m, q)
-    xy = Xs @ rot.y_res                                # (m,)
-    ss = jnp.sum(Xs * Xs, axis=1)
-    xx = ss - jnp.sum(c * c, axis=1)
-    eps = 100.0 * jnp.finfo(dt).eps
-    mask = xx > eps * jnp.maximum(ss, jnp.finfo(dt).tiny)
-    xx_safe = jnp.where(mask, xx, 1.0)
-    expl = xy * xy / xx_safe                           # rss0 - rss1
-    expl = jnp.where(mask, jnp.minimum(expl, rot.rss0), 0.0)
-    rss1 = rot.rss0 - expl
-    rss1_safe = jnp.maximum(rss1, jnp.finfo(dt).tiny)
-    f = expl * jnp.asarray(rot.dof, dt) / rss1_safe
-    beta = jnp.where(mask, xy / xx_safe, 0.0)
-    var_perc = jnp.where(mask, expl / rot.rss0, 0.0)
-    return {"f_stats": jnp.where(mask, f, 0.0), "betas": beta,
-            "var_perc": var_perc, "mask": mask}
+    return scan_epilogue(Xs, rot)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "pre_rotated"))

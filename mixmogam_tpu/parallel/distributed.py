@@ -16,6 +16,7 @@ the psum/all_gather collectives; there is no hand-written NCCL analog.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Dict, Optional
 
@@ -217,7 +218,73 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
             "betas": np.asarray(d["betas"], dtype=np.float64)[:M0],
             "var_perc": np.asarray(d["var_perc"], dtype=np.float64)[:M0],
             "pseudo_heritability": float(null.pseudo_heritability),
-            "delta": float(null.delta), "dof": dof}
+            "delta": float(null.delta), "dof": dof,
+            "ll_null": float(null.ll)}
+
+
+def _tp_resident_kernel(n: int, tile: int, impute: bool):
+    """shard_map body for the SAMPLE-SHARDED packed scan (SURVEY §2.3
+    TP row; VERDICT r4 #3). Each device holds a (rows_local, rb_local)
+    byte block = 4*rb_local consecutive samples of its SNP shard, and
+    the matching CONTRACTION-row block of the (zero-row-padded) rotation
+    operator W. Per tile: unpack locally, cross-shard mean-impute via
+    psum'd moments (missing data), partial-rotate, reduce over 'sample'
+    (int8 planes reduce in int32 — bit-identical to single-device), and
+    run the shared epilogue on the full whitened rows. Outputs are
+    replicated over 'sample' (everything after the psum is identical on
+    every sample shard)."""
+    from mixmogam_tpu.ops.pack2 import unpack_2bit_device
+    from mixmogam_tpu.ops.scan import apply_rotation_psum, scan_epilogue
+
+    def kernel(p_loc, rot_loc):
+        dt = rot_loc.sd.dtype
+        rb_local = p_loc.shape[1]
+        n_local = 4 * rb_local
+        col0 = jax.lax.axis_index("sample") * n_local
+        T = p_loc.shape[0] // tile
+        tiles = p_loc.reshape(T, tile, rb_local)
+
+        def kern(pt):
+            Gt = unpack_2bit_device(pt, n_local)
+            # pad sample columns (>= n, zero bytes -> dosage 0) meet
+            # ZERO rows of the padded W, so only the imputation moments
+            # need the validity mask
+            if impute:
+                valid = (col0 + jnp.arange(n_local)) < n
+                miss = Gt < 0
+                obs = jnp.where(miss | ~valid[None, :], 0.0,
+                                Gt.astype(dt))
+                cnt = jax.lax.psum(
+                    jnp.sum((~miss) & valid[None, :], axis=1), "sample")
+                mu = (jax.lax.psum(jnp.sum(obs, axis=1), "sample")
+                      / jnp.maximum(cnt, 1).astype(dt))
+                Gf = jnp.where(valid[None, :],
+                               jnp.where(miss, mu[:, None],
+                                         Gt.astype(dt)), 0.0)
+                Xs = apply_rotation_psum(Gf, rot_loc.W, rot_loc.w_scale,
+                                         dt, "sample",
+                                         rot_loc.sd.shape[0])
+            else:
+                Xs = apply_rotation_psum(Gt, rot_loc.W, rot_loc.w_scale,
+                                         dt, "sample",
+                                         rot_loc.sd.shape[0])
+            return scan_epilogue(Xs, rot_loc)
+
+        out = jax.lax.map(kern, tiles)
+        return {k: v.reshape(T * tile) for k, v in out.items()}
+
+    return kernel
+
+
+def _pad_w_rows(W: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    """Zero-pad the rotation operator's CONTRACTION rows to the
+    byte-aligned padded sample count (pad samples x zero rows = no
+    contribution, for every tier representation)."""
+    if W.ndim == 3:                       # stacked tiers (k, n, n)
+        pad = n_pad - W.shape[1]
+        return W if pad == 0 else jnp.pad(W, ((0, 0), (0, pad), (0, 0)))
+    pad = n_pad - W.shape[0]              # (n, n) / concat (n, k*n)
+    return W if pad == 0 else jnp.pad(W, ((0, pad), (0, 0)))
 
 
 def distributed_emmax_resident(rg, y, K=None, X0: Optional[np.ndarray] = None,
@@ -226,29 +293,32 @@ def distributed_emmax_resident(rg, y, K=None, X0: Optional[np.ndarray] = None,
                                ulim: float = 10.0, esp: float = 1e-6,
                                dtype=None, rotate_in_bf16=False,
                                ) -> Dict[str, np.ndarray]:
-    """EMMAX over a SNP-sharded 2-bit packed genome (models.resident) on
-    a device mesh: each chip holds its packed shard (1/nshard of 2 bits/
+    """EMMAX over a sharded 2-bit packed genome (models.resident) on a
+    device mesh: each chip holds its packed shard (1/nshard of 2 bits/
     genotype — 16 chips hold a 16M x 10k genome at 2.7 GB/chip), the
     null model replicates, and each chip runs the single-dispatch
-    unpack+rotate+scan program over its shard via shard_map. Zero
-    cross-chip communication until the final result gather — the same
-    scaling story as distributed_emmax at 1/4 the HBM and H2D cost.
+    unpack+rotate+scan program over its shard via shard_map. On a
+    DP-only ('snp', 1) mesh there is ZERO cross-chip communication
+    until the final result gather.
 
-    Requires a DP-only mesh (sample axis width 1): the packed byte axis
-    cannot be sharded over samples."""
+    A 2-D ('snp', 'sample') mesh additionally SAMPLE-SHARDS the packed
+    byte axis (VERDICT r4 #3): the byte axis is padded to a multiple of
+    the sample-axis width so each shard holds whole bytes (4 samples/
+    byte), W is row-sharded over its contraction axis with zero-padded
+    rows for the pad samples, and each tile's partial rotation reduces
+    over 'sample' (int8 digit planes reduce their int32 accumulators —
+    bit-identical to the single-device scan). This splits BOTH the
+    packed genome's HBM AND the n^2 operator W across the sample axis —
+    the large-n story where W alone outgrows one chip."""
     from mixmogam_tpu.models.emmax import _as_design
     from mixmogam_tpu.models.resident import emmax_scan_packed
     from mixmogam_tpu.ops.reml import esp_to_refine_iters
-    from mixmogam_tpu.ops.scan import normalize_rotate_tier
+    from mixmogam_tpu.ops.scan import RotatedNull, normalize_rotate_tier
     from mixmogam_tpu.ops.stats import f_sf_host
 
     if mesh is None:
         mesh = make_mesh()
-    if mesh.shape["sample"] != 1:
-        raise ValueError(
-            "distributed_emmax_resident needs a ('snp', 1) mesh — the "
-            "packed sample-byte axis cannot shard; use "
-            "distributed_emmax for sample-axis TP")
+    S = mesh.shape["sample"]
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
     if n != rg.n:
@@ -266,7 +336,6 @@ def distributed_emmax_resident(rg, y, K=None, X0: Optional[np.ndarray] = None,
     if isinstance(rd, str) and rd.startswith("int8") and rg.has_missing:
         raise ValueError("int8 tiers need fully-observed dosages")
     rot = build_rotated_null(null, rotate_dtype=rd)
-    rot = put_global_tree(rot, replicated(mesh))
 
     nshard = mesh.shape["snp"]
     tile = rg.tile
@@ -278,15 +347,39 @@ def distributed_emmax_resident(rg, y, K=None, X0: Optional[np.ndarray] = None,
           else np.asarray(rg.packed))
     host_packed, _ = pad_to_multiple(np.asarray(hp), nshard * tile,
                                      axis=0)
-    packed = put_global(host_packed, NamedSharding(mesh, P("snp", None)))
 
-    fn = jax.shard_map(
-        lambda p, r: emmax_scan_packed(p, r, rg.n, tile,
-                                       impute=rg.has_missing),
-        mesh=mesh,
-        in_specs=(P("snp", None), jax.tree.map(lambda _: P(), rot)),
-        out_specs=P("snp"))
-    d = jax.jit(fn)(packed, rot)
+    if S == 1:
+        rot_d = put_global_tree(rot, replicated(mesh))
+        packed = put_global(host_packed,
+                            NamedSharding(mesh, P("snp", None)))
+        fn = jax.shard_map(
+            lambda p, r: emmax_scan_packed(p, r, rg.n, tile,
+                                           impute=rg.has_missing),
+            mesh=mesh,
+            in_specs=(P("snp", None), jax.tree.map(lambda _: P(), rot_d)),
+            out_specs=P("snp"))
+        d = jax.jit(fn)(packed, rot_d)
+    else:
+        # sample-TP: byte axis padded to whole bytes per shard
+        host_packed, _ = pad_to_multiple(host_packed, S, axis=1)
+        n_pad = 4 * host_packed.shape[1]
+        rot = dataclasses.replace(rot, W=_pad_w_rows(rot.W, n_pad))
+        w_spec = (P(None, "sample", None) if rot.W.ndim == 3
+                  else P("sample", None))
+        rot_spec = RotatedNull(
+            W=w_spec, sd=P(), Q0=P(), y_res=P(), rss0=P(), dof=P(),
+            w_scale=None if rot.w_scale is None else P())
+        rot_d = jax.tree.map(
+            lambda v, s: put_global(v, NamedSharding(mesh, s)),
+            rot, rot_spec)
+        packed = put_global(host_packed,
+                            NamedSharding(mesh, P("snp", "sample")))
+        fn = jax.shard_map(
+            _tp_resident_kernel(rg.n, tile, rg.has_missing),
+            mesh=mesh,
+            in_specs=(P("snp", "sample"), rot_spec),
+            out_specs=P("snp"))
+        d = jax.jit(fn)(packed, rot_d)
     if jax.process_count() > 1:
         # sharded outputs are only partially addressable across
         # processes; replicate = the run's one all_gather
@@ -300,7 +393,8 @@ def distributed_emmax_resident(rg, y, K=None, X0: Optional[np.ndarray] = None,
             "betas": np.asarray(d["betas"], dtype=np.float64)[:M],
             "var_perc": np.asarray(d["var_perc"], dtype=np.float64)[:M],
             "pseudo_heritability": float(null.pseudo_heritability),
-            "delta": float(null.delta), "dof": dof}
+            "delta": float(null.delta), "dof": dof,
+            "ll_null": float(null.ll)}
 
 
 # ---------------------------------------------------------------------------

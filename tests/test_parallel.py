@@ -173,3 +173,93 @@ class TestSampleAxisTP:
                               rotate_in_bf16="int8x4")
         assert np.argmin(d["ps"]) == np.argmin(ref["ps"])
         assert np.max(np.abs(d["ps"] - ref["ps"])) < 1e-4
+
+
+class TestDistributedCampaign:
+    """VERDICT r4 #4: the campaign workloads — stepwise MLMM, LOCO,
+    GxE, permutation — run SNP-sharded on a mesh with parity against
+    the single-device paths (not just the core train step)."""
+
+    def test_stepwise_mesh_parity(self, small_dataset, kinship_small):
+        from mixmogam_tpu.models.stepwise import emmax_step_wise
+
+        G, y, K = small_dataset["G"], small_dataset["y"], kinship_small
+        ref = emmax_step_wise(G, y, K=K, max_steps=3)
+        devs = jax.devices()
+        for shape in ((8, 1), (4, 2)):
+            mesh = make_mesh(shape, devices=devs[:8])
+            d = emmax_step_wise(G, y, K=K, max_steps=3, mesh=mesh)
+            for sr, sd_ in zip(ref["steps"], d["steps"]):
+                assert sr["cofactors"] == sd_["cofactors"], shape
+                if np.isfinite(sr["min_p"]):
+                    np.testing.assert_allclose(sd_["min_p"], sr["min_p"],
+                                               rtol=1e-8)
+                np.testing.assert_allclose(sd_["bic"], sr["bic"],
+                                           rtol=1e-8)
+            assert d["selected"] == ref["selected"]
+
+    def test_loco_mesh_parity(self, small_dataset):
+        from mixmogam_tpu.models.loco import emmax_loco
+
+        G, ch, y = (small_dataset["G_int"],
+                    small_dataset["chromosomes"], small_dataset["y"])
+        ref = emmax_loco(G, y, chromosomes=ch, ploidy=1)
+        devs = jax.devices()
+        mesh = make_mesh((4, 2), devices=devs[:8])
+        d = emmax_loco(G, y, chromosomes=ch, ploidy=1, mesh=mesh)
+        np.testing.assert_allclose(d["ps"], ref["ps"], atol=1e-10)
+        assert set(d["loco"]) == set(ref["loco"])
+        for c in ref["loco"]:
+            np.testing.assert_allclose(d["loco"][c]["delta"],
+                                       ref["loco"][c]["delta"],
+                                       rtol=1e-10)
+
+    def test_loco_mesh_resident_source(self, small_dataset):
+        from mixmogam_tpu.models.loco import emmax_loco
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, ch, y = (small_dataset["G_int"],
+                    small_dataset["chromosomes"], small_dataset["y"])
+        rg = ResidentGenome.from_source(G, tile=50)
+        ref = emmax_loco(rg, y, chromosomes=ch, ploidy=1)
+        mesh = make_mesh((2, 4), devices=jax.devices()[:8])
+        d = emmax_loco(rg, y, chromosomes=ch, ploidy=1, mesh=mesh)
+        np.testing.assert_allclose(d["ps"], ref["ps"], atol=1e-10)
+
+    def test_gxe_mesh_parity(self, small_dataset, kinship_small):
+        from mixmogam_tpu.models.gxe import emmax_gxe
+
+        G, y, K = small_dataset["G"], small_dataset["y"], kinship_small
+        rng = np.random.default_rng(11)
+        env = (rng.random(len(y)) < 0.5).astype(np.float64)
+        ref = emmax_gxe(G, y, env, K=K)
+        devs = jax.devices()
+        for shape in ((8, 1), (4, 2)):
+            mesh = make_mesh(shape, devices=devs[:8])
+            d = emmax_gxe(G, y, env, K=K, mesh=mesh)
+            for k in ("marginal_ps", "inter_ps", "joint_ps"):
+                np.testing.assert_allclose(d[k], ref[k], atol=1e-10,
+                                           err_msg=f"{k} mesh {shape}")
+
+    def test_perm_mesh_parity(self, small_dataset, kinship_small):
+        from mixmogam_tpu.models.permutation import emmax_perm_test
+
+        G, y, K = small_dataset["G"], small_dataset["y"], kinship_small
+        ref = emmax_perm_test(G, y, K=K, num_perm=16, seed=3, tile=64)
+        devs = jax.devices()
+        mesh = make_mesh((4, 2), devices=devs[:8])
+        d = emmax_perm_test(G, y, K=K, num_perm=16, seed=3, mesh=mesh)
+        np.testing.assert_allclose(d["min_ps"], ref["min_ps"],
+                                   atol=1e-10)
+        np.testing.assert_allclose(d["threshold"], ref["threshold"],
+                                   rtol=1e-8)
+
+    def test_perm_mesh_identity_k(self, small_dataset):
+        from mixmogam_tpu.models.permutation import emmax_perm_test
+
+        G, y = small_dataset["G"], small_dataset["y"]
+        ref = emmax_perm_test(G, y, K=None, num_perm=8, seed=1, tile=64)
+        mesh = make_mesh((8, 1), devices=jax.devices()[:8])
+        d = emmax_perm_test(G, y, K=None, num_perm=8, seed=1, mesh=mesh)
+        np.testing.assert_allclose(d["min_ps"], ref["min_ps"],
+                                   atol=1e-12)

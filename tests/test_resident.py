@@ -306,21 +306,78 @@ class TestResidentDistributed:
             np.testing.assert_array_equal(res["ps"], ref["ps"])
             np.testing.assert_array_equal(res["f_stats"], ref["f_stats"])
 
-    def test_sample_axis_rejected(self):
+    def test_sample_tp_mesh_parity(self):
+        """Round 5 (VERDICT r4 #3): the packed container's byte axis
+        shards over 'sample' too — each device holds whole bytes (4
+        samples/byte), W shards its contraction rows, partial rotations
+        psum. Exact-tier f64 matches to partial-sum rounding; the DP
+        mesh and single device stay bit-identical."""
         import jax
 
         from mixmogam_tpu.parallel.distributed import (
             distributed_emmax_resident)
         from mixmogam_tpu.parallel.mesh import make_mesh
 
-        if len(jax.devices()) < 2:
-            pytest.skip("needs >= 2 devices")
-        mesh = make_mesh((1, 2), devices=jax.devices()[:2])
-        G, _, y = _data(31, n=32, m=64)
-        with pytest.raises(ValueError, match="sample"):
-            distributed_emmax_resident(
-                ResidentGenome.from_source(G, tile=32), y,
-                K=np.eye(32), mesh=mesh)
+        G, imp, y = _data(30, n=64, m=333)
+        K = scale_k(kinship(G, method="ibs"))
+        rg = ResidentGenome.from_source(G, tile=64)
+        ref = emmax_resident(rg, y, K=K)
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 devices")
+        for shape in ((4, 2), (2, 4), (1, 8)):
+            mesh = make_mesh(shape, devices=devs[:8])
+            res = distributed_emmax_resident(rg, y, K=K, mesh=mesh)
+            np.testing.assert_allclose(res["ps"], ref["ps"], atol=1e-10,
+                                       err_msg=f"mesh {shape}")
+            np.testing.assert_array_equal(res["mask"], ref["mask"])
+
+    def test_sample_tp_int8_bit_identical(self):
+        """int8 digit planes psum their int32 accumulators BEFORE the
+        float conversion, so the TP scan is BIT-identical to the
+        single-device one (and to the DP-only mesh)."""
+        import jax
+
+        from mixmogam_tpu.parallel.distributed import (
+            distributed_emmax_resident)
+        from mixmogam_tpu.parallel.mesh import make_mesh
+
+        G, imp, y = _data(33, n=64, m=256)
+        K = scale_k(kinship(G, method="ibs"))
+        rg = ResidentGenome.from_source(G, tile=64)
+        ref = emmax_resident(rg, y, K=K, precision="int8x3")
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 devices")
+        for shape in ((4, 2), (8, 1)):
+            mesh = make_mesh(shape, devices=devs[:8])
+            res = distributed_emmax_resident(rg, y, K=K, mesh=mesh,
+                                             rotate_in_bf16="int8x3")
+            np.testing.assert_array_equal(res["ps"], ref["ps"],
+                                          err_msg=f"mesh {shape}")
+            np.testing.assert_array_equal(res["f_stats"], ref["f_stats"],
+                                          err_msg=f"mesh {shape}")
+
+    def test_sample_tp_unaligned_n_and_missing(self):
+        """n not divisible by 4*S exercises the byte-axis padding (pad
+        samples = zero bytes x zero W rows); missing data exercises the
+        cross-shard psum'd imputation moments."""
+        import jax
+
+        from mixmogam_tpu.parallel.distributed import (
+            distributed_emmax_resident)
+        from mixmogam_tpu.parallel.mesh import make_mesh
+
+        devs = jax.devices()
+        if len(devs) < 4:
+            pytest.skip("needs 4 devices")
+        G, imp, y = _data(34, n=66, m=128, missing=0.05)
+        K = scale_k(kinship(G, method="ibs"))
+        rg = ResidentGenome.from_source(G, tile=32)
+        ref = emmax_resident(rg, y, K=K)
+        mesh = make_mesh((2, 2), devices=devs[:4])
+        res = distributed_emmax_resident(rg, y, K=K, mesh=mesh)
+        np.testing.assert_allclose(res["ps"], ref["ps"], atol=1e-10)
 
 
 class TestPackedCache:
