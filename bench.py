@@ -145,15 +145,20 @@ def main():
         f"delta={float(null.delta):.4g} "
         f"h2={float(null.pseudo_heritability):.3f}")
 
+    from mixmogam_tpu.models.resident import subdivide_tile
+
+    scan_tile = subdivide_tile(rg.tile, 8192)  # measured-best (r5:
+    # 322 vs 308 int8 TOPS at 16,384 — scripts/int8_utilization_r5.py)
+
     def rate(rd, label, repeats=2):
         rot = build_rotated_null(null, rotate_dtype=rd)
         jax.block_until_ready(emmax_scan_packed(
-            rg.packed, rot, rg.n, rg.tile)["f_stats"])  # compile
+            rg.packed, rot, rg.n, scan_tile)["f_stats"])  # compile
         best = np.inf
         for _ in range(repeats):
             t0 = time.time()
             jax.block_until_ready(emmax_scan_packed(
-                rg.packed, rot, rg.n, rg.tile)["f_stats"])
+                rg.packed, rot, rg.n, scan_tile)["f_stats"])
             best = min(best, time.time() - t0)
         r = M / best
         fl = 2 * M * N * N / best

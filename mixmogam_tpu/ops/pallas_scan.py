@@ -2,6 +2,22 @@
 genotype tiles (the BASELINE north star's 'fully vectorized rotated-GLS +
 F-test kernel with no Python loop over markers').
 
+STATUS — FROZEN REFERENCE KERNEL, NOT ROUTED (round-5 decision,
+VERDICT r4 #7). Measured against XLA in one process at the flagship
+shape (131,072 x 10,240, v5e — scripts/int8_utilization_r5.py,
+docs/int8_utilization_r5.json):
+
+  | workload                  | Pallas (best cfg) | XLA    | ratio |
+  |---------------------------|-------------------|--------|-------|
+  | int8x3 rotate+scan        | 357 ms            | 271 ms | 1.32x |
+  | pre-rotated repeated scan | 54.3 ms           | 32.4 ms| 1.68x |
+
+XLA's emitters win on both workloads this kernel targets (its fused
+int8x3 form sustains 308-322 int8 TOPS — above every pure-matmul rate
+measured on this image), so ops.scan/models.resident stay routed to
+XLA. The kernel remains parity-tested (tests/test_kernels.py) as a
+frozen probe; new tiers are NOT ported to it.
+
 Fuses whiten (elementwise) + null-design projections (MXU) + row
 reductions + the F epilogue into ONE kernel, with n-axis blocking so the
 (TM, n) working set never leaves VMEM and partial sums accumulate in
