@@ -165,8 +165,9 @@ def emmax_gxe(G, y, env, K=None, X0: Optional[np.ndarray] = None,
     mesh: a ('snp', 'sample') device mesh SNP-shards the scan (VERDICT
     r4 #4) — the per-env nulls replicate, genotypes shard row-wise, and
     GSPMD partitions the (row-parallel) whitened-core kernel with one
-    gather of the stat fields; host-source only (decode a resident
-    container first). Parity-tested against the single-device scan.
+    gather of the stat fields. A ResidentGenome source shards its
+    PACKED rows per chip via shard_map (('snp', 1) meshes). Parity-
+    tested against the single-device scan.
 
     env: (n,) per-sample environment (continuous or 0/1), or (n, E) for
     E environments batched over one shared genotype rotation; always
@@ -297,14 +298,49 @@ def emmax_gxe(G, y, env, K=None, X0: Optional[np.ndarray] = None,
     rue_scales = (None if rue_scales[0] is None
                   else jnp.stack(rue_scales))
 
-    if mesh is not None and rg is not None:
-        raise ValueError(
-            "mesh-distributed GxE takes a host source (the resident "
-            "container is single-device; decode or pass the raw matrix)")
     ctx = (jax.default_matmul_precision(matmul_precision)
            if matmul_precision else contextlib.nullcontext())
     with ctx:
-        if rg is not None:
+        if rg is not None and mesh is not None:
+            # SNP-sharded packed container (round 5): each chip scans
+            # its packed shard with the replicated per-env nulls via
+            # shard_map — same structure as distributed_emmax_resident
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
+                                                    put_global,
+                                                    replicated)
+
+            if mesh.shape["sample"] != 1:
+                raise ValueError(
+                    "mesh-distributed resident GxE shards 'snp' only; "
+                    "use a ('snp', 1) mesh")
+            tile = _sub_tile(rg.tile, E)
+            nshard = mesh.shape["snp"]
+            hp = (rg.host_packed if rg.host_packed is not None
+                  else np.asarray(rg.packed))
+            host_packed, _ = pad_to_multiple(np.asarray(hp),
+                                             nshard * tile, axis=0)
+            packed = put_global(host_packed,
+                                NamedSharding(mesh, P("snp", None)))
+            rep = replicated(mesh)
+
+            def place(v):
+                return None if v is None else put_global(v, rep)
+
+            args = tuple(place(v) for v in
+                         (RU, ru_scale, RUes, rue_scales, sds, Q0s,
+                          y_ress, rss0s, dof_d))
+            spec = tuple(None if v is None else P() for v in args)
+            fn = jax.shard_map(
+                lambda p, *a: _gxe_scan_packed(
+                    p, *a, n=rg.n, tile=tile, impute=rg.has_missing),
+                mesh=mesh, in_specs=(P("snp", None),) + spec,
+                out_specs=(P(None, "snp"),) * 5)
+            out5 = jax.jit(fn)(packed, *args)
+            out5 = tuple(np.array(v, np.float64)[:, :rg.M]
+                         for v in out5)
+        elif rg is not None:
             out5 = _gxe_scan_packed(
                 rg.packed, RU, ru_scale, RUes, rue_scales, sds, Q0s,
                 y_ress, rss0s, dof_d, rg.n, _sub_tile(rg.tile, E),

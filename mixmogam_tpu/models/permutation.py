@@ -126,10 +126,10 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
     from mixmogam_tpu.models.resident import ResidentGenome
 
     rg = G if isinstance(G, ResidentGenome) else None
-    if mesh is not None and rg is not None:
+    if mesh is not None and rg is not None and mesh.shape["sample"] != 1:
         raise ValueError(
-            "mesh-distributed permutation takes a host source (the "
-            "resident container is single-device)")
+            "mesh-distributed resident permutation shards 'snp' only; "
+            "use a ('snp', 1) mesh")
     Gf = None if rg is not None else _as_dosage(G, dtype)
     M = rg.M if rg is not None else Gf.shape[0]
     if X0 is None:
@@ -192,11 +192,46 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
         # matmul-precision tiers ('high') apply at TRACE time
         ctx = (jax.default_matmul_precision(mp) if mp
                else contextlib.nullcontext())
+        dof_d = jnp.asarray(float(dof), Ys.dtype)
         with ctx:
-            max_f = _perm_scan_packed(
-                rg.packed, W, w_scale, sd, Q0, Y_res, rss0,
-                jnp.asarray(float(dof), Ys.dtype), rg.n, rg.tile,
-                impute=rg.has_missing)
+            if mesh is not None:
+                # SNP-sharded packed sweep (round 5): each chip runs the
+                # fused kernel over its packed shard; the per-perm max
+                # reduces across shards with ONE pmax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
+                                                        put_global,
+                                                        replicated)
+
+                nshard = mesh.shape["snp"]
+                hp = (rg.host_packed if rg.host_packed is not None
+                      else np.asarray(rg.packed))
+                host_packed, _ = pad_to_multiple(
+                    np.asarray(hp), nshard * rg.tile, axis=0)
+                packed = put_global(host_packed,
+                                    NamedSharding(mesh, P("snp", None)))
+                rep = replicated(mesh)
+
+                def place(v):
+                    return None if v is None else put_global(v, rep)
+
+                args = tuple(place(v) for v in
+                             (W, w_scale, sd, Q0, Y_res, rss0, dof_d))
+                spec = tuple(None if v is None else P() for v in args)
+                fn = jax.shard_map(
+                    lambda p, *a: jax.lax.pmax(
+                        _perm_scan_packed(p, *a, n=rg.n, tile=rg.tile,
+                                          impute=rg.has_missing),
+                        "snp"),
+                    mesh=mesh, in_specs=(P("snp", None),) + spec,
+                    out_specs=P())
+                max_f = jax.jit(fn)(packed, *args)
+            else:
+                max_f = _perm_scan_packed(
+                    rg.packed, W, w_scale, sd, Q0, Y_res, rss0,
+                    dof_d, rg.n, rg.tile,
+                    impute=rg.has_missing)
     else:
         # the host-tile path computes everything at the exact tier, so
         # tier names that RESOLVE to exact ('exact', None, and 'auto'

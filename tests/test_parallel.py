@@ -263,3 +263,48 @@ class TestDistributedCampaign:
         d = emmax_perm_test(G, y, K=None, num_perm=8, seed=1, mesh=mesh)
         np.testing.assert_allclose(d["min_ps"], ref["min_ps"],
                                    atol=1e-12)
+
+    def test_gxe_mesh_resident_source(self, small_dataset, kinship_small):
+        from mixmogam_tpu.models.gxe import emmax_gxe
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, y, K = (small_dataset["G_int"], small_dataset["y"],
+                   kinship_small)
+        rng = np.random.default_rng(12)
+        env = (rng.random(len(y)) < 0.5).astype(np.float64)
+        rg = ResidentGenome.from_source(G, tile=50)
+        ref = emmax_gxe(rg, y, env, K=K)
+        mesh = make_mesh((8, 1), devices=jax.devices()[:8])
+        d = emmax_gxe(rg, y, env, K=K, mesh=mesh)
+        for k in ("marginal_ps", "inter_ps", "joint_ps"):
+            np.testing.assert_allclose(d[k], ref[k], atol=1e-10)
+        with pytest.raises(ValueError, match="snp"):
+            emmax_gxe(rg, y, env, K=K,
+                      mesh=make_mesh((4, 2), devices=jax.devices()[:8]))
+
+    def test_perm_mesh_resident_source(self, small_dataset,
+                                       kinship_small):
+        from mixmogam_tpu.models.permutation import emmax_perm_test
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, y, K = (small_dataset["G_int"], small_dataset["y"],
+                   kinship_small)
+        rg = ResidentGenome.from_source(G, tile=50)
+        ref = emmax_perm_test(rg, y, K=K, num_perm=12, seed=4)
+        mesh = make_mesh((8, 1), devices=jax.devices()[:8])
+        d = emmax_perm_test(rg, y, K=K, num_perm=12, seed=4, mesh=mesh)
+        np.testing.assert_allclose(d["min_ps"], ref["min_ps"],
+                                   atol=1e-10)
+
+    def test_perm_mesh_resident_identity_k(self, small_dataset):
+        from mixmogam_tpu.models.permutation import emmax_perm_test
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, y = small_dataset["G_int"], small_dataset["y"]
+        rg = ResidentGenome.from_source(G, tile=50)
+        ref = emmax_perm_test(rg, y, K=None, num_perm=8, seed=2)
+        mesh = make_mesh((8, 1), devices=jax.devices()[:8])
+        d = emmax_perm_test(rg, y, K=None, num_perm=8, seed=2,
+                            mesh=mesh)
+        np.testing.assert_allclose(d["min_ps"], ref["min_ps"],
+                                   atol=1e-12)
