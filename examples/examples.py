@@ -484,8 +484,46 @@ def example_cohort_vcf_packed():
           "(NaN = missing; routed to the non-int8 tiers)")
 
 
+def example_mesh_campaign():
+    """Round 5: the whole campaign surface runs mesh-sharded via mesh=
+    kwargs on the real entry points — stepwise MLMM, LOCO, GxE and the
+    permutation sweep (SNP-sharded scans, replicated nulls, one gather).
+    Uses however many devices this process sees (the test suite runs it
+    on 8 virtual CPU devices; on a pod slice the same code spans chips)."""
+    import jax
+
+    from mixmogam_tpu.data.simulate import (simulate_genotypes,
+                                            simulate_phenotype)
+    from mixmogam_tpu.models.gxe import emmax_gxe
+    from mixmogam_tpu.models.loco import emmax_loco
+    from mixmogam_tpu.models.permutation import emmax_perm_test
+    from mixmogam_tpu.models.stepwise import emmax_step_wise
+    from mixmogam_tpu.oracle import ibs_kinship, scale_k
+    from mixmogam_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices()
+    mesh = make_mesh((len(devs), 1), devices=devs)
+    G, ch, po = simulate_genotypes(96, 600, seed=30)
+    y, causal = simulate_phenotype(G, h2=0.6, n_causal=3, seed=30)
+    K = scale_k(ibs_kinship(G.astype(np.float64)))
+    sw = emmax_step_wise(G, y, K=K, max_steps=3, mesh=mesh)
+    print(f"mesh {dict(mesh.shape)}: stepwise selected "
+          f"{sw['selected']['ebic']['cofactors']} (causal: "
+          f"{sorted(causal)})")
+    lc = emmax_loco(G, y, chromosomes=ch, ploidy=1, mesh=mesh)
+    print(f"LOCO min p {np.min(lc['ps']):.2e} over "
+          f"{len(lc['loco'])} chromosomes")
+    rng = np.random.default_rng(1)
+    env = (rng.random(96) < 0.5).astype(np.float64)
+    gx = emmax_gxe(G, y, env, K=K, mesh=mesh)
+    pm = emmax_perm_test(G, y, K=K, num_perm=16, seed=2, mesh=mesh)
+    print(f"GxE min interaction p {np.min(gx['inter_ps']):.2e}; "
+          f"permutation threshold {pm['threshold']:.2e}")
+
+
 EXAMPLES = {
     "emmax": example_emmax,
+    "mesh_campaign": example_mesh_campaign,
     "multi_env_gxe": example_multi_env_gxe,
     "many_phenotypes_missing": example_many_phenotypes_missing,
     "cohort_vcf_packed": example_cohort_vcf_packed,
