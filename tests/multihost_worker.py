@@ -91,6 +91,17 @@ def main() -> None:
     dr = distributed_emmax_resident(rg, y, K=K, mesh=mesh)
     np.testing.assert_allclose(dr["ps"], ref["ps"], atol=1e-9)
 
+    # ---- 6) SAMPLE-sharded packed scan across processes (round 5):
+    # byte axis over 'sample', W row-sharded, int32-psum'd digit planes
+    # — on a (4, 2) mesh spanning both processes ----
+    mesh2 = make_mesh((4, 2))
+    dt2 = distributed_emmax_resident(rg, y, K=K, mesh=mesh2)
+    np.testing.assert_allclose(dt2["ps"], ref["ps"], atol=1e-9)
+    dt2i = distributed_emmax_resident(rg, y, K=K, mesh=mesh2,
+                                      rotate_in_bf16="int8x3")
+    ref_i = emmax(G, y, K=K, stream=False, precision="int8x3")
+    np.testing.assert_allclose(dt2i["ps"], ref_i["ps"], atol=1e-9)
+
     print(f"WORKER_OK {pid}", flush=True)
 
 

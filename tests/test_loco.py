@@ -275,9 +275,23 @@ class TestLocoEigenCache:
 
         G, ch, y = _data(seed=9, n=48, m=240)
         rg = ResidentGenome.from_source(G, tile=32)
-        emmax_loco(rg, y, chromosomes=ch, cache_dir=str(tmp_path))
+        r64 = emmax_loco(rg, y, chromosomes=ch, cache_dir=str(tmp_path))
         files = {f.name for f in tmp_path.glob("loco_eigen_*.npz")}
         assert all("_f64" in f for f in files)
+        # the f32 'fast' tier writes ITS OWN entries (an f32 U loaded
+        # into an exact-tier run would silently degrade it)
+        rf = emmax_loco(rg, y, chromosomes=ch, cache_dir=str(tmp_path),
+                        precision="fast")
+        f32s = {f.name for f in tmp_path.glob("loco_eigen_*_f32.npz")}
+        assert len(f32s) == len(files)
+        # and a repeat fast run hits them (p's identical across repeats)
+        rf2 = emmax_loco(rg, y, chromosomes=ch, cache_dir=str(tmp_path),
+                         precision="fast")
+        np.testing.assert_allclose(rf2["ps"], rf["ps"], atol=1e-12)
+        # fast-tier p's stay near the exact run (f32 eigh envelope)
+        assert np.max(np.abs(np.log10(np.maximum(rf["ps"], 1e-30))
+                             - np.log10(np.maximum(r64["ps"], 1e-30)))
+                      ) < 1e-2
 
     def test_nonlazy_kinships_cached_by_content(self, tmp_path,
                                                 monkeypatch):
