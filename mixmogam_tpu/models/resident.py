@@ -612,9 +612,7 @@ def kinship_resident(rg: ResidentGenome, method: str = "ibs",
     gram-subtraction identity needs (models/loco.py)."""
     from mixmogam_tpu.models.streaming import _impute_tile
     from mixmogam_tpu.ops.kinship import (_ibs_binary_update,
-                                          _ibs_diploid_int8_update,
                                           _ibs_diploid_update,
-                                          _ibs_int8_update,
                                           _vanraden_update)
 
     ploidy = rg.ploidy if ploidy is None else ploidy
