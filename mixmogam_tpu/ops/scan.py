@@ -325,6 +325,19 @@ def build_rotated_null(null: NullModel, rotate_dtype=None) -> RotatedNull:
     from mixmogam_tpu.ops.eigen import orthonormal_basis
 
     phi, U, delta = null.phi, null.U, null.delta
+    # memoize the DEVICE copy of (phi, U) on the model: fit_null_model
+    # often returns HOST numpy factors (cached eighs, LOCO pipelines),
+    # and re-uploading the (n, n) U per build costs ~5-7 s at n=10,240
+    # through this image's link — repeated builds (fast tier + its
+    # exact rescore, per-chromosome LOCO) pay it once instead
+    dev = getattr(null, "_dev_factors", None)
+    if dev is None or dev[0] is not phi:
+        dev = (phi, jnp.asarray(phi), jnp.asarray(U))
+        try:
+            null._dev_factors = dev
+        except AttributeError:
+            pass  # frozen/odd containers: behave as before
+    phi, U = dev[1], dev[2]
     sd = 1.0 / jnp.sqrt(phi + delta)
     W, w_scale = quantize_rotation(U * sd[None, :], rotate_dtype,
                                    sd_dtype=sd.dtype)

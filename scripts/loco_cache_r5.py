@@ -65,11 +65,13 @@ def main():
 
     eig_cache = os.path.join(CACHE, "loco_eigen_r5")
     os.makedirs(eig_cache, exist_ok=True)
-    for f in os.listdir(eig_cache):      # start cold
-        os.remove(os.path.join(eig_cache, f))
+    warm_only = bool(os.environ.get("MIXMOGAM_LOCO_WARM_ONLY"))
+    if not warm_only:
+        for f in os.listdir(eig_cache):      # start cold
+            os.remove(os.path.join(eig_cache, f))
 
     walls = {}
-    for tag in ("cold", "warm"):
+    for tag in (("warm",) if warm_only else ("cold", "warm")):
         t0 = time.time()
         res = emmax_loco(rg, y, chromosomes=ch, precision="fast",
                          cache_dir=eig_cache)
@@ -79,14 +81,16 @@ def main():
 
     rec = {"phase": "loco_eigen_cache_r5", "ts": time.strftime("%F %T"),
            "n": N, "M": M, "n_chrom": N_CHROM,
-           "cold_s": round(walls["cold"], 1),
            "warm_s": round(walls["warm"], 1),
-           "speedup": round(walls["cold"] / walls["warm"], 1),
            "precision": "fast",
            "cache_entries": len(os.listdir(eig_cache))}
+    if not warm_only:
+        rec["cold_s"] = round(walls["cold"], 1)
+        rec["speedup"] = round(walls["cold"] / walls["warm"], 1)
     p = os.path.join(REPO, "docs", "baseline_r5.json")
     d = json.load(open(p))
-    d["loco_eigen_cache"] = rec
+    key = "loco_eigen_cache_warm_only" if warm_only else "loco_eigen_cache"
+    d[key] = rec
     json.dump(d, open(p, "w"), indent=1)
     log("RECORDED", json.dumps(rec))
 
