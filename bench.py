@@ -147,10 +147,12 @@ def main():
 
     from mixmogam_tpu.models.resident import subdivide_tile
 
-    scan_tile = subdivide_tile(rg.tile, 8192)  # measured-best (r5:
-    # 322 vs 308 int8 TOPS at 16,384 — scripts/int8_utilization_r5.py)
-
     def rate(rd, label, repeats=2):
+        # tier-dependent granularity (scripts/tier_tile_probe.py): the
+        # quantized tiers measure fastest at 8,192 rows, exact fp32 at
+        # the container's 16,384 — same routing as emmax_resident
+        scan_tile = (rg.tile if rd is None
+                     else subdivide_tile(rg.tile, 8192))
         rot = build_rotated_null(null, rotate_dtype=rd)
         jax.block_until_ready(emmax_scan_packed(
             rg.packed, rot, rg.n, scan_tile)["f_stats"])  # compile

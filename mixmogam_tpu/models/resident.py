@@ -363,14 +363,15 @@ def emmax_resident(rg: ResidentGenome, y, K=None, X0=None, eig_k=None,
     rot = build_rotated_null(null, rotate_dtype=rd)
     ctx = (jax.default_matmul_precision(matmul_precision)
            if matmul_precision else contextlib.nullcontext())
-    # scan at 8,192-row granularity: measured 322 vs 308 int8 TOPS at
-    # 16,384 on the campaign shape (scripts/int8_utilization_r5.py —
-    # smaller per-step working set, same single-dispatch structure);
-    # the packed container's row padding stays at rg.tile, any divisor
-    # re-views it
+    # tier-dependent scan granularity (scripts/tier_tile_probe.py, one
+    # process at the campaign shape): the quantized tiers run ~1-5%
+    # faster at 8,192 rows (int8x3 2.044 vs 2.139 s), the exact fp32
+    # tier ~2% faster at the container's 16,384 — the packed row
+    # padding stays at rg.tile, any divisor re-views it
+    scan_tile = (rg.tile if rd is None and not matmul_precision
+                 else subdivide_tile(rg.tile, 8192))
     with ctx:
-        d = emmax_scan_packed(rg.packed, rot, rg.n,
-                              subdivide_tile(rg.tile, 8192),
+        d = emmax_scan_packed(rg.packed, rot, rg.n, scan_tile,
                               impute=rg.has_missing)
     M = rg.M
     f_stats = np.array(d["f_stats"], dtype=np.float64)[:M]

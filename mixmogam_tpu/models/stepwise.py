@@ -300,16 +300,16 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
         if rg is not None:
             # packed HBM source: per-step rotation matmul at MXU rate,
             # zero host traffic (models.resident)
-            from mixmogam_tpu.models.resident import (emmax_scan_packed,
-                                                      subdivide_tile)
+            from mixmogam_tpu.models.resident import emmax_scan_packed
 
             rot = _rot_null_from_delta(phi, r["delta"], y_rot, X_rot,
                                        dtype, pad_to=pad_to,
                                        U=None if identity_k else U)
-            # 8,192-row scan granularity: measured faster than the
-            # container's 16,384 padding (scripts/int8_utilization_r5)
-            d = emmax_scan_packed(rg.packed, rot, n,
-                                  subdivide_tile(rg.tile, 8192),
+            # stepwise scans rotate with the full fp32 W (exact tier),
+            # whose measured-best granularity is the container's 16,384
+            # (scripts/tier_tile_probe.py — 8,192 wins only for the
+            # quantized tiers)
+            d = emmax_scan_packed(rg.packed, rot, n, rg.tile,
                                   impute=rg.has_missing,
                                   pre_rotated=identity_k)
             return rot, {k: np.asarray(v)[:M] for k, v in d.items()}
