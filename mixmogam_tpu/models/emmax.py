@@ -77,7 +77,8 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
           stream_budget_bytes: int = STREAM_BUDGET_BYTES,
           checkpoint_dir: Optional[str] = None,
           rescore_top: int = 0,
-          resident: Optional[bool] = None) -> Dict[str, np.ndarray]:
+          resident: Optional[bool] = None,
+          mesh=None) -> Dict[str, np.ndarray]:
     """EMMAX scan. G: GenotypeData or (M, n) dosages; y: (n,) phenotype;
     K: (n, n) kinship (or pass eig_k=(phi, U)); X0: (n, q) null design
     (default intercept; append cofactor columns for conditioned scans).
@@ -117,6 +118,13 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     upload, then the scan runs at MXU rates with zero wire traffic
     (models.resident; measured analysis in docs/PERFORMANCE.md).
     True forces it, False disables (falls back to streaming).
+
+    mesh: a ('snp', 'sample') device mesh routes the scan through the
+    sharded paths (parallel.distributed) — a ResidentGenome source
+    shards its packed rows per chip (incl. sample-TP meshes), anything
+    else goes SNP-sharded in-core; same numerics, mesh-shape-invariant
+    (tests). Tier names resolve as usual; streaming/checkpoint/rescore
+    are single-device features and are rejected with a mesh.
     """
     from mixmogam_tpu.ops.reml import esp_to_refine_iters
 
@@ -160,6 +168,54 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
                                 and packed_fits and stream is not True
                                 and _jx.default_backend() != "cpu"):
             rg = ResidentGenome.from_source(G_src)
+    if mesh is not None:
+        # route through the sharded paths (parallel.distributed) —
+        # single-device-only features are rejected rather than ignored
+        if str(precision) == "fast":
+            # checked FIRST: 'fast' implies rescore_top above, and the
+            # rescore message would mask the real cause
+            raise ValueError(
+                "'fast' pairs a tier with the single-device rescore "
+                "pass; pick an explicit tier for mesh scans")
+        if stream is True:
+            raise ValueError("stream=True is a single-device feature; "
+                             "the mesh path shards in-core/packed")
+        if checkpoint_dir is not None or rescore_top:
+            raise ValueError(
+                "checkpoint_dir/rescore_top are single-device features; "
+                "drop mesh= or rescore the gathered result")
+        if matmul_precision:
+            raise ValueError("matmul_precision is not supported on the "
+                             "mesh path; use a precision= tier name")
+        rb = rotate_in_bf16
+        if precision is not None:
+            if rotate_in_bf16:
+                raise ValueError("pass either precision= or "
+                                 "rotate_in_bf16, not both")
+            from mixmogam_tpu.ops.scan import resolve_precision
+
+            src_probe = (np.full((1, 1), np.nan)
+                         if rg is not None and rg.has_missing
+                         else np.zeros((1, 1), dtype=np.int8)
+                         if rg is not None
+                         else (G.matrix if hasattr(G, "matrix")
+                               else np.asarray(G)))
+            rb, mp, _tier = resolve_precision(precision, G=src_probe)
+            if mp:
+                raise ValueError("the 'high' matmul tier is not "
+                                 "supported on the mesh path")
+        from mixmogam_tpu.parallel.distributed import (
+            distributed_emmax, distributed_emmax_resident)
+
+        if rg is not None:
+            return distributed_emmax_resident(
+                rg, y, K=K, X0=X0, eig_k=eig_k, mesh=mesh,
+                ngrids=ngrids, llim=llim, ulim=ulim, esp=esp,
+                dtype=dtype, rotate_in_bf16=rb)
+        return distributed_emmax(
+            G, y, K=K, X0=X0, eig_k=eig_k, mesh=mesh, ngrids=ngrids,
+            llim=llim, ulim=ulim, esp=esp, dtype=dtype,
+            rotate_in_bf16=rb)
     if rg is not None:
         if checkpoint_dir is not None:
             raise ValueError("checkpoint_dir applies to streamed mode; "

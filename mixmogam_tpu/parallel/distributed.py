@@ -219,6 +219,8 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
             "var_perc": np.asarray(d["var_perc"], dtype=np.float64)[:M0],
             "pseudo_heritability": float(null.pseudo_heritability),
             "delta": float(null.delta), "dof": dof,
+            "sigma_g2": float(null.sigma_g2),
+            "sigma_e2": float(null.sigma_e2),
             "ll_null": float(null.ll)}
 
 
@@ -394,6 +396,8 @@ def distributed_emmax_resident(rg, y, K=None, X0: Optional[np.ndarray] = None,
             "var_perc": np.asarray(d["var_perc"], dtype=np.float64)[:M],
             "pseudo_heritability": float(null.pseudo_heritability),
             "delta": float(null.delta), "dof": dof,
+            "sigma_g2": float(null.sigma_g2),
+            "sigma_e2": float(null.sigma_e2),
             "ll_null": float(null.ll)}
 
 

@@ -308,3 +308,27 @@ class TestDistributedCampaign:
                             mesh=mesh)
         np.testing.assert_allclose(d["min_ps"], ref["min_ps"],
                                    atol=1e-12)
+
+    def test_emmax_mesh_kwarg(self, small_dataset, kinship_small):
+        """The core emmax() facade routes mesh= through the sharded
+        paths (API uniformity with the campaign entry points)."""
+        from mixmogam_tpu.models.emmax import emmax
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, y, K = small_dataset["G"], small_dataset["y"], kinship_small
+        ref = emmax(G, y, K=K, stream=False)
+        mesh = make_mesh((4, 2), devices=jax.devices()[:8])
+        d = emmax(G, y, K=K, mesh=mesh)
+        np.testing.assert_allclose(d["ps"], ref["ps"], atol=1e-10)
+        assert abs(d["sigma_g2"] - ref["sigma_g2"]) < 1e-10
+        # resident source routes to the packed sharded path
+        rg = ResidentGenome.from_source(small_dataset["G_int"], tile=50)
+        dr = emmax(rg, y, K=K, mesh=mesh)
+        np.testing.assert_allclose(dr["ps"], ref["ps"], atol=1e-10)
+        # tier names resolve; single-device-only features are rejected
+        di = emmax(rg, y, K=K, mesh=mesh, precision="int8x3")
+        assert np.argmin(di["ps"]) == np.argmin(ref["ps"])
+        with pytest.raises(ValueError, match="single-device"):
+            emmax(G, y, K=K, mesh=mesh, rescore_top=8)
+        with pytest.raises(ValueError, match="fast"):
+            emmax(G, y, K=K, mesh=mesh, precision="fast")
