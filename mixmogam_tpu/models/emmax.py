@@ -120,11 +120,14 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     True forces it, False disables (falls back to streaming).
 
     mesh: a ('snp', 'sample') device mesh routes the scan through the
-    sharded paths (parallel.distributed) — a ResidentGenome source
+    sharded paths (parallel.distributed) — a ResidentGenome source (or
+    a big int8 source auto-packed HOST-side, never uploaded whole)
     shards its packed rows per chip (incl. sample-TP meshes), anything
     else goes SNP-sharded in-core; same numerics, mesh-shape-invariant
     (tests). Tier names resolve as usual; streaming/checkpoint/rescore
-    are single-device features and are rejected with a mesh.
+    are single-device features and are rejected with a mesh; `tile` is
+    a single-device tuning knob with no effect on the whole-matrix
+    sharded dispatch.
     """
     from mixmogam_tpu.ops.reml import esp_to_refine_iters
 
@@ -157,20 +160,13 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     if resident is True and stream is True:
         raise ValueError("stream=True and resident=True are mutually "
                          "exclusive (a resident genome never streams)")
-    if rg is None and resident is not False:
-        over_incore = should_stream(G_src, n, dtype, stream_budget_bytes)
-        packed_fits = (np.dtype(G_src.dtype) == np.int8
-                       and G_src.shape[0] * ((n + 3) // 4)
-                       <= RESIDENT_BUDGET_BYTES)
-        import jax as _jx
-
-        if resident is True or (resident is None and over_incore
-                                and packed_fits and stream is not True
-                                and _jx.default_backend() != "cpu"):
-            rg = ResidentGenome.from_source(G_src)
     if mesh is not None:
         # route through the sharded paths (parallel.distributed) —
-        # single-device-only features are rejected rather than ignored
+        # checked BEFORE the single-device auto-promotion so a big host
+        # source is packed HOST-side only (upload=False): the sharded
+        # path uploads per-chip shards; an eager whole-genome upload to
+        # the default device would waste the link and pin HBM on one
+        # chip (review r5 #2)
         if str(precision) == "fast":
             # checked FIRST: 'fast' implies rescore_top above, and the
             # rescore message would mask the real cause
@@ -187,6 +183,14 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
         if matmul_precision:
             raise ValueError("matmul_precision is not supported on the "
                              "mesh path; use a precision= tier name")
+        if rg is None and resident is not False:
+            over_incore = should_stream(G_src, n, dtype,
+                                        stream_budget_bytes)
+            packed_fits = (np.dtype(G_src.dtype) == np.int8
+                           and G_src.shape[0] * ((n + 3) // 4)
+                           <= RESIDENT_BUDGET_BYTES)
+            if resident is True or (over_incore and packed_fits):
+                rg = ResidentGenome.from_source(G_src, upload=False)
         rb = rotate_in_bf16
         if precision is not None:
             if rotate_in_bf16:
@@ -208,14 +212,30 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
             distributed_emmax, distributed_emmax_resident)
 
         if rg is not None:
-            return distributed_emmax_resident(
+            res = distributed_emmax_resident(
                 rg, y, K=K, X0=X0, eig_k=eig_k, mesh=mesh,
                 ngrids=ngrids, llim=llim, ulim=ulim, esp=esp,
-                dtype=dtype, rotate_in_bf16=rb)
-        return distributed_emmax(
-            G, y, K=K, X0=X0, eig_k=eig_k, mesh=mesh, ngrids=ngrids,
-            llim=llim, ulim=ulim, esp=esp, dtype=dtype,
-            rotate_in_bf16=rb)
+                dtype=dtype, rotate_in_bf16=rb, host_eigh=host_eigh)
+        else:
+            res = distributed_emmax(
+                G, y, K=K, X0=X0, eig_k=eig_k, mesh=mesh, ngrids=ngrids,
+                llim=llim, ulim=ulim, esp=esp, dtype=dtype,
+                rotate_in_bf16=rb, host_eigh=host_eigh)
+        if not with_betas:
+            res.pop("betas", None)
+            res.pop("var_perc", None)
+        return res
+    if rg is None and resident is not False:
+        over_incore = should_stream(G_src, n, dtype, stream_budget_bytes)
+        packed_fits = (np.dtype(G_src.dtype) == np.int8
+                       and G_src.shape[0] * ((n + 3) // 4)
+                       <= RESIDENT_BUDGET_BYTES)
+        import jax as _jx
+
+        if resident is True or (resident is None and over_incore
+                                and packed_fits and stream is not True
+                                and _jx.default_backend() != "cpu"):
+            rg = ResidentGenome.from_source(G_src)
     if rg is not None:
         if checkpoint_dir is not None:
             raise ValueError("checkpoint_dir applies to streamed mode; "

@@ -305,24 +305,17 @@ def emmax_gxe(G, y, env, K=None, X0: Optional[np.ndarray] = None,
             # SNP-sharded packed container (round 5): each chip scans
             # its packed shard with the replicated per-env nulls via
             # shard_map — same structure as distributed_emmax_resident
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
 
-            from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
-                                                    put_global,
-                                                    replicated)
+            from mixmogam_tpu.parallel.distributed import shard_packed_rows
+            from mixmogam_tpu.parallel.mesh import put_global, replicated
 
             if mesh.shape["sample"] != 1:
                 raise ValueError(
                     "mesh-distributed resident GxE shards 'snp' only; "
                     "use a ('snp', 1) mesh")
             tile = _sub_tile(rg.tile, E)
-            nshard = mesh.shape["snp"]
-            hp = (rg.host_packed if rg.host_packed is not None
-                  else np.asarray(rg.packed))
-            host_packed, _ = pad_to_multiple(np.asarray(hp),
-                                             nshard * tile, axis=0)
-            packed = put_global(host_packed,
-                                NamedSharding(mesh, P("snp", None)))
+            packed = shard_packed_rows(rg, mesh, tile)
             rep = replicated(mesh)
 
             def place(v):

@@ -109,19 +109,28 @@ def _eigen_cache_load(path: str):
 
     if not os.path.exists(path):
         return None
-    with np.load(path, allow_pickle=False) as z:
-        return z["phi"], z["U"]
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            return z["phi"], z["U"]
+    except Exception:
+        # a corrupt/truncated artifact (e.g. two campaigns racing the
+        # same cache_dir) must fall back to recomputing the eigh, not
+        # abort the resume (review r5 #5)
+        _log.warning("unreadable LOCO eigen cache entry %s; recomputing",
+                     path)
+        return None
 
 
 def _eigen_cache_save(path: str, phi: np.ndarray, U: np.ndarray) -> None:
-    # uncompressed: U is ~420 MB f32 at n=10,240 and savez_compressed
-    # would add ~a minute of host CPU per chromosome on this 2-vCPU
-    # image; write via a temp file so a killed run never leaves a
-    # truncated artifact a resume would trust
-    tmp = path + ".tmp.npz"
-    np.savez(tmp, phi=phi, U=U)
     import os
 
+    # uncompressed: U is ~420 MB f32 at n=10,240 and savez_compressed
+    # would add ~a minute of host CPU per chromosome on this 2-vCPU
+    # image; write via a PID-unique temp file + atomic replace so a
+    # killed run never leaves a truncated artifact and concurrent
+    # campaigns sharing a cache_dir cannot interleave writes
+    tmp = f"{path}.tmp{os.getpid()}.npz"
+    np.savez(tmp, phi=phi, U=U)
     os.replace(tmp, path)
 
 
@@ -292,9 +301,13 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
                 f"mesh-distributed LOCO does not accept {sorted(kw)}")
     factor_dtype = np.float32 if str(precision) == "fast" else None
     ftag = "f32" if factor_dtype is np.float32 else "f64"
-    src_key = (_source_content_key(G) if cache_dir is not None
-               else None)
     lazy = kinships is None and rg is not None and pipeline_eigh
+    # the source-content key feeds ONLY the lazy path's range cache;
+    # computing it on the non-lazy path would hash the full source for
+    # nothing (review r5 #3 — the explicit-kinship cache keys on the
+    # kinship content instead)
+    src_key = (_source_content_key(G)
+               if cache_dir is not None and lazy else None)
     if kinships is None and not lazy:
         kinships = loco_kinships(G, chromosomes, method=method,
                                  ploidy=ploidy)

@@ -82,22 +82,50 @@ def _perm_scan_packed(packed, W, w_scale, sd, Q0, Y_res, rss0, dof,
     return jnp.max(jax.lax.map(kern, tiles), axis=0)
 
 
-@jax.jit
-def _perm_max_rotate(Gd, U, sd, Q0, Y_res, rss0, dof):
-    """Whole-matrix permutation max-F (mesh path): with Gd SNP-sharded
-    and the null replicated, GSPMD partitions the rotation + per-perm
-    stats row-wise and the max over SNPs becomes the run's single
-    cross-shard reduction."""
-    G_rot = jnp.dot(Gd.astype(U.dtype), U, preferred_element_type=U.dtype)
-    return _perm_tile_max_f(G_rot, sd, Q0, Y_res, rss0, dof,
-                            jnp.zeros(Y_res.shape[0], Y_res.dtype))
+_PERM_MESH_CACHE: Dict = {}
 
 
-@jax.jit
-def _perm_max_pre(Gd, sd, Q0, Y_res, rss0, dof):
-    """As _perm_max_rotate for the identity-K (no-rotation) case."""
-    return _perm_tile_max_f(Gd.astype(Y_res.dtype), sd, Q0, Y_res, rss0,
-                            dof, jnp.zeros(Y_res.shape[0], Y_res.dtype))
+def _perm_mesh_fn(mesh, tile: int, identity: bool):
+    """Sharded host-source permutation sweep: each device runs the
+    TILED rotate+max-F loop over its SNP shard (rotating per tile keeps
+    per-chip HBM at one G shard + one rotated tile, review r5 #4 — a
+    whole-matrix G_rot would double it), then ONE pmax over 'snp'.
+    Jitted once per (mesh, tile, identity)."""
+    from jax.sharding import PartitionSpec as P
+
+    key = (mesh, tile, identity)
+    fn = _PERM_MESH_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def kernel(G_loc, U, sd, Q0, Y_res, rss0, dof):
+        T = G_loc.shape[0] // tile
+        tiles = G_loc.reshape(T, tile, G_loc.shape[1])
+
+        def body(carry, Gt):
+            G_rot = (Gt.astype(Y_res.dtype) if identity
+                     else jnp.dot(Gt.astype(U.dtype), U,
+                                  preferred_element_type=U.dtype))
+            return _perm_tile_max_f(G_rot, sd, Q0, Y_res, rss0, dof,
+                                    carry), None
+
+        # the carry must be marked device-varying over 'snp' up front
+        # (the body's output varies with the local shard)
+        init = jax.lax.pvary(jnp.zeros(Y_res.shape[0], Y_res.dtype),
+                             ("snp",))
+        mx, _ = jax.lax.scan(body, init, tiles)
+        return jax.lax.pmax(mx, "snp")
+
+    u_spec = () if identity else (P(),)
+    fn = jax.jit(jax.shard_map(
+        (lambda G_loc, sd, Q0, Y_res, rss0, dof:
+         kernel(G_loc, None, sd, Q0, Y_res, rss0, dof)) if identity
+        else kernel,
+        mesh=mesh,
+        in_specs=(P("snp", None),) + u_spec + (P(), P(), P(), P(), P()),
+        out_specs=P()))
+    _PERM_MESH_CACHE[key] = fn
+    return fn
 
 
 def emmax_perm_test(G, y, K=None, num_perm: int = 100,
@@ -198,19 +226,14 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
                 # SNP-sharded packed sweep (round 5): each chip runs the
                 # fused kernel over its packed shard; the per-perm max
                 # reduces across shards with ONE pmax
-                from jax.sharding import NamedSharding, PartitionSpec as P
+                from jax.sharding import PartitionSpec as P
 
-                from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
-                                                        put_global,
+                from mixmogam_tpu.parallel.distributed import (
+                    shard_packed_rows)
+                from mixmogam_tpu.parallel.mesh import (put_global,
                                                         replicated)
 
-                nshard = mesh.shape["snp"]
-                hp = (rg.host_packed if rg.host_packed is not None
-                      else np.asarray(rg.packed))
-                host_packed, _ = pad_to_multiple(
-                    np.asarray(hp), nshard * rg.tile, axis=0)
-                packed = put_global(host_packed,
-                                    NamedSharding(mesh, P("snp", None)))
+                packed = shard_packed_rows(rg, mesh, rg.tile)
                 rep = replicated(mesh)
 
                 def place(v):
@@ -245,28 +268,28 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
                 "need a ResidentGenome source (the host-tile path runs "
                 "exact; 'exact'/'auto' are accepted as no-ops)")
         if mesh is not None:
-            # SNP-sharded sweep: zero pad rows are degenerate (f = 0,
-            # never the max); null pieces replicate
+            # SNP-sharded TILED sweep: zero pad rows are degenerate
+            # (f = 0, never the max); null pieces replicate
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
             from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
                                                     put_global,
-                                                    replicated,
-                                                    snp_sharding)
+                                                    replicated)
 
             Gp, _ = pad_to_multiple(np.asarray(Gf),
-                                    mesh.shape["snp"], axis=0)
+                                    mesh.shape["snp"] * tile, axis=0)
             rep = replicated(mesh)
-            Gd = put_global(Gp, snp_sharding(mesh))
+            Gd = put_global(Gp, NamedSharding(mesh, P("snp", None)))
             dof_d = put_global(jnp.asarray(float(dof), Ys.dtype), rep)
-            if identity_k:
-                max_f = _perm_max_pre(
-                    Gd, put_global(sd, rep), put_global(Q0, rep),
+            fn = _perm_mesh_fn(mesh, tile, identity_k)
+            args = (put_global(sd, rep), put_global(Q0, rep),
                     put_global(Y_res, rep), put_global(rss0, rep),
                     dof_d)
+            if identity_k:
+                max_f = fn(Gd, *args)
             else:
-                max_f = _perm_max_rotate(
-                    Gd, put_global(U, rep), put_global(sd, rep),
-                    put_global(Q0, rep), put_global(Y_res, rep),
-                    put_global(rss0, rep), dof_d)
+                max_f = fn(Gd, put_global(U, rep), *args)
         else:
             Gd = jnp.asarray(Gf)
             max_f = jnp.zeros(num_perm, dtype=Ys.dtype)

@@ -164,7 +164,8 @@ class ResidentGenome:
     def from_source(cls, G, tile: int = 16_384, chunk: int = 65_536,
                     ploidy: Optional[int] = None,
                     cache_path: Optional[str] = None,
-                    trust_cache: bool = False) -> "ResidentGenome":
+                    trust_cache: bool = False,
+                    upload: bool = True) -> "ResidentGenome":
         """Pack an int8 host source (ndarray / memmap / h5py /
         GenotypeData) chunk-by-chunk (C++ packer when available,
         ~930 MB/s) and upload the packed rows in ONE transfer.
@@ -183,7 +184,15 @@ class ResidentGenome:
         read of the source; trust_cache=True skips the content check
         (shape/tile/ploidy still enforced) for callers that own both
         files — e.g. a benchmark over a multi-GB memmap. G=None loads
-        the cache as-is (explicit opt-in, nothing to hash against)."""
+        the cache as-is (explicit opt-in, nothing to hash against).
+
+        upload=False keeps the packed rows HOST-side (self.packed is
+        the numpy array): for mesh flows that shard per-chip from
+        host_packed, where an eager whole-genome upload to the default
+        device would waste ~35 s of link and pin GBs of HBM on one
+        chip (review r5 #2). Single-device scans over such a container
+        still work (jit uploads on first use), just without the
+        one-upload guarantee."""
         import hashlib
         import json
         import os
@@ -222,8 +231,11 @@ class ResidentGenome:
                 ok = meta.get("src_hash") == src_hash
             if ok:
                 hp = np.asarray(np.load(cache_path, mmap_mode="r"))
-                packed = jnp.asarray(hp)
-                packed.block_until_ready()
+                if upload:
+                    packed = jnp.asarray(hp)
+                    packed.block_until_ready()
+                else:
+                    packed = hp
                 return cls(packed, meta["M"], meta["n"], meta["ploidy"],
                            tile, meta["has_missing"], host_packed=hp)
             if G is None:
@@ -264,8 +276,11 @@ class ResidentGenome:
                 json.dump({"M": M, "n": n, "ploidy": int(ploidy),
                            "tile": tile, "has_missing": has_missing,
                            "src_hash": src_hash}, f)
-        packed = jnp.asarray(host_packed)
-        packed.block_until_ready()
+        if upload:
+            packed = jnp.asarray(host_packed)
+            packed.block_until_ready()
+        else:
+            packed = host_packed
         return cls(packed, M, n, ploidy, tile, has_missing,
                    host_packed=host_packed)
 

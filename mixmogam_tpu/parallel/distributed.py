@@ -163,7 +163,7 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
                       mesh: Optional[Mesh] = None, eig_k=None,
                       ngrids: int = 100, llim: float = -10.0,
                       ulim: float = 10.0, esp: float = 1e-6, dtype=None,
-                      rotate_in_bf16=False,
+                      rotate_in_bf16=False, host_eigh: bool = True,
                       ) -> Dict[str, np.ndarray]:
     """EMMAX over a device mesh. Same numerics as models.emmax (parity
     tested mesh-shape-invariant); G may exceed single-chip HBM by the
@@ -190,7 +190,8 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
     null = fit_null_model(y.astype(np.dtype(dtype).name), X0, K=K,
                           eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim,
                           refine_iters=esp_to_refine_iters(
-                              esp, ngrids, llim, ulim))
+                              esp, ngrids, llim, ulim),
+                          host_eigh=host_eigh)
     from mixmogam_tpu.ops.scan import normalize_rotate_tier
 
     from mixmogam_tpu.ops.scan import is_integer_dosage
@@ -278,6 +279,80 @@ def _tp_resident_kernel(n: int, tile: int, impute: bool):
     return kernel
 
 
+def shard_packed_rows(rg, mesh: Mesh, tile: int,
+                      sample_axis: bool = False):
+    """Device placement of a ResidentGenome's packed rows over the mesh,
+    MEMOIZED per (mesh, row pad, byte pad) on the container (review r5
+    #1/#6): repeated sharded calls over one genome — per-chromosome
+    LOCO, GxE + permutation sweeps — reuse one transfer instead of
+    re-copying and re-uploading ~GBs per call. Rows pad to
+    nshard*tile; sample_axis=True additionally pads the byte axis to
+    whole bytes per 'sample' shard and shards P('snp', 'sample').
+    Returns the placed array."""
+    nshard = mesh.shape["snp"]
+    S = mesh.shape["sample"] if sample_axis else 1
+    key = (mesh, nshard * tile, S)
+    cache = getattr(rg, "_shard_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            rg._shard_cache = cache
+        except AttributeError:
+            return _place_packed(rg, mesh, tile, S)
+    if key not in cache:
+        cache[key] = _place_packed(rg, mesh, tile, S)
+    return cache[key]
+
+
+def _place_packed(rg, mesh: Mesh, tile: int, S: int):
+    hp = (rg.host_packed if rg.host_packed is not None
+          else np.asarray(rg.packed))
+    host_packed, _ = pad_to_multiple(np.asarray(hp),
+                                     mesh.shape["snp"] * tile, axis=0)
+    if S > 1:
+        host_packed, _ = pad_to_multiple(host_packed, S, axis=1)
+        spec = P("snp", "sample")
+    else:
+        spec = P("snp", None)
+    return put_global(host_packed, NamedSharding(mesh, spec))
+
+
+#: jitted resident shard_map programs, keyed on everything that shapes
+#: the trace — per-chromosome LOCO (22 calls over one mesh) then traces
+#: ONCE (review r5 #1; the rot rides as an ARGUMENT, never baked in)
+_RES_SCAN_CACHE: Dict = {}
+
+
+def _resident_scan_jit(mesh: Mesh, n: int, tile: int, impute: bool,
+                       S: int, w_ndim: int, wscale_none: bool):
+    from mixmogam_tpu.models.resident import emmax_scan_packed
+
+    key = (mesh, n, tile, impute, S, w_ndim, wscale_none)
+    fn = _RES_SCAN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    if S == 1:
+        rot_spec = RotatedNull(
+            W=P(), sd=P(), Q0=P(), y_res=P(), rss0=P(), dof=P(),
+            w_scale=None if wscale_none else P())
+        body = (lambda p, r: emmax_scan_packed(p, r, n, tile,
+                                               impute=impute))
+        row_spec = P("snp", None)
+    else:
+        w_spec = (P(None, "sample", None) if w_ndim == 3
+                  else P("sample", None))
+        rot_spec = RotatedNull(
+            W=w_spec, sd=P(), Q0=P(), y_res=P(), rss0=P(), dof=P(),
+            w_scale=None if wscale_none else P())
+        body = _tp_resident_kernel(n, tile, impute)
+        row_spec = P("snp", "sample")
+    fn = jax.jit(jax.shard_map(body, mesh=mesh,
+                               in_specs=(row_spec, rot_spec),
+                               out_specs=P("snp")))
+    _RES_SCAN_CACHE[key] = (fn, rot_spec)
+    return fn, rot_spec
+
+
 def _pad_w_rows(W: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     """Zero-pad the rotation operator's CONTRACTION rows to the
     byte-aligned padded sample count (pad samples x zero rows = no
@@ -294,6 +369,7 @@ def distributed_emmax_resident(rg, y, K=None, X0: Optional[np.ndarray] = None,
                                ngrids: int = 100, llim: float = -10.0,
                                ulim: float = 10.0, esp: float = 1e-6,
                                dtype=None, rotate_in_bf16=False,
+                               host_eigh: bool = True,
                                ) -> Dict[str, np.ndarray]:
     """EMMAX over a sharded 2-bit packed genome (models.resident) on a
     device mesh: each chip holds its packed shard (1/nshard of 2 bits/
@@ -313,9 +389,8 @@ def distributed_emmax_resident(rg, y, K=None, X0: Optional[np.ndarray] = None,
     packed genome's HBM AND the n^2 operator W across the sample axis —
     the large-n story where W alone outgrows one chip."""
     from mixmogam_tpu.models.emmax import _as_design
-    from mixmogam_tpu.models.resident import emmax_scan_packed
     from mixmogam_tpu.ops.reml import esp_to_refine_iters
-    from mixmogam_tpu.ops.scan import RotatedNull, normalize_rotate_tier
+    from mixmogam_tpu.ops.scan import normalize_rotate_tier
     from mixmogam_tpu.ops.stats import f_sf_host
 
     if mesh is None:
@@ -333,55 +408,29 @@ def distributed_emmax_resident(rg, y, K=None, X0: Optional[np.ndarray] = None,
     null = fit_null_model(y.astype(np.dtype(dtype).name), X0, K=K,
                           eig_k=eig_k, ngrids=ngrids, llim=llim, ulim=ulim,
                           refine_iters=esp_to_refine_iters(
-                              esp, ngrids, llim, ulim))
+                              esp, ngrids, llim, ulim),
+                          host_eigh=host_eigh)
     rd = normalize_rotate_tier(rotate_in_bf16)
     if isinstance(rd, str) and rd.startswith("int8") and rg.has_missing:
         raise ValueError("int8 tiers need fully-observed dosages")
     rot = build_rotated_null(null, rotate_dtype=rd)
 
-    nshard = mesh.shape["snp"]
     tile = rg.tile
-    # pad packed rows so every shard is a whole number of tiles; prefer
-    # the retained host-side copy — np.asarray(rg.packed) would read
-    # the whole packed genome back through the device link (~35 s for
-    # 2.7 GB on this image) when the same bytes sat on host all along
-    hp = (rg.host_packed if rg.host_packed is not None
-          else np.asarray(rg.packed))
-    host_packed, _ = pad_to_multiple(np.asarray(hp), nshard * tile,
-                                     axis=0)
-
-    if S == 1:
-        rot_d = put_global_tree(rot, replicated(mesh))
-        packed = put_global(host_packed,
-                            NamedSharding(mesh, P("snp", None)))
-        fn = jax.shard_map(
-            lambda p, r: emmax_scan_packed(p, r, rg.n, tile,
-                                           impute=rg.has_missing),
-            mesh=mesh,
-            in_specs=(P("snp", None), jax.tree.map(lambda _: P(), rot_d)),
-            out_specs=P("snp"))
-        d = jax.jit(fn)(packed, rot_d)
-    else:
-        # sample-TP: byte axis padded to whole bytes per shard
-        host_packed, _ = pad_to_multiple(host_packed, S, axis=1)
-        n_pad = 4 * host_packed.shape[1]
-        rot = dataclasses.replace(rot, W=_pad_w_rows(rot.W, n_pad))
-        w_spec = (P(None, "sample", None) if rot.W.ndim == 3
-                  else P("sample", None))
-        rot_spec = RotatedNull(
-            W=w_spec, sd=P(), Q0=P(), y_res=P(), rss0=P(), dof=P(),
-            w_scale=None if rot.w_scale is None else P())
-        rot_d = jax.tree.map(
-            lambda v, s: put_global(v, NamedSharding(mesh, s)),
-            rot, rot_spec)
-        packed = put_global(host_packed,
-                            NamedSharding(mesh, P("snp", "sample")))
-        fn = jax.shard_map(
-            _tp_resident_kernel(rg.n, tile, rg.has_missing),
-            mesh=mesh,
-            in_specs=(P("snp", "sample"), rot_spec),
-            out_specs=P("snp"))
-        d = jax.jit(fn)(packed, rot_d)
+    # packed shards + the jitted shard_map program are both MEMOIZED
+    # (review r5 #1): per-chromosome LOCO calls this 22 times over one
+    # container/mesh — one upload + one trace, not 22
+    packed = shard_packed_rows(rg, mesh, tile, sample_axis=S > 1)
+    if S > 1:
+        # sample-TP: W rows pad to the byte-padded sample count
+        rot = dataclasses.replace(
+            rot, W=_pad_w_rows(rot.W, 4 * packed.shape[1]))
+    fn, rot_spec = _resident_scan_jit(
+        mesh, rg.n, tile, rg.has_missing, S,
+        getattr(rot.W, "ndim", 2), rot.w_scale is None)
+    rot_d = jax.tree.map(
+        lambda v, s: put_global(v, NamedSharding(mesh, s)),
+        rot, rot_spec)
+    d = fn(packed, rot_d)
     if jax.process_count() > 1:
         # sharded outputs are only partially addressable across
         # processes; replicate = the run's one all_gather

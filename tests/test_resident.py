@@ -638,3 +638,45 @@ class TestResidentPermFused:
         with pytest.raises(ValueError, match="ResidentGenome"):
             emmax_perm_test(imp, y, K=None, num_perm=8,
                             precision="bf16")
+
+
+class TestHostOnlyContainer:
+    def test_upload_false_keeps_rows_host_side(self):
+        """from_source(upload=False): the mesh flows shard per-chip from
+        host_packed; no eager whole-genome device upload (review r5 #2)."""
+        import jax
+
+        from mixmogam_tpu.parallel.distributed import (
+            distributed_emmax_resident)
+        from mixmogam_tpu.parallel.mesh import make_mesh
+
+        G, imp, y = _data(50, n=48, m=128)
+        K = scale_k(kinship(G, method="ibs"))
+        rg = ResidentGenome.from_source(G, tile=32, upload=False)
+        assert isinstance(rg.packed, np.ndarray)  # host-side
+        ref = emmax_resident(ResidentGenome.from_source(G, tile=32),
+                             y, K=K)
+        if len(jax.devices()) >= 4:
+            mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+            d = distributed_emmax_resident(rg, y, K=K, mesh=mesh)
+            np.testing.assert_allclose(d["ps"], ref["ps"], atol=1e-12)
+
+    def test_shard_cache_reused_across_calls(self):
+        """shard_packed_rows memoizes placement per (mesh, pads) so
+        per-chromosome LOCO / repeated sweeps upload once (review r5 #1)."""
+        import jax
+
+        from mixmogam_tpu.parallel.distributed import shard_packed_rows
+        from mixmogam_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        G, _, _ = _data(51, n=48, m=128)
+        rg = ResidentGenome.from_source(G, tile=32)
+        mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+        a = shard_packed_rows(rg, mesh, 32)
+        b = shard_packed_rows(rg, mesh, 32)
+        assert a is b
+        mesh2 = make_mesh((2, 2), devices=jax.devices()[:4])
+        c = shard_packed_rows(rg, mesh2, 32, sample_axis=True)
+        assert c is not a
