@@ -70,9 +70,19 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
                       dtype=None, tile: Optional[int] = None,
                       tile_budget: int = 1 << 27,
                       stream_budget_bytes: int = STREAM_BUDGET_BYTES,
+                      precision: Optional[str] = None,
                       _keep_cols: Optional[np.ndarray] = None
                       ) -> Dict[str, np.ndarray]:
     """EMMAX over T phenotypes sharing one kinship/eigenbasis.
+
+    precision (round 5): tier name for the SHARED rotation matmul —
+    the per-tile cost all T traits amortize ('exact'/'auto'/'high'/
+    'bf16*'/'int8x*', same semantics as emmax; int8 tiers need
+    fully-observed integer dosages). 'fast' is refused: multi-trait
+    has no rescore pass, so pick a fp32-grade tier ('auto' resolves to
+    int8x3 on TPU integer data, ~1.4e-6 drift) or the default exact.
+    In-core and resident sources only; per-trait REML always runs
+    exact (f64 host).
 
     Y: (T, n) trait matrix (rows = traits, aligned to G's samples).
     Missing phenotype values (NaN) are supported: traits are grouped by
@@ -101,7 +111,8 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
         return _multi_trait_grouped(G, Y, K=K, X0=X0, ngrids=ngrids,
                                     llim=llim, ulim=ulim, esp=esp,
                                     dtype=dtype,
-                                    tile=tile, tile_budget=tile_budget)
+                                    tile=tile, tile_budget=tile_budget,
+                                    precision=precision)
     if dtype is None:
         dtype = jnp.zeros(0).dtype
     # big-M routing (mirrors models.emmax): stream SNP tiles from host
@@ -164,10 +175,55 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
     if rg is not None:
         tile = rg.tile  # packed rows are padded to this granularity
     Gd = None if (streamed or rg is not None) else jnp.asarray(Gf)
+
+    # ---- tiered SHARED rotation (round 5; docstring contract) ----
+    import contextlib
+
+    from mixmogam_tpu.ops.scan import (apply_rotation, is_integer_dosage,
+                                       normalize_rotate_tier,
+                                       quantize_rotation,
+                                       resolve_precision)
+
+    matmul_precision = None
+    rd = None
+    if precision is not None:
+        if str(precision) == "fast":
+            raise ValueError(
+                "multi-trait has no rescore pass; pick an explicit "
+                "tier ('auto'/'int8x3' are fp32-grade) or leave exact")
+        if streamed:
+            raise ValueError("precision tiers on the multi-trait path "
+                             "need an in-core or resident source")
+        probe = (np.full((1, 1), np.nan)
+                 if rg is not None and rg.has_missing
+                 else np.zeros((1, 1), dtype=np.int8)
+                 if rg is not None else Gf)
+        rb, matmul_precision, _tier = resolve_precision(precision,
+                                                        G=probe)
+        rd = normalize_rotate_tier(rb)
+        if isinstance(rd, str) and rd.startswith("int8"):
+            if rg is not None and rg.has_missing:
+                raise ValueError(
+                    "int8 digit-plane tiers need fully-observed "
+                    "dosages (this container has missing genotypes)")
+            if rg is None and not is_integer_dosage(Gf):
+                raise ValueError(
+                    "int8 digit-plane tiers need exact integer "
+                    "dosages; these are fractional (imputed)")
+    if rd is not None:
+        RU, ru_scale = quantize_rotation(U, rd, sd_dtype=phi.dtype)
+        rotate = jax.jit(
+            lambda t, W, ws: apply_rotation(t, W, ws, phi.dtype))
+    else:
+        RU, ru_scale = U, None
+        rotate = jax.jit(
+            lambda t, W, ws: jnp.dot(t.astype(W.dtype), W,
+                                     preferred_element_type=W.dtype))
+    mp_ctx = (jax.default_matmul_precision(matmul_precision)
+              if matmul_precision else contextlib.nullcontext())
     fs = np.empty((T, M))
     betas = np.empty((T, M))
     masks = np.empty((T, M), dtype=bool)
-    rotate = jax.jit(lambda t, U: t.astype(U.dtype) @ U)
     pending = []
 
     def drain(s, e, out):
@@ -177,39 +233,40 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
         betas[:, s:e] = np.asarray(b)[:, :m]
         masks[:, s:e] = np.asarray(mk)[:, :m]
 
-    for s in range(0, M, tile):
-        e = min(s + tile, M)
-        if rg is not None:
-            from mixmogam_tpu.models.resident import (_tile_from_packed,
-                                                      _tile_from_packed_cols)
-            from mixmogam_tpu.models.streaming import _impute_tile
+    with mp_ctx:
+        for s in range(0, M, tile):
+            e = min(s + tile, M)
+            if rg is not None:
+                from mixmogam_tpu.models.resident import (
+                    _tile_from_packed, _tile_from_packed_cols)
+                from mixmogam_tpu.models.streaming import _impute_tile
 
-            if _keep_cols is not None:
-                Gt = _tile_from_packed_cols(
-                    rg.packed, jnp.asarray(s, jnp.int32), rg.tile, rg.n,
-                    keep_cols_dev)
+                if _keep_cols is not None:
+                    Gt = _tile_from_packed_cols(
+                        rg.packed, jnp.asarray(s, jnp.int32), rg.tile,
+                        rg.n, keep_cols_dev)
+                else:
+                    Gt = _tile_from_packed(rg.packed,
+                                           jnp.asarray(s, jnp.int32),
+                                           rg.tile, n)
+                if rg.has_missing:
+                    Gt = _impute_tile(Gt, dtype)
+            elif streamed:
+                from mixmogam_tpu.models.source import fetch_tile
+                from mixmogam_tpu.ops.pack2 import default_pack_transfer
+
+                Gt = fetch_tile(G_src, s, e, tile, n, dtype,
+                                default_pack_transfer())
             else:
-                Gt = _tile_from_packed(rg.packed,
-                                       jnp.asarray(s, jnp.int32),
-                                       rg.tile, n)
-            if rg.has_missing:
-                Gt = _impute_tile(Gt, dtype)
-        elif streamed:
-            from mixmogam_tpu.models.source import fetch_tile
-            from mixmogam_tpu.ops.pack2 import default_pack_transfer
-
-            Gt = fetch_tile(G_src, s, e, tile, n, dtype,
-                            default_pack_transfer())
-        else:
-            Gt = Gd[s:e]
-            if e - s < tile:
-                Gt = jnp.pad(Gt, ((0, tile - (e - s)), (0, 0)))
-        G_rot_tile = rotate(Gt, U)
-        out = _scan_tile_multitrait(G_rot_tile, sd, X0s, L, y_res,
-                                    rss0, float(dof))
-        pending.append((s, e, out))
-        if len(pending) >= 4:
-            drain(*pending.pop(0))
+                Gt = Gd[s:e]
+                if e - s < tile:
+                    Gt = jnp.pad(Gt, ((0, tile - (e - s)), (0, 0)))
+            G_rot_tile = rotate(Gt, RU, ru_scale)
+            out = _scan_tile_multitrait(G_rot_tile, sd, X0s, L, y_res,
+                                        rss0, float(dof))
+            pending.append((s, e, out))
+            if len(pending) >= 4:
+                drain(*pending.pop(0))
     for item in pending:
         drain(*item)
 
@@ -226,7 +283,8 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
 def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
                          llim: float = -10.0, ulim: float = 10.0,
                          esp: float = 1e-6, dtype=None, tile=None,
-                         tile_budget: int = 1 << 27) -> Dict[str, np.ndarray]:
+                         tile_budget: int = 1 << 27,
+                         precision=None) -> Dict[str, np.ndarray]:
     """Per-trait missing phenotypes: group traits by missingness pattern;
     each group = one sample subset, one kinship sub-block, one shared
     eigenbasis, one batched scan. SNP degeneracy on a subset is handled by
@@ -280,7 +338,7 @@ def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
                 rg, Y[np.ix_(tids, np.flatnonzero(keep))],
                 K=K[np.ix_(keep, keep)], X0=X0[keep], ngrids=ngrids,
                 llim=llim, ulim=ulim, esp=esp, dtype=dtype, tile=tile,
-                tile_budget=tile_budget,
+                tile_budget=tile_budget, precision=precision,
                 _keep_cols=(np.flatnonzero(keep)
                             if not keep.all() else None))
         else:
@@ -289,7 +347,7 @@ def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
                 Y[np.ix_(tids, np.flatnonzero(keep))],
                 K=K[np.ix_(keep, keep)], X0=X0[keep], ngrids=ngrids,
                 llim=llim, ulim=ulim, esp=esp, dtype=dtype, tile=tile,
-                tile_budget=tile_budget)
+                tile_budget=tile_budget, precision=precision)
         ps[tids] = sub["ps"]
         fs[tids] = sub["f_stats"]
         betas[tids] = sub["betas"]

@@ -160,3 +160,58 @@ class TestPermPrecisionConsistency:
         with pytest.raises(ValueError, match="ResidentGenome"):
             emmax_perm_test(self.G, self.y, K=self.K, num_perm=4,
                             tile=32, precision="int8x2")
+
+
+class TestMultiTraitPrecisionTiers:
+    """Round 5: the shared rotation matmul in emmax_multi_trait rides
+    the precision tiers (config #4's per-tile cost, amortized by all
+    T traits)."""
+
+    def setup_method(self):
+        from mixmogam_tpu.oracle.kinship import ibs_kinship, scale_k
+
+        rng = np.random.default_rng(17)
+        n, M, T = 64, 300, 3
+        self.G = (rng.random((M, n)) < 0.4).astype(np.int8)
+        beta = np.zeros(M)
+        beta[[10, 50, 100]] = 1.0
+        self.Y = np.stack([beta @ self.G + rng.normal(size=n) * 0.8
+                           for _ in range(T)])
+        self.K = scale_k(ibs_kinship(self.G.astype(np.float64)))
+
+    def test_int8_tier_close_to_exact(self):
+        from mixmogam_tpu.models.multitrait import emmax_multi_trait
+
+        ex = emmax_multi_trait(self.G, self.Y, K=self.K)
+        i8 = emmax_multi_trait(self.G, self.Y, K=self.K,
+                               precision="int8x3")
+        lp = -np.log10(np.maximum(i8["ps"], 1e-300))
+        lr = -np.log10(np.maximum(ex["ps"], 1e-300))
+        assert np.abs(lp - lr).max() < 1e-4
+        np.testing.assert_allclose(i8["deltas"], ex["deltas"],
+                                   rtol=1e-12)  # REML stays exact
+
+    def test_resident_and_missing_pattern_tier(self):
+        from mixmogam_tpu.models.multitrait import emmax_multi_trait
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        Y = self.Y.copy()
+        rng = np.random.default_rng(3)
+        Y[1, rng.choice(64, 8, replace=False)] = np.nan
+        rg = ResidentGenome.from_source(self.G, tile=50)
+        ex = emmax_multi_trait(rg, Y, K=self.K)
+        i8 = emmax_multi_trait(rg, Y, K=self.K, precision="int8x3")
+        lp = -np.log10(np.maximum(i8["ps"], 1e-300))
+        lr = -np.log10(np.maximum(ex["ps"], 1e-300))
+        assert np.abs(lp - lr).max() < 1e-4
+
+    def test_fast_and_fractional_refused(self):
+        from mixmogam_tpu.models.multitrait import emmax_multi_trait
+
+        with pytest.raises(ValueError, match="rescore"):
+            emmax_multi_trait(self.G, self.Y, K=self.K,
+                              precision="fast")
+        Gf = self.G.astype(np.float64)
+        Gf[0, 0] = 0.5
+        with pytest.raises(ValueError, match="integer"):
+            emmax_multi_trait(Gf, self.Y, K=self.K, precision="int8x3")
