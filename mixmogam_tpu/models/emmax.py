@@ -196,15 +196,13 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
             if rotate_in_bf16:
                 raise ValueError("pass either precision= or "
                                  "rotate_in_bf16, not both")
-            from mixmogam_tpu.ops.scan import resolve_precision
+            from mixmogam_tpu.ops.scan import (probe_for_source,
+                                               resolve_precision)
 
-            src_probe = (np.full((1, 1), np.nan)
-                         if rg is not None and rg.has_missing
-                         else np.zeros((1, 1), dtype=np.int8)
-                         if rg is not None
-                         else (G.matrix if hasattr(G, "matrix")
-                               else np.asarray(G)))
-            rb, mp, _tier = resolve_precision(precision, G=src_probe)
+            rb, mp, _tier = resolve_precision(
+                precision, G=probe_for_source(
+                    rg, G.matrix if hasattr(G, "matrix")
+                    else np.asarray(G)))
             if mp:
                 raise ValueError("the 'high' matmul tier is not "
                                  "supported on the mesh path")

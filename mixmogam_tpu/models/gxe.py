@@ -226,13 +226,10 @@ def emmax_gxe(G, y, env, K=None, X0: Optional[np.ndarray] = None,
     matmul_precision, tier_name = None, "exact"
     rd = None
     if precision is not None:
-        if rg is not None:
-            probe = (np.full((1, 1), np.nan) if rg.has_missing
-                     else np.zeros((1, 1), dtype=np.int8))
-        else:
-            probe = Gf
-        rb, matmul_precision, tier_name = resolve_precision(precision,
-                                                            G=probe)
+        from mixmogam_tpu.ops.scan import probe_for_source
+
+        rb, matmul_precision, tier_name = resolve_precision(
+            precision, G=probe_for_source(rg, Gf))
         rd = normalize_rotate_tier(rb)
     if isinstance(rd, str) and rd.startswith("int8"):
         if rg is not None and rg.has_missing:

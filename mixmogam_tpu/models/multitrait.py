@@ -138,11 +138,62 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
                              f"genome holds {rg.n}")
     streamed = (False if rg is not None
                 else should_stream(G_src, n, dtype, stream_budget_bytes))
-    Gf = None if (streamed or rg is not None) else _as_dosage(G, dtype)
+    if streamed or rg is not None:
+        Gf = None
+    else:
+        # fully-observed int8 ships AS int8 (4-8x less transfer/HBM
+        # than a float copy; the kernels cast per tile) — same rule as
+        # models.emmax
+        G_raw = G.matrix if hasattr(G, "matrix") else np.asarray(G)
+        if (isinstance(G_raw, np.ndarray) and G_raw.dtype == np.int8
+                and not (G_raw < 0).any()):
+            Gf = G_raw
+        else:
+            Gf = _as_dosage(G, dtype)
     if X0 is None:
         X0 = np.ones((n, 1))
     X0 = _as_design(X0, n)
     q = X0.shape[1]
+
+    # ---- tier resolution BEFORE the O(n^3) eigh + T REML fits: a
+    # refused tier must fail in milliseconds, not minutes (review r5) ----
+    import contextlib
+
+    from mixmogam_tpu.ops.scan import (apply_rotation, is_integer_dosage,
+                                       normalize_rotate_tier,
+                                       probe_for_source,
+                                       quantize_rotation,
+                                       resolve_precision)
+
+    matmul_precision = None
+    rd = None
+    tier_name = "exact"
+    if precision is not None:
+        if str(precision) == "fast":
+            raise ValueError(
+                "multi-trait has no rescore pass; pick an explicit "
+                "tier ('auto'/'int8x3' are fp32-grade) or leave exact")
+        if streamed:
+            raise ValueError("precision tiers on the multi-trait path "
+                             "need an in-core or resident source")
+        rb, matmul_precision, tier_name = resolve_precision(
+            precision, G=probe_for_source(rg, Gf))
+        rd = normalize_rotate_tier(rb)
+        # 'auto' only resolves int8 after is_integer_dosage passed on
+        # the full in-core matrix — don't re-scan it below
+        int8_verified = (str(precision) == "auto"
+                         and tier_name.startswith("int8"))
+        if isinstance(rd, str) and rd.startswith("int8"):
+            if rg is not None and rg.has_missing:
+                raise ValueError(
+                    "int8 digit-plane tiers need fully-observed "
+                    "dosages (this container has missing genotypes)")
+            if (rg is None and not int8_verified
+                    and not is_integer_dosage(Gf)):
+                raise ValueError(
+                    "int8 digit-plane tiers need exact integer "
+                    "dosages; these are fractional (imputed)")
+
     if eig_k is None:
         phi, U = eigen_k(K, host=True)
     else:
@@ -176,40 +227,7 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
         tile = rg.tile  # packed rows are padded to this granularity
     Gd = None if (streamed or rg is not None) else jnp.asarray(Gf)
 
-    # ---- tiered SHARED rotation (round 5; docstring contract) ----
-    import contextlib
-
-    from mixmogam_tpu.ops.scan import (apply_rotation, is_integer_dosage,
-                                       normalize_rotate_tier,
-                                       quantize_rotation,
-                                       resolve_precision)
-
-    matmul_precision = None
-    rd = None
-    if precision is not None:
-        if str(precision) == "fast":
-            raise ValueError(
-                "multi-trait has no rescore pass; pick an explicit "
-                "tier ('auto'/'int8x3' are fp32-grade) or leave exact")
-        if streamed:
-            raise ValueError("precision tiers on the multi-trait path "
-                             "need an in-core or resident source")
-        probe = (np.full((1, 1), np.nan)
-                 if rg is not None and rg.has_missing
-                 else np.zeros((1, 1), dtype=np.int8)
-                 if rg is not None else Gf)
-        rb, matmul_precision, _tier = resolve_precision(precision,
-                                                        G=probe)
-        rd = normalize_rotate_tier(rb)
-        if isinstance(rd, str) and rd.startswith("int8"):
-            if rg is not None and rg.has_missing:
-                raise ValueError(
-                    "int8 digit-plane tiers need fully-observed "
-                    "dosages (this container has missing genotypes)")
-            if rg is None and not is_integer_dosage(Gf):
-                raise ValueError(
-                    "int8 digit-plane tiers need exact integer "
-                    "dosages; these are fractional (imputed)")
+    # ---- tiered SHARED rotation (resolved above, before the eigh) ----
     if rd is not None:
         RU, ru_scale = quantize_rotation(U, rd, sd_dtype=phi.dtype)
         rotate = jax.jit(
@@ -276,7 +294,7 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
         "deltas": np.array([f["delta"] for f in fits]),
         "pseudo_heritabilities": np.array(
             [f["pseudo_heritability"] for f in fits]),
-        "dof": dof,
+        "dof": dof, "precision_tier": tier_name,
     }
 
 
@@ -355,7 +373,9 @@ def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
         deltas[tids] = sub["deltas"]
         h2s[tids] = sub["pseudo_heritabilities"]
         dofs[tids] = sub["dof"]
+        tier = sub.get("precision_tier", "exact")
     one = len(groups) == 1
     return {"ps": ps, "f_stats": fs, "betas": betas, "mask": masks,
             "deltas": deltas, "pseudo_heritabilities": h2s,
-            "dof": int(dofs[0]) if one else dofs}
+            "dof": int(dofs[0]) if one else dofs,
+            "precision_tier": tier}

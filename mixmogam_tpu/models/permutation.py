@@ -203,9 +203,10 @@ def emmax_perm_test(G, y, K=None, num_perm: int = 100,
 
         rd, mp = None, None
         if precision is not None:
-            probe = (np.full((1, 1), np.nan) if rg.has_missing
-                     else np.zeros((1, 1), dtype=np.int8))
-            rb, mp, _name = resolve_precision(precision, G=probe)
+            from mixmogam_tpu.ops.scan import probe_for_source
+
+            rb, mp, _name = resolve_precision(
+                precision, G=probe_for_source(rg))
             rd = normalize_rotate_tier(rb)
             if isinstance(rd, str) and rd.startswith("int8") \
                     and rg.has_missing:

@@ -355,10 +355,10 @@ def emmax_resident(rg: ResidentGenome, y, K=None, X0=None, eig_k=None,
                              "rotate_in_bf16 kwarg, not both")
         # int8 tiers need fully-observed dosages; has_missing was
         # established during packing (no extra pass over the source)
-        probe = (np.full((1, 1), np.nan) if rg.has_missing
-                 else np.zeros((1, 1), dtype=np.int8))
+        from mixmogam_tpu.ops.scan import probe_for_source
+
         rotate_in_bf16, matmul_precision, tier_name = resolve_precision(
-            precision, G=probe)
+            precision, G=probe_for_source(rg))
     rd = normalize_rotate_tier(rotate_in_bf16)
     if (isinstance(rd, str) and rd.startswith("int8") and rg.has_missing):
         raise ValueError(

@@ -122,6 +122,19 @@ PRECISION_TIERS = {
 }
 
 
+def probe_for_source(rg=None, Gf=None):
+    """The 1x1 dosage probe resolve_precision's 'auto'/'fast' routing
+    inspects: a resident container answers from its has_missing flag
+    (no decode), an in-core matrix is probed directly (review r5 —
+    previously copy-pasted at six call sites)."""
+    import numpy as np
+
+    if rg is not None:
+        return (np.full((1, 1), np.nan) if rg.has_missing
+                else np.zeros((1, 1), dtype=np.int8))
+    return Gf
+
+
 def resolve_precision(precision: str, G=None, backend=None):
     """Resolve a unified `precision` name -> (rotate_in_bf16,
     matmul_precision, resolved_name).
