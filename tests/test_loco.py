@@ -310,3 +310,28 @@ class TestLocoEigenCache:
         r2 = emmax_loco(G, y, chromosomes=ch, kinships=ks,
                         cache_dir=str(tmp_path))
         np.testing.assert_allclose(r2["ps"], r1["ps"], atol=1e-12)
+
+    def test_cache_with_mesh(self, tmp_path, monkeypatch):
+        """cache_dir and mesh compose: the sharded campaign populates
+        and then resumes from the same per-chromosome eigen cache."""
+        import jax
+
+        import mixmogam_tpu.models.loco as loco_mod
+        from mixmogam_tpu.models.resident import ResidentGenome
+        from mixmogam_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        G, ch, y = _data(seed=9, n=48, m=240)
+        rg = ResidentGenome.from_source(G, tile=32)
+        mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+        r1 = emmax_loco(rg, y, chromosomes=ch, cache_dir=str(tmp_path),
+                        mesh=mesh)
+
+        def no_eigh(*a, **k):
+            raise AssertionError("eigh ran despite a full cache")
+
+        monkeypatch.setattr(loco_mod, "_eigh_host_np", no_eigh)
+        r2 = emmax_loco(rg, y, chromosomes=ch, cache_dir=str(tmp_path),
+                        mesh=mesh)
+        np.testing.assert_allclose(r2["ps"], r1["ps"], atol=1e-12)
