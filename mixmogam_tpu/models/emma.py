@@ -57,16 +57,67 @@ def _f_stats_at_delta(Gt, X0_rot, y_rot, phi, log_delta, ypy):
     return rss0, mask
 
 
+def _emma_mesh_kernel(n: int, q: int, tile: int, ngrids: int, llim: float,
+                      ulim: float, reml: bool, refine_iters: int,
+                      resident: bool, impute: bool, dt):
+    """shard_map body for the SNP-sharded EMMA exact scan (mesh= on
+    emma): the eigenbasis + null quantities replicate, each device runs
+    the batched per-SNP REML pipeline (rotate -> grid+refine delta ->
+    F at delta) over its row shard, tile by tile under lax.map (the
+    grid evaluation holds (tile, n) weight intermediates — whole-shard
+    at once would blow HBM). Per-SNP REML is embarrassingly parallel:
+    zero communication until the result gather."""
+    from mixmogam_tpu.models.streaming import _impute_tile
+    from mixmogam_tpu.ops.pack2 import unpack_2bit_device
+
+    def body(rows_loc, U, X0_rot, y_rot, phi):
+        nt = rows_loc.shape[0] // tile
+        tiles = rows_loc.reshape(nt, tile, rows_loc.shape[1])
+
+        def kern(rt):
+            if resident:
+                Gt_raw = unpack_2bit_device(rt, n)
+                Gt_raw = (_impute_tile(Gt_raw, dt) if impute
+                          else Gt_raw.astype(dt))
+            else:
+                Gt_raw = rt
+            Gt = Gt_raw @ U
+            ld_xtx = _logdet_xtx_tile(Gt, X0_rot)
+            r = emma_delta_scan(Gt, X0_rot, y_rot, phi, ld_xtx,
+                                ngrids=ngrids, llim=llim, ulim=ulim,
+                                reml=reml, refine_iters=refine_iters)
+            rss0, mask = _f_stats_at_delta(Gt, X0_rot, y_rot, phi,
+                                           r["log_delta"], r["ypy"])
+            rss1 = r["ypy"]
+            dof = n - q - 1
+            f = ((rss0 - rss1) * dof
+                 / jnp.maximum(rss1, jnp.finfo(Gt.dtype).tiny))
+            f = jnp.where(mask, jnp.maximum(f, 0.0), 0.0)
+            return {"delta": r["delta"], "ll": r["ll"], "f": f,
+                    "beta": r["beta"][:, -1], "mask": mask}
+
+        out = jax.lax.map(kern, tiles)
+        return {k: v.reshape(nt * tile) for k, v in out.items()}
+
+    return body
+
+
 def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
          eig_k: Optional[Tuple] = None, ngrids: int = 100,
          llim: float = -10.0, ulim: float = 10.0, esp: float = 1e-6,
          tile: int = 2048, dtype=None, test: str = "f",
          stream_budget_bytes: int = STREAM_BUDGET_BYTES,
-         ) -> Dict[str, np.ndarray]:
+         mesh=None) -> Dict[str, np.ndarray]:
     """EMMA exact scan. Same signature family as emmax(); additionally
     returns per-SNP 'deltas' and 'pseudo_heritabilities'. Sources larger
     than stream_budget_bytes stream SNP tiles from host (the per-tile
-    cost is rotation-dominated, so streaming costs the same matmuls)."""
+    cost is rotation-dominated, so streaming costs the same matmuls).
+
+    mesh: a ('snp', 1) device mesh SNP-shards the scan — per-SNP REML
+    is embarrassingly parallel, so each chip runs the batched
+    grid+refine over its row shard (in-core rows, or packed shards for
+    a ResidentGenome / big int8 source auto-packed host-side) with one
+    gather at the end. Parity-tested against the single-device scan."""
     from mixmogam_tpu.ops.reml import esp_to_refine_iters
 
     refine_iters = esp_to_refine_iters(esp, ngrids, llim, ulim)
@@ -82,6 +133,20 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
     M = G_src.shape[0]
     streamed = (False if rg is not None
                 else should_stream(G_src, n, dtype, stream_budget_bytes))
+    if mesh is not None and streamed:
+        # mirror models.emmax mesh routing: big int8 sources pack
+        # HOST-side; the sharded path uploads per-chip shards only
+        from mixmogam_tpu.models.resident import RESIDENT_BUDGET_BYTES
+
+        if (np.dtype(G_src.dtype) == np.int8
+                and M * ((n + 3) // 4) <= RESIDENT_BUDGET_BYTES):
+            rg = ResidentGenome.from_source(G_src, upload=False)
+            streamed = False
+        else:
+            raise ValueError(
+                "the mesh EMMA path shards in-core or packed sources; "
+                "this source exceeds both the in-core and the 2-bit "
+                "resident budgets")
     Gf = None if (streamed or rg is not None) else _as_dosage(G, dtype)
     if X0 is None:
         X0 = np.ones((n, 1))
@@ -101,51 +166,89 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
                               ngrids=ngrids, llim=llim, ulim=ulim, ml=True)
         ll_null = float(null.ll)
 
-    deltas = np.empty(M)
-    lls = np.empty(M)
-    fstats = np.empty(M)
-    betas = np.empty(M)
-    masks = np.empty(M, dtype=bool)
-    Gd = None if (streamed or rg is not None) else jnp.asarray(Gf)
-    if rg is not None:
-        tile = rg.tile  # packed rows are padded to this granularity
-    for s in range(0, M, tile):
-        e = min(s + tile, M)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
+                                                put_global, replicated)
+
+        if mesh.shape["sample"] != 1:
+            raise ValueError("mesh-distributed EMMA shards 'snp' only; "
+                             "use a ('snp', 1) mesh")
         if rg is not None:
-            from mixmogam_tpu.models.resident import _tile_from_packed
-            from mixmogam_tpu.models.streaming import _impute_tile
+            from mixmogam_tpu.parallel.distributed import shard_packed_rows
 
-            Gt_raw = _tile_from_packed(rg.packed, jnp.asarray(s, jnp.int32),
-                                       rg.tile, n)
-            Gt_raw = (_impute_tile(Gt_raw, dtype) if rg.has_missing
-                      else Gt_raw.astype(dtype))
-        elif streamed:
-            from mixmogam_tpu.models.source import fetch_tile
-            from mixmogam_tpu.ops.pack2 import default_pack_transfer
-
-            Gt_raw = fetch_tile(G_src, s, e, tile, n, dtype,
-                                default_pack_transfer())
+            tile = rg.tile
+            rows = shard_packed_rows(rg, mesh, tile)
         else:
-            Gt_raw = Gd[s:e]
-            if e - s < tile:  # pad to the static tile shape (one compile)
-                Gt_raw = jnp.pad(Gt_raw, ((0, tile - (e - s)), (0, 0)))
-        Gt = Gt_raw @ U
-        ld_xtx = _logdet_xtx_tile(Gt, X0_rot)
-        r = emma_delta_scan(Gt, X0_rot, y_rot, phi, ld_xtx, ngrids=ngrids,
-                            llim=llim, ulim=ulim, reml=reml,
-                            refine_iters=refine_iters)
-        rss0, mask = _f_stats_at_delta(Gt, X0_rot, y_rot, phi,
-                                       r["log_delta"], r["ypy"])
-        rss1 = r["ypy"]
-        dof = n - q - 1
-        f = (rss0 - rss1) * dof / jnp.maximum(rss1, jnp.finfo(Gt.dtype).tiny)
-        f = jnp.where(mask, jnp.maximum(f, 0.0), 0.0)
-        m = e - s
-        deltas[s:e] = np.asarray(r["delta"])[:m]
-        lls[s:e] = np.asarray(r["ll"])[:m]
-        fstats[s:e] = np.asarray(f)[:m]
-        betas[s:e] = np.asarray(r["beta"])[:m, -1]
-        masks[s:e] = np.asarray(mask)[:m]
+            Gp, _ = pad_to_multiple(np.asarray(Gf),
+                                    mesh.shape["snp"] * tile, axis=0)
+            rows = put_global(Gp, NamedSharding(mesh, P("snp", None)))
+        body = _emma_mesh_kernel(
+            n, q, tile, ngrids, llim, ulim, reml, refine_iters,
+            rg is not None,
+            bool(rg.has_missing) if rg is not None else False, dtype)
+        rep = replicated(mesh)
+        args = tuple(put_global(v, rep)
+                     for v in (U, X0_rot, y_rot, phi))
+        fn = jax.shard_map(body, mesh=mesh,
+                           in_specs=(P("snp", None), P(), P(), P(), P()),
+                           out_specs=P("snp"))
+        d = jax.jit(fn)(rows, *args)
+        deltas = np.asarray(d["delta"], dtype=np.float64)[:M]
+        lls = np.asarray(d["ll"], dtype=np.float64)[:M]
+        fstats = np.asarray(d["f"], dtype=np.float64)[:M]
+        betas = np.asarray(d["beta"], dtype=np.float64)[:M]
+        masks = np.asarray(d["mask"])[:M].astype(bool)
+    else:
+        deltas = np.empty(M)
+        lls = np.empty(M)
+        fstats = np.empty(M)
+        betas = np.empty(M)
+        masks = np.empty(M, dtype=bool)
+        Gd = None if (streamed or rg is not None) else jnp.asarray(Gf)
+        if rg is not None:
+            tile = rg.tile  # packed rows pad to this granularity
+        for s in range(0, M, tile):
+            e = min(s + tile, M)
+            if rg is not None:
+                from mixmogam_tpu.models.resident import _tile_from_packed
+                from mixmogam_tpu.models.streaming import _impute_tile
+
+                Gt_raw = _tile_from_packed(rg.packed,
+                                           jnp.asarray(s, jnp.int32),
+                                           rg.tile, n)
+                Gt_raw = (_impute_tile(Gt_raw, dtype) if rg.has_missing
+                          else Gt_raw.astype(dtype))
+            elif streamed:
+                from mixmogam_tpu.models.source import fetch_tile
+                from mixmogam_tpu.ops.pack2 import default_pack_transfer
+
+                Gt_raw = fetch_tile(G_src, s, e, tile, n, dtype,
+                                    default_pack_transfer())
+            else:
+                Gt_raw = Gd[s:e]
+                if e - s < tile:  # pad to the static tile shape
+                    Gt_raw = jnp.pad(Gt_raw,
+                                     ((0, tile - (e - s)), (0, 0)))
+            Gt = Gt_raw @ U
+            ld_xtx = _logdet_xtx_tile(Gt, X0_rot)
+            r = emma_delta_scan(Gt, X0_rot, y_rot, phi, ld_xtx,
+                                ngrids=ngrids, llim=llim, ulim=ulim,
+                                reml=reml, refine_iters=refine_iters)
+            rss0, mask = _f_stats_at_delta(Gt, X0_rot, y_rot, phi,
+                                           r["log_delta"], r["ypy"])
+            rss1 = r["ypy"]
+            dof = n - q - 1
+            f = ((rss0 - rss1) * dof
+                 / jnp.maximum(rss1, jnp.finfo(Gt.dtype).tiny))
+            f = jnp.where(mask, jnp.maximum(f, 0.0), 0.0)
+            m = e - s
+            deltas[s:e] = np.asarray(r["delta"])[:m]
+            lls[s:e] = np.asarray(r["ll"])[:m]
+            fstats[s:e] = np.asarray(f)[:m]
+            betas[s:e] = np.asarray(r["beta"])[:m, -1]
+            masks[s:e] = np.asarray(mask)[:m]
 
     out = {"f_stats": fstats, "deltas": deltas, "betas": betas,
            "mask": masks, "lls": lls,

@@ -39,6 +39,52 @@ def _trait_nulls(Y_rot, X0_rot, phi, deltas):
     return sd, X0s, L, y_res, rss0
 
 
+def _mt_packed_kernel(n: int, tile: int, impute: bool, with_cols: bool):
+    """shard_map body for the SNP-sharded packed multi-trait scan
+    (mesh= on emmax_multi_trait): each device holds a block of packed
+    rows and the replicated trait nulls; per tile it unpacks, optionally
+    gathers a sample-column subset (missingness-pattern groups), imputes,
+    rotates ONCE (shared by all traits — the whole point of the batch)
+    and runs the per-trait epilogue. Outputs are (T, rows_local)."""
+    from mixmogam_tpu.models.streaming import _impute_tile
+    from mixmogam_tpu.ops.pack2 import unpack_2bit_device
+    from mixmogam_tpu.ops.scan import apply_rotation
+
+    def body(p_loc, RU, ru_scale, sd, X0s, L, y_res, rss0, dof, cols):
+        nt = p_loc.shape[0] // tile
+        tiles = p_loc.reshape(nt, tile, p_loc.shape[1])
+
+        def kern(pt):
+            Gt = unpack_2bit_device(pt, n)
+            if with_cols:
+                Gt = jnp.take(Gt, cols, axis=1)
+            if impute:
+                Gt = _impute_tile(Gt, sd.dtype)
+            Xs = apply_rotation(Gt, RU, ru_scale, sd.dtype)
+            return _scan_tile_multitrait(Xs, sd, X0s, L, y_res, rss0,
+                                         dof)
+
+        f, b, mk = jax.lax.map(kern, tiles)          # (nt, T, tile)
+        T = f.shape[1]
+        return tuple(jnp.swapaxes(v, 0, 1).reshape(T, nt * tile)
+                     for v in (f, b, mk))
+
+    return body
+
+
+@jax.jit
+def _mt_scan_whole(Gd, RU, ru_scale, sd, X0s, L, y_res, rss0, dof):
+    """Whole-matrix multi-trait scan for the SNP-sharded in-core mesh
+    path: with Gd row-sharded (P('snp', 'sample')) and the trait nulls
+    replicated (RU contraction-row-sharded on TP meshes), GSPMD
+    partitions the rotation + per-trait epilogue row-wise — zero
+    communication until readback (psum inside the rotation on TP)."""
+    from mixmogam_tpu.ops.scan import apply_rotation
+
+    Xs = apply_rotation(Gd, RU, ru_scale, sd.dtype)
+    return _scan_tile_multitrait(Xs, sd, X0s, L, y_res, rss0, dof)
+
+
 @jax.jit
 def _scan_tile_multitrait(G_rot_tile, sd, X0s, L, y_res, rss0, dof):
     """F stats for one rotated tile across all traits.
@@ -71,9 +117,19 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
                       tile_budget: int = 1 << 27,
                       stream_budget_bytes: int = STREAM_BUDGET_BYTES,
                       precision: Optional[str] = None,
-                      _keep_cols: Optional[np.ndarray] = None
-                      ) -> Dict[str, np.ndarray]:
+                      _keep_cols: Optional[np.ndarray] = None,
+                      mesh=None) -> Dict[str, np.ndarray]:
     """EMMAX over T phenotypes sharing one kinship/eigenbasis.
+
+    mesh: a ('snp', 'sample') device mesh SNP-shards the scan — the
+    trait nulls replicate, genotypes shard row-wise (a ResidentGenome
+    shards its PACKED rows via shard_map; a big int8 source auto-packs
+    HOST-side), and each chip rotates + tests its shard for all traits
+    with one gather on readback. In-core sources also take 2-D
+    ('snp', 'sample') meshes (the rotation operator contraction-row-
+    shards, GSPMD psums the partials); the packed path shards 'snp'
+    only. Missing-Y pattern groups each run sharded. Parity-tested
+    mesh-shape-invariant.
 
     precision (round 5): tier name for the SHARED rotation matmul —
     the per-tile cost all T traits amortize ('exact'/'auto'/'high'/
@@ -112,7 +168,7 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
                                     llim=llim, ulim=ulim, esp=esp,
                                     dtype=dtype,
                                     tile=tile, tile_budget=tile_budget,
-                                    precision=precision)
+                                    precision=precision, mesh=mesh)
     if dtype is None:
         dtype = jnp.zeros(0).dtype
     # big-M routing (mirrors models.emmax): stream SNP tiles from host
@@ -138,6 +194,27 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
                              f"genome holds {rg.n}")
     streamed = (False if rg is not None
                 else should_stream(G_src, n, dtype, stream_budget_bytes))
+    if mesh is not None:
+        if rg is not None and mesh.shape["sample"] != 1:
+            raise ValueError(
+                "mesh-distributed resident multi-trait shards 'snp' "
+                "only; use a ('snp', 1) mesh (in-core sources take 2-D "
+                "('snp', 'sample') meshes)")
+        if streamed:
+            # mirror models.emmax mesh routing: a big int8 source packs
+            # HOST-side (upload=False — the sharded path uploads
+            # per-chip shards, never the whole genome to one device)
+            from mixmogam_tpu.models.resident import RESIDENT_BUDGET_BYTES
+
+            if (np.dtype(G_src.dtype) == np.int8
+                    and M * ((n + 3) // 4) <= RESIDENT_BUDGET_BYTES):
+                rg = ResidentGenome.from_source(G_src, upload=False)
+                streamed = False
+            else:
+                raise ValueError(
+                    "the mesh multi-trait path shards in-core or "
+                    "packed sources; this source exceeds both the "
+                    "in-core and the 2-bit resident budgets")
     if streamed or rg is not None:
         Gf = None
     else:
@@ -225,7 +302,8 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
         tile = max(64, min(8192, tile_budget // max(T * n, 1)))
     if rg is not None:
         tile = rg.tile  # packed rows are padded to this granularity
-    Gd = None if (streamed or rg is not None) else jnp.asarray(Gf)
+    Gd = (None if (streamed or rg is not None or mesh is not None)
+          else jnp.asarray(Gf))
 
     # ---- tiered SHARED rotation (resolved above, before the eigh) ----
     if rd is not None:
@@ -239,6 +317,79 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
                                      preferred_element_type=W.dtype))
     mp_ctx = (jax.default_matmul_precision(matmul_precision)
               if matmul_precision else contextlib.nullcontext())
+
+    if mesh is not None:
+        # ---- SNP-sharded scan over the device mesh: trait nulls
+        # replicate, rows shard; one gather on readback ----
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
+                                                put_global, replicated,
+                                                snp_sharding)
+
+        rep = replicated(mesh)
+        dof_d = jnp.asarray(float(dof), phi.dtype)
+
+        def place(v):
+            return None if v is None else put_global(v, rep)
+
+        with mp_ctx:
+            if rg is not None:
+                from mixmogam_tpu.parallel.distributed import \
+                    shard_packed_rows
+
+                packed = shard_packed_rows(rg, mesh, tile)
+                with_cols = keep_cols_dev is not None
+                cols = (keep_cols_dev if with_cols
+                        else jnp.zeros(1, jnp.int32))
+                body = _mt_packed_kernel(rg.n, tile,
+                                         bool(rg.has_missing), with_cols)
+                args = (place(RU), place(ru_scale), place(sd),
+                        place(X0s), place(L), place(y_res), place(rss0),
+                        place(dof_d), place(cols))
+                spec = tuple(None if v is None else P() for v in args)
+                fn = jax.shard_map(body, mesh=mesh,
+                                   in_specs=(P("snp", None),) + spec,
+                                   out_specs=(P(None, "snp"),) * 3)
+                f, b, mk = jax.jit(fn)(packed, *args)
+            else:
+                Gp, _ = pad_to_multiple(np.asarray(Gf),
+                                        mesh.shape["snp"], axis=0)
+                RU_use = RU
+                if mesh.shape["sample"] > 1:
+                    # TP: the rotation operator contraction-row-shards
+                    # against G's sample columns; GSPMD psums partials.
+                    # Zero-pad sample cols + W rows when n doesn't
+                    # split evenly (zero x zero contributes nothing)
+                    from mixmogam_tpu.parallel.distributed import \
+                        _pad_w_rows
+
+                    Gp, _ = pad_to_multiple(Gp, mesh.shape["sample"],
+                                            axis=1)
+                    RU_use = _pad_w_rows(RU, Gp.shape[1])
+                    ru_spec = (P(None, "sample", None)
+                               if RU_use.ndim == 3
+                               else P("sample", None))
+                    RU_sh = put_global(RU_use,
+                                       NamedSharding(mesh, ru_spec))
+                else:
+                    RU_sh = place(RU)
+                Gd_sh = put_global(Gp, snp_sharding(mesh))
+                f, b, mk = _mt_scan_whole(
+                    Gd_sh, RU_sh, place(ru_scale), place(sd), place(X0s),
+                    place(L), place(y_res), place(rss0), place(dof_d))
+        fs = np.array(f, np.float64)[:, :M]
+        betas = np.array(b, np.float64)[:, :M]
+        masks = np.array(mk).astype(bool)[:, :M]
+        ps = np.where(masks, f_sf_host(fs, 1.0, dof), 1.0)
+        return {
+            "ps": ps, "f_stats": fs, "betas": betas, "mask": masks,
+            "deltas": np.array([f_["delta"] for f_ in fits]),
+            "pseudo_heritabilities": np.array(
+                [f_["pseudo_heritability"] for f_ in fits]),
+            "dof": dof, "precision_tier": tier_name,
+        }
+
     fs = np.empty((T, M))
     betas = np.empty((T, M))
     masks = np.empty((T, M), dtype=bool)
@@ -302,7 +453,7 @@ def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
                          llim: float = -10.0, ulim: float = 10.0,
                          esp: float = 1e-6, dtype=None, tile=None,
                          tile_budget: int = 1 << 27,
-                         precision=None) -> Dict[str, np.ndarray]:
+                         precision=None, mesh=None) -> Dict[str, np.ndarray]:
     """Per-trait missing phenotypes: group traits by missingness pattern;
     each group = one sample subset, one kinship sub-block, one shared
     eigenbasis, one batched scan. SNP degeneracy on a subset is handled by
@@ -356,7 +507,7 @@ def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
                 rg, Y[np.ix_(tids, np.flatnonzero(keep))],
                 K=K[np.ix_(keep, keep)], X0=X0[keep], ngrids=ngrids,
                 llim=llim, ulim=ulim, esp=esp, dtype=dtype, tile=tile,
-                tile_budget=tile_budget, precision=precision,
+                tile_budget=tile_budget, precision=precision, mesh=mesh,
                 _keep_cols=(np.flatnonzero(keep)
                             if not keep.all() else None))
         else:
@@ -365,7 +516,7 @@ def _multi_trait_grouped(G, Y, K=None, X0=None, ngrids: int = 100,
                 Y[np.ix_(tids, np.flatnonzero(keep))],
                 K=K[np.ix_(keep, keep)], X0=X0[keep], ngrids=ngrids,
                 llim=llim, ulim=ulim, esp=esp, dtype=dtype, tile=tile,
-                tile_budget=tile_budget, precision=precision)
+                tile_budget=tile_budget, precision=precision, mesh=mesh)
         ps[tids] = sub["ps"]
         fs[tids] = sub["f_stats"]
         betas[tids] = sub["betas"]

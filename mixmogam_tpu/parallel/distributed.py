@@ -203,11 +203,17 @@ def distributed_emmax(G, y, K=None, X0: Optional[np.ndarray] = None,
             f"rotate_in_bf16={rotate_in_bf16!r} requires integer dosages "
             "(digit-plane matmuls round genotypes to int8)")
     rot = build_rotated_null(null, rotate_dtype=rd)
+    nshard = mesh.shape["snp"]
+    Gp, M0 = pad_to_multiple(Gf, nshard, axis=0)
+    if mesh.shape["sample"] > 1 and Gp.shape[1] % mesh.shape["sample"]:
+        # sample axis must split evenly for the TP sharding: zero-pad
+        # sample columns and the matching CONTRACTION rows of W (zero
+        # cols x zero rows contribute nothing to the rotation)
+        Gp, _ = pad_to_multiple(Gp, mesh.shape["sample"], axis=1)
+        rot = dataclasses.replace(rot, W=_pad_w_rows(rot.W, Gp.shape[1]))
     # null model: replicated on a DP mesh; W row-sharded over 'sample'
     # on a TP mesh (see rot_shardings); genotypes SNP-sharded either way
     rot = jax.tree.map(put_global, rot, rot_shardings(mesh, rot))
-    nshard = mesh.shape["snp"]
-    Gp, M0 = pad_to_multiple(Gf, nshard, axis=0)
     Gd = put_global(Gp, snp_sharding(mesh))
     d = (_scan_sharded(Gd, rot) if jax.process_count() == 1
          else _scan_sharded_gathered(mesh)(Gd, rot))
