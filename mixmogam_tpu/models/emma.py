@@ -181,6 +181,9 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
             tile = rg.tile
             rows = shard_packed_rows(rg, mesh, tile)
         else:
+            # cap the per-shard tile at the shard's row count (a tiny M
+            # must not pad to nshard * default-tile rows of dead work)
+            tile = min(tile, max(-(-M // mesh.shape["snp"]), 8))
             Gp, _ = pad_to_multiple(np.asarray(Gf),
                                     mesh.shape["snp"] * tile, axis=0)
             rows = put_global(Gp, NamedSharding(mesh, P("snp", None)))

@@ -38,10 +38,15 @@ def _identity_rot(y: np.ndarray, X0: np.ndarray, dtype) -> RotatedNull:
 
 
 def linear_model(G, y, X0: Optional[np.ndarray] = None, dtype=None,
-                 tile: int = 8192, with_betas: bool = True
-                 ) -> Dict[str, np.ndarray]:
+                 tile: int = 8192, with_betas: bool = True,
+                 mesh=None) -> Dict[str, np.ndarray]:
     """Per-SNP OLS F-test (reference: linear_model): the EMMAX kernel with
-    identity whitening (pre_rotated=True skips the rotation matmul)."""
+    identity whitening (pre_rotated=True skips the rotation matmul).
+
+    mesh: a device mesh SNP-shards the scan (packed ResidentGenome rows
+    via shard_map on ('snp', 1) meshes; in-core rows via GSPMD). There
+    is no n^2 operator to sample-shard in the fixed-effects model, so
+    the 'sample' axis replicates on the in-core path."""
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
     if dtype is None:
@@ -53,7 +58,33 @@ def linear_model(G, y, X0: Optional[np.ndarray] = None, dtype=None,
     from mixmogam_tpu.models.resident import (ResidentGenome,
                                               emmax_scan_packed)
 
-    if isinstance(G, ResidentGenome):
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
+                                                put_global, replicated)
+
+        rep = replicated(mesh)
+        rot_d = jax.tree.map(lambda v: put_global(v, rep), rot)
+        if isinstance(G, ResidentGenome):
+            from mixmogam_tpu.parallel.distributed import (
+                _resident_scan_jit, shard_packed_rows)
+
+            packed = shard_packed_rows(G, mesh, G.tile)
+            fn, _ = _resident_scan_jit(
+                mesh, G.n, G.tile, bool(G.has_missing),
+                mesh.shape["sample"], 2, True, pre_rotated=True)
+            d = fn(packed, rot_d)
+            d = {k: np.asarray(v)[:G.M] for k, v in d.items()}
+        else:
+            from mixmogam_tpu.parallel.distributed import _scan_sharded
+
+            Gp, M0 = pad_to_multiple(np.asarray(_as_dosage(G, dtype)),
+                                     mesh.shape["snp"], axis=0)
+            Gd = put_global(Gp, NamedSharding(mesh, P("snp", None)))
+            d = _scan_sharded(Gd, rot_d, pre_rotated=True)
+            d = {k: np.asarray(v)[:M0] for k, v in d.items()}
+    elif isinstance(G, ResidentGenome):
         # packed HBM source: identity whitening == pre-rotated scan
         # straight off the 2-bit rows (no 40 GB float genome at 1M x 10k)
         d = emmax_scan_packed(G.packed, rot, G.n, G.tile,
@@ -137,11 +168,50 @@ def _infer_ploidy(G: np.ndarray) -> int:
     return 2 if mx > 1 else 1
 
 
-def anova(G, y, ploidy: Optional[int] = None, dtype=None
+def _sharded_class_sums_packed(rg, W, C: int, mesh):
+    """_class_sums_packed over SNP-sharded packed rows (mesh= on the
+    A.6 class tests): the weight columns replicate, each device runs
+    the indicator matmuls over its shard."""
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    from mixmogam_tpu.parallel.distributed import shard_packed_rows
+    from mixmogam_tpu.parallel.mesh import put_global, replicated
+
+    if mesh.shape["sample"] != 1:
+        raise ValueError("mesh-distributed packed class tests shard "
+                         "'snp' only; use a ('snp', 1) mesh")
+    tsub = _subdivide_tile(rg.tile)
+    packed = shard_packed_rows(rg, mesh, tsub)
+    fn = _jax.shard_map(
+        lambda p, Wd: _class_sums_packed(p, Wd, rg.n, tsub, C),
+        mesh=mesh, in_specs=(P("snp", None), P()), out_specs=P("snp"))
+    return _jax.jit(fn)(packed, put_global(W, replicated(mesh)))
+
+
+def _shard_class_rows(G: np.ndarray, mesh):
+    """Row-shard int8 class rows over 'snp' (pad rows with -1 =
+    missing -> they match no class and are sliced off by the caller)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mixmogam_tpu.parallel.mesh import put_global
+
+    nshard = mesh.shape["snp"]
+    M = G.shape[0]
+    target = -(-M // nshard) * nshard
+    if target != M:
+        G = np.concatenate(
+            [G, np.full((target - M, G.shape[1]), -1, G.dtype)])
+    return put_global(G, NamedSharding(mesh, P("snp", None)))
+
+
+def anova(G, y, ploidy: Optional[int] = None, dtype=None, mesh=None
           ) -> Dict[str, np.ndarray]:
     """Per-SNP one-way ANOVA over genotype classes (reference: anova).
     A ResidentGenome sources class sums from packed HBM (no host
-    decode); host arrays use the in-core indicator matmuls."""
+    decode); host arrays use the in-core indicator matmuls. mesh:
+    SNP-shard the class sums over a device mesh (packed rows shard
+    'snp' only)."""
     from mixmogam_tpu.data.genotype import GenotypeData
     from mixmogam_tpu.models.resident import ResidentGenome
 
@@ -156,8 +226,11 @@ def anova(G, y, ploidy: Optional[int] = None, dtype=None
         C = ploidy + 1
         W = jnp.asarray(np.column_stack([np.ones_like(y), y, y * y]),
                         dtype=dtype)
-        out = _class_sums_packed(G.packed, W, G.n,
-                                 _subdivide_tile(G.tile), C)
+        if mesh is not None:
+            out = _sharded_class_sums_packed(G, W, C, mesh)
+        else:
+            out = _class_sums_packed(G.packed, W, G.n,
+                                     _subdivide_tile(G.tile), C)
         out = np.asarray(out, dtype=np.float64)[:G.M]
         cnt, s1, s2 = out[:, :, 0], out[:, :, 1], out[:, :, 2]
     else:
@@ -168,13 +241,24 @@ def anova(G, y, ploidy: Optional[int] = None, dtype=None
         if ploidy is None:
             ploidy = _infer_ploidy(G)
         C = ploidy + 1
-        Gd = jnp.asarray(G)
-        yd = jnp.asarray(y, dtype=dtype)
+        M = G.shape[0]
+        if mesh is not None:
+            from mixmogam_tpu.parallel.mesh import put_global, replicated
+
+            Gd = _shard_class_rows(G, mesh)
+            yd = put_global(jnp.asarray(y, dtype=dtype),
+                            replicated(mesh))
+            y2d = put_global(jnp.asarray(y * y, dtype=dtype),
+                             replicated(mesh))
+        else:
+            Gd = jnp.asarray(G)
+            yd = jnp.asarray(y, dtype=dtype)
+            y2d = yd * yd
         cnt, s1 = _class_sums(Gd, yd, C)
-        _, s2 = _class_sums(Gd, yd * yd, C)
-        cnt = np.asarray(cnt, dtype=np.float64)
-        s1 = np.asarray(s1, dtype=np.float64)
-        s2 = np.asarray(s2, dtype=np.float64)
+        _, s2 = _class_sums(Gd, y2d, C)
+        cnt = np.asarray(cnt, dtype=np.float64)[:M]
+        s1 = np.asarray(s1, dtype=np.float64)[:M]
+        s2 = np.asarray(s2, dtype=np.float64)[:M]
     N = cnt.sum(axis=1)
     T = s1.sum(axis=1)
     ss_tot = s2.sum(axis=1) - T**2 / np.maximum(N, 1)
@@ -274,13 +358,15 @@ def _kw_sorted_precompute(y: np.ndarray):
 
 
 def kruskal_wallis(G, y, ploidy: Optional[int] = None, dtype=None,
-                   tile: int = 4096) -> Dict[str, np.ndarray]:
+                   tile: int = 4096, mesh=None) -> Dict[str, np.ndarray]:
     """Per-SNP Kruskal-Wallis with tie correction (SURVEY.md A.6).
 
     Fully-observed genotypes: one global rank vector + class-sum matmuls.
     Missing genotypes: per-SNP subset ranks via sorted-order cumulative
     sums + tie-group gathers — still no Python loop over SNPs. A
-    ResidentGenome sources both paths from packed HBM (no host decode)."""
+    ResidentGenome sources both paths from packed HBM (no host decode).
+    mesh: SNP-shard either path over a device mesh (the y-derived rank/
+    tie-group vectors replicate; packed rows shard 'snp' only)."""
     import scipy.stats
 
     from mixmogam_tpu.data.genotype import GenotypeData
@@ -311,7 +397,70 @@ def kruskal_wallis(G, y, ploidy: Optional[int] = None, dtype=None,
         order, a, b, starts, ends = _kw_sorted_precompute(y)
         a_idx, b_idx = jnp.asarray(a), jnp.asarray(b)
         st_d, en_d = jnp.asarray(starts), jnp.asarray(ends)
-        if rg is not None:
+        if mesh is not None:
+            import jax as _jax
+            from jax.sharding import PartitionSpec as P
+
+            from mixmogam_tpu.parallel.mesh import put_global, replicated
+
+            rep = replicated(mesh)
+            if rg is not None:
+                if mesh.shape["sample"] != 1:
+                    raise ValueError(
+                        "mesh-distributed packed class tests shard "
+                        "'snp' only; use a ('snp', 1) mesh")
+                from mixmogam_tpu.parallel.distributed import \
+                    shard_packed_rows
+
+                tsub = _subdivide_tile(rg.tile)
+                packed = shard_packed_rows(rg, mesh, tsub)
+                fn = _jax.shard_map(
+                    lambda p, o, a1, b1, s1_, e1: _kw_missing_packed(
+                        p, o, a1, b1, s1_, e1, rg.n, tsub, C, fdt),
+                    mesh=mesh,
+                    in_specs=(P("snp", None),) + (P(),) * 5,
+                    out_specs=(P("snp"),) * 3)
+                h, k, v = _jax.jit(fn)(
+                    packed, put_global(jnp.asarray(order), rep),
+                    put_global(a_idx, rep), put_global(b_idx, rep),
+                    put_global(st_d, rep), put_global(en_d, rep))
+                M_out = rg.M
+            else:
+                Gsrt = G[:, order]
+                nshard = mesh.shape["snp"]
+                M_out = G.shape[0]
+                # cap the per-shard tile at the shard row count (tiny M
+                # must not pad to nshard * default-tile dead rows)
+                tile = min(tile, max(-(-M_out // nshard), 8))
+                mult = nshard * tile
+                target = -(-M_out // mult) * mult
+                if target != M_out:
+                    Gsrt = np.vstack([Gsrt, np.full(
+                        (target - M_out, n), -1, np.int8)])
+
+                def body(Gs_loc, a1, b1, s1_, e1):
+                    nt = Gs_loc.shape[0] // tile
+                    tls = Gs_loc.reshape(nt, tile, Gs_loc.shape[1])
+                    h, k, v = jax.lax.map(
+                        lambda t: _kw_missing_core(t, a1, b1, s1_, e1,
+                                                   C, fdt), tls)
+                    return (h.reshape(-1), k.reshape(-1), v.reshape(-1))
+
+                fn = _jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P("snp", None),) + (P(),) * 4,
+                    out_specs=(P("snp"),) * 3)
+                from jax.sharding import NamedSharding
+
+                h, k, v = _jax.jit(fn)(
+                    put_global(Gsrt, NamedSharding(mesh,
+                                                   P("snp", None))),
+                    put_global(a_idx, rep), put_global(b_idx, rep),
+                    put_global(st_d, rep), put_global(en_d, rep))
+            hs = np.asarray(h, dtype=np.float64)[:M_out]
+            ks = np.asarray(k, dtype=np.float64)[:M_out]
+            vs = np.asarray(v)[:M_out]
+        elif rg is not None:
             h, k, v = _kw_missing_packed(
                 rg.packed, jnp.asarray(order), a_idx, b_idx, st_d, en_d,
                 rg.n, _subdivide_tile(rg.tile), C, fdt)
@@ -343,15 +492,27 @@ def kruskal_wallis(G, y, ploidy: Optional[int] = None, dtype=None,
     tie_c = 1.0 - np.sum(t**3 - t) / max(n**3 - n, 1)
     if rg is not None:
         W = jnp.asarray(np.column_stack([np.ones(n), ranks]), dtype=dtype)
-        out = _class_sums_packed(rg.packed, W, rg.n,
-                                 _subdivide_tile(rg.tile), C)
+        if mesh is not None:
+            out = _sharded_class_sums_packed(rg, W, C, mesh)
+        else:
+            out = _class_sums_packed(rg.packed, W, rg.n,
+                                     _subdivide_tile(rg.tile), C)
         out = np.asarray(out, dtype=np.float64)[:rg.M]
         cnt, rsum = out[:, :, 0], out[:, :, 1]
     else:
-        cnt, rsum = _class_sums(jnp.asarray(G),
-                                jnp.asarray(ranks, dtype=dtype), C)
-        cnt = np.asarray(cnt, dtype=np.float64)
-        rsum = np.asarray(rsum, dtype=np.float64)
+        M = G.shape[0]
+        if mesh is not None:
+            from mixmogam_tpu.parallel.mesh import put_global, replicated
+
+            Gd = _shard_class_rows(G, mesh)
+            rd = put_global(jnp.asarray(ranks, dtype=dtype),
+                            replicated(mesh))
+        else:
+            Gd = jnp.asarray(G)
+            rd = jnp.asarray(ranks, dtype=dtype)
+        cnt, rsum = _class_sums(Gd, rd, C)
+        cnt = np.asarray(cnt, dtype=np.float64)[:M]
+        rsum = np.asarray(rsum, dtype=np.float64)[:M]
     with np.errstate(divide="ignore", invalid="ignore"):
         h = 12.0 / (n * (n + 1)) * np.where(
             cnt > 0, rsum**2 / np.maximum(cnt, 1), 0.0).sum(axis=1) \

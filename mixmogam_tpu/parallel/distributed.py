@@ -330,19 +330,25 @@ _RES_SCAN_CACHE: Dict = {}
 
 
 def _resident_scan_jit(mesh: Mesh, n: int, tile: int, impute: bool,
-                       S: int, w_ndim: int, wscale_none: bool):
+                       S: int, w_ndim: int, wscale_none: bool,
+                       pre_rotated: bool = False):
     from mixmogam_tpu.models.resident import emmax_scan_packed
 
-    key = (mesh, n, tile, impute, S, w_ndim, wscale_none)
+    key = (mesh, n, tile, impute, S, w_ndim, wscale_none, pre_rotated)
     fn = _RES_SCAN_CACHE.get(key)
     if fn is not None:
         return fn
+    if pre_rotated and S != 1:
+        raise ValueError("the pre-rotated (identity-whitening) scan has "
+                         "no rotation operator to sample-shard; use a "
+                         "('snp', 1) mesh")
     if S == 1:
         rot_spec = RotatedNull(
             W=P(), sd=P(), Q0=P(), y_res=P(), rss0=P(), dof=P(),
             w_scale=None if wscale_none else P())
         body = (lambda p, r: emmax_scan_packed(p, r, n, tile,
-                                               impute=impute))
+                                               impute=impute,
+                                               pre_rotated=pre_rotated))
         row_spec = P("snp", None)
     else:
         w_spec = (P(None, "sample", None) if w_ndim == 3

@@ -435,3 +435,44 @@ class TestDistributedCampaign:
         with pytest.raises(ValueError, match="snp"):
             emma(G, y, K=K,
                  mesh=make_mesh((4, 2), devices=jax.devices()[:8]))
+
+    def test_class_tests_mesh_parity(self, small_dataset):
+        """linear_model / anova / kruskal_wallis take mesh= (round-5
+        continuation: every scan entry point shards): in-core + packed
+        sources, fully-observed + missing, odd sizes."""
+        from mixmogam_tpu.models.linear import (anova, kruskal_wallis,
+                                                linear_model)
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        rng = np.random.default_rng(31)
+        n, M = 53, 101                       # odd on purpose
+        G = rng.integers(0, 3, size=(M, n)).astype(np.int8)
+        Gm = G.copy()
+        Gm[rng.random(G.shape) < 0.05] = -1
+        y = G[7].astype(np.float64) + rng.normal(size=n)
+        y[3] = y[5]                          # ties for KW
+        devs = jax.devices()
+        mesh = make_mesh((8, 1), devices=devs[:8])
+        rg = ResidentGenome.from_source(G, tile=16)
+        rgm = ResidentGenome.from_source(Gm, tile=16)
+
+        ref = linear_model(G, y)
+        d = linear_model(G, y, mesh=mesh)
+        np.testing.assert_allclose(d["ps"], ref["ps"], atol=1e-12)
+        d42 = linear_model(G, y,
+                           mesh=make_mesh((4, 2), devices=devs[:8]))
+        np.testing.assert_allclose(d42["ps"], ref["ps"], atol=1e-12)
+        np.testing.assert_allclose(
+            linear_model(rgm, y, mesh=mesh)["ps"],
+            linear_model(rgm, y)["ps"], atol=1e-12)
+
+        for fn in (anova, kruskal_wallis):
+            for src in (G, Gm, rg, rgm):
+                r0 = fn(src, y)
+                r1 = fn(src, y, mesh=mesh)
+                np.testing.assert_allclose(
+                    r1["ps"], r0["ps"], atol=1e-12,
+                    err_msg=f"{fn.__name__} {type(src).__name__}")
+        # packed class sums are DP-only (documented)
+        with pytest.raises(ValueError, match="snp"):
+            anova(rg, y, mesh=make_mesh((4, 2), devices=devs[:8]))
