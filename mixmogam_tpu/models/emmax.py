@@ -373,7 +373,7 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
 def emmax_anova(G, y, K=None, X0=None, eig_k=None, ngrids: int = 100,
                 llim: float = -10.0, ulim: float = 10.0, esp: float = 1e-6,
                 host_eigh: bool = True, dtype=None,
-                tile: int = 4096, **kw) -> Dict[str, np.ndarray]:
+                tile: int = 4096, mesh=None, **kw) -> Dict[str, np.ndarray]:
     """EMMAX with the SNP coded as CATEGORICAL genotype-class means
     (reference: emmax_anova). Binary coding reduces to emmax(); diploid
     coding tests the two indicator columns [I(g==1), I(g==2)] jointly
@@ -381,7 +381,9 @@ def emmax_anova(G, y, K=None, X0=None, eig_k=None, ngrids: int = 100,
 
     Vectorized: both whitened indicator columns are residualized against
     the null design and Gram-Schmidt'ed against each other — elementwise
-    over the SNP axis (same trick as the pairwise interaction test)."""
+    over the SNP axis (same trick as the pairwise interaction test).
+    mesh: SNP-shard the indicator scan over a device mesh (the whitened
+    null replicates; the pair kernel is row-parallel)."""
     import jax
 
     from mixmogam_tpu.data.genotype import GenotypeData
@@ -398,7 +400,7 @@ def emmax_anova(G, y, K=None, X0=None, eig_k=None, ngrids: int = 100,
     if ploidy == 1:
         return emmax(G_int, y, K=K, X0=X0, eig_k=eig_k, ngrids=ngrids,
                      llim=llim, ulim=ulim, esp=esp, host_eigh=host_eigh,
-                     dtype=dtype, tile=tile, **kw)
+                     dtype=dtype, tile=tile, mesh=mesh, **kw)
     if kw:
         # refuse rather than silently drop: the diploid joint-indicator
         # test has no precision tiers / with_betas (unlike the binary
@@ -406,7 +408,7 @@ def emmax_anova(G, y, K=None, X0=None, eig_k=None, ngrids: int = 100,
         raise TypeError(
             f"emmax_anova diploid path does not accept {sorted(kw)}; "
             "supported kwargs: K/X0/eig_k/ngrids/llim/ulim/esp/"
-            "host_eigh/dtype/tile")
+            "host_eigh/dtype/tile/mesh")
 
     from mixmogam_tpu.ops.reml import esp_to_refine_iters
 
@@ -463,23 +465,43 @@ def emmax_anova(G, y, K=None, X0=None, eig_k=None, ngrids: int = 100,
         return f, d1, dof2, mask
 
     M = Gf.shape[0]
-    fs = np.empty(M)
-    d1s = np.empty(M)
-    d2s = np.empty(M)
-    masks = np.empty(M, dtype=bool)
-    for s in range(0, M, tile):
-        e = min(s + tile, M)
-        A = I1[s:e]
-        B = I2[s:e]
-        if e - s < tile:
-            A = np.vstack([A, np.zeros((tile - (e - s), n), A.dtype)])
-            B = np.vstack([B, np.zeros((tile - (e - s), n), B.dtype)])
-        f, d1, d2, mk = pair_f(jnp.asarray(A), jnp.asarray(B), rot)
-        m = e - s
-        fs[s:e] = np.asarray(f)[:m]
-        d1s[s:e] = np.asarray(d1)[:m]
-        d2s[s:e] = np.asarray(d2)[:m]
-        masks[s:e] = np.asarray(mk)[:m]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
+                                                put_global, replicated)
+
+        rep = replicated(mesh)
+        rot_d = jax.tree.map(lambda v: put_global(v, rep), rot)
+        spec = NamedSharding(mesh, P("snp", None))
+        A, _ = pad_to_multiple(I1, mesh.shape["snp"], axis=0)
+        B, _ = pad_to_multiple(I2, mesh.shape["snp"], axis=0)
+        f, d1, d2, mk = pair_f(put_global(A, spec), put_global(B, spec),
+                               rot_d)
+        fs = np.asarray(f, dtype=np.float64)[:M]
+        d1s = np.asarray(d1, dtype=np.float64)[:M]
+        d2s = np.asarray(d2, dtype=np.float64)[:M]
+        masks = np.asarray(mk)[:M]
+    else:
+        fs = np.empty(M)
+        d1s = np.empty(M)
+        d2s = np.empty(M)
+        masks = np.empty(M, dtype=bool)
+        for s in range(0, M, tile):
+            e = min(s + tile, M)
+            A = I1[s:e]
+            B = I2[s:e]
+            if e - s < tile:
+                A = np.vstack([A,
+                               np.zeros((tile - (e - s), n), A.dtype)])
+                B = np.vstack([B,
+                               np.zeros((tile - (e - s), n), B.dtype)])
+            f, d1, d2, mk = pair_f(jnp.asarray(A), jnp.asarray(B), rot)
+            m = e - s
+            fs[s:e] = np.asarray(f)[:m]
+            d1s[s:e] = np.asarray(d1)[:m]
+            d2s[s:e] = np.asarray(d2)[:m]
+            masks[s:e] = np.asarray(mk)[:m]
     ps = np.where(masks, f_sf_host(fs, np.maximum(d1s, 1.0),
                                    np.maximum(d2s, 1.0)), 1.0)
     return {"ps": ps, "f_stats": fs, "dof1": d1s, "dof2": d2s,

@@ -476,3 +476,22 @@ class TestDistributedCampaign:
         # packed class sums are DP-only (documented)
         with pytest.raises(ValueError, match="snp"):
             anova(rg, y, mesh=make_mesh((4, 2), devices=devs[:8]))
+
+    def test_emmax_anova_mesh_parity(self, kinship_small, small_dataset):
+        """emmax_anova's diploid joint-indicator scan takes mesh= (the
+        binary path forwards to emmax's mesh routing)."""
+        from mixmogam_tpu.models.emmax import emmax_anova
+        from mixmogam_tpu.oracle import ibs_kinship, scale_k
+
+        rng = np.random.default_rng(41)
+        n, M = 120, 150
+        G2 = rng.integers(0, 3, size=(M, n)).astype(np.int8)
+        y = G2[11].astype(np.float64) + rng.normal(size=n)
+        K2 = scale_k(ibs_kinship(G2.astype(np.float64), ploidy=2))
+        ref = emmax_anova(G2, y, K=K2)
+        devs = jax.devices()
+        for shape in ((8, 1), (4, 2)):
+            d = emmax_anova(G2, y, K=K2,
+                            mesh=make_mesh(shape, devices=devs[:8]))
+            np.testing.assert_allclose(d["ps"], ref["ps"], atol=1e-10,
+                                       err_msg=f"mesh {shape}")
