@@ -57,16 +57,51 @@ def _f_stats_at_delta(Gt, X0_rot, y_rot, phi, log_delta, ypy):
     return rss0, mask
 
 
-def _emma_mesh_kernel(n: int, q: int, tile: int, ngrids: int, llim: float,
-                      ulim: float, reml: bool, refine_iters: int,
-                      resident: bool, impute: bool, dt):
-    """shard_map body for the SNP-sharded EMMA exact scan (mesh= on
-    emma): the eigenbasis + null quantities replicate, each device runs
-    the batched per-SNP REML pipeline (rotate -> grid+refine delta ->
-    F at delta) over its row shard, tile by tile under lax.map (the
-    grid evaluation holds (tile, n) weight intermediates — whole-shard
-    at once would blow HBM). Per-SNP REML is embarrassingly parallel:
-    zero communication until the result gather."""
+def _emma_tile_stats(Gt_raw, U, X0_rot, y_rot, phi, ngrids: int,
+                     llim: float, ulim: float, reml: bool,
+                     refine_iters: int, n: int, q: int):
+    """One tile of the EMMA exact pipeline (rotate -> grid+refine
+    delta_j -> F at delta_j) — the SINGLE definition shared by the
+    single-device host loop and the shard_map mesh kernel (review
+    r5-cont #5: the two copies would silently diverge)."""
+    Gt = Gt_raw @ U
+    ld_xtx = _logdet_xtx_tile(Gt, X0_rot)
+    r = emma_delta_scan(Gt, X0_rot, y_rot, phi, ld_xtx,
+                        ngrids=ngrids, llim=llim, ulim=ulim,
+                        reml=reml, refine_iters=refine_iters)
+    rss0, mask = _f_stats_at_delta(Gt, X0_rot, y_rot, phi,
+                                   r["log_delta"], r["ypy"])
+    rss1 = r["ypy"]
+    dof = n - q - 1
+    f = ((rss0 - rss1) * dof
+         / jnp.maximum(rss1, jnp.finfo(Gt.dtype).tiny))
+    f = jnp.where(mask, jnp.maximum(f, 0.0), 0.0)
+    return {"delta": r["delta"], "ll": r["ll"], "f": f,
+            "beta": r["beta"][:, -1], "mask": mask}
+
+
+#: jitted mesh programs, keyed on everything shaping the trace — a
+#: repeated-call campaign traces once, not per call (review r5-cont #4)
+_EMMA_MESH_CACHE: Dict = {}
+
+
+def _emma_mesh_jit(mesh, n: int, q: int, tile: int, ngrids: int,
+                   llim: float, ulim: float, reml: bool,
+                   refine_iters: int, resident: bool, impute: bool, dt):
+    """Jitted shard_map program for the SNP-sharded EMMA exact scan
+    (mesh= on emma): the eigenbasis + null quantities replicate, each
+    device runs the batched per-SNP REML pipeline over its row shard,
+    tile by tile under lax.map (the grid evaluation holds (tile, n)
+    weight intermediates — whole-shard at once would blow HBM). Per-SNP
+    REML is embarrassingly parallel: zero communication until the
+    result gather."""
+    from jax.sharding import PartitionSpec as P
+
+    key = (mesh, n, q, tile, ngrids, llim, ulim, reml, refine_iters,
+           resident, impute, jnp.dtype(dt).name)
+    fn = _EMMA_MESH_CACHE.get(key)
+    if fn is not None:
+        return fn
     from mixmogam_tpu.models.streaming import _impute_tile
     from mixmogam_tpu.ops.pack2 import unpack_2bit_device
 
@@ -81,25 +116,19 @@ def _emma_mesh_kernel(n: int, q: int, tile: int, ngrids: int, llim: float,
                           else Gt_raw.astype(dt))
             else:
                 Gt_raw = rt
-            Gt = Gt_raw @ U
-            ld_xtx = _logdet_xtx_tile(Gt, X0_rot)
-            r = emma_delta_scan(Gt, X0_rot, y_rot, phi, ld_xtx,
-                                ngrids=ngrids, llim=llim, ulim=ulim,
-                                reml=reml, refine_iters=refine_iters)
-            rss0, mask = _f_stats_at_delta(Gt, X0_rot, y_rot, phi,
-                                           r["log_delta"], r["ypy"])
-            rss1 = r["ypy"]
-            dof = n - q - 1
-            f = ((rss0 - rss1) * dof
-                 / jnp.maximum(rss1, jnp.finfo(Gt.dtype).tiny))
-            f = jnp.where(mask, jnp.maximum(f, 0.0), 0.0)
-            return {"delta": r["delta"], "ll": r["ll"], "f": f,
-                    "beta": r["beta"][:, -1], "mask": mask}
+            return _emma_tile_stats(Gt_raw, U, X0_rot, y_rot, phi,
+                                    ngrids, llim, ulim, reml,
+                                    refine_iters, n, q)
 
         out = jax.lax.map(kern, tiles)
         return {k: v.reshape(nt * tile) for k, v in out.items()}
 
-    return body
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("snp", None), P(), P(), P(), P()),
+        out_specs=P("snp")))
+    _EMMA_MESH_CACHE[key] = fn
+    return fn
 
 
 def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
@@ -133,20 +162,17 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
     M = G_src.shape[0]
     streamed = (False if rg is not None
                 else should_stream(G_src, n, dtype, stream_budget_bytes))
-    if mesh is not None and streamed:
-        # mirror models.emmax mesh routing: big int8 sources pack
-        # HOST-side; the sharded path uploads per-chip shards only
-        from mixmogam_tpu.models.resident import RESIDENT_BUDGET_BYTES
+    if mesh is not None:
+        # validate the mesh BEFORE any whole-genome host pack (a 2-D
+        # mesh must fail in milliseconds, not after packing 2.7 GB)
+        if mesh.shape["sample"] != 1:
+            raise ValueError("mesh-distributed EMMA shards 'snp' only; "
+                             "use a ('snp', 1) mesh")
+        if streamed:
+            from mixmogam_tpu.models.source import pack_for_mesh
 
-        if (np.dtype(G_src.dtype) == np.int8
-                and M * ((n + 3) // 4) <= RESIDENT_BUDGET_BYTES):
-            rg = ResidentGenome.from_source(G_src, upload=False)
+            rg = pack_for_mesh(G_src, n, "EMMA")
             streamed = False
-        else:
-            raise ValueError(
-                "the mesh EMMA path shards in-core or packed sources; "
-                "this source exceeds both the in-core and the 2-bit "
-                "resident budgets")
     Gf = None if (streamed or rg is not None) else _as_dosage(G, dtype)
     if X0 is None:
         X0 = np.ones((n, 1))
@@ -169,12 +195,10 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
+        from mixmogam_tpu.parallel.mesh import (gather_if_multiprocess,
+                                                pad_to_multiple,
                                                 put_global, replicated)
 
-        if mesh.shape["sample"] != 1:
-            raise ValueError("mesh-distributed EMMA shards 'snp' only; "
-                             "use a ('snp', 1) mesh")
         if rg is not None:
             from mixmogam_tpu.parallel.distributed import shard_packed_rows
 
@@ -187,17 +211,14 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
             Gp, _ = pad_to_multiple(np.asarray(Gf),
                                     mesh.shape["snp"] * tile, axis=0)
             rows = put_global(Gp, NamedSharding(mesh, P("snp", None)))
-        body = _emma_mesh_kernel(
-            n, q, tile, ngrids, llim, ulim, reml, refine_iters,
+        fn = _emma_mesh_jit(
+            mesh, n, q, tile, ngrids, llim, ulim, reml, refine_iters,
             rg is not None,
             bool(rg.has_missing) if rg is not None else False, dtype)
         rep = replicated(mesh)
         args = tuple(put_global(v, rep)
                      for v in (U, X0_rot, y_rot, phi))
-        fn = jax.shard_map(body, mesh=mesh,
-                           in_specs=(P("snp", None), P(), P(), P(), P()),
-                           out_specs=P("snp"))
-        d = jax.jit(fn)(rows, *args)
+        d = gather_if_multiprocess(fn(rows, *args), mesh)
         deltas = np.asarray(d["delta"], dtype=np.float64)[:M]
         lls = np.asarray(d["ll"], dtype=np.float64)[:M]
         fstats = np.asarray(d["f"], dtype=np.float64)[:M]
@@ -234,24 +255,14 @@ def emma(G, y, K=None, X0: Optional[np.ndarray] = None,
                 if e - s < tile:  # pad to the static tile shape
                     Gt_raw = jnp.pad(Gt_raw,
                                      ((0, tile - (e - s)), (0, 0)))
-            Gt = Gt_raw @ U
-            ld_xtx = _logdet_xtx_tile(Gt, X0_rot)
-            r = emma_delta_scan(Gt, X0_rot, y_rot, phi, ld_xtx,
-                                ngrids=ngrids, llim=llim, ulim=ulim,
-                                reml=reml, refine_iters=refine_iters)
-            rss0, mask = _f_stats_at_delta(Gt, X0_rot, y_rot, phi,
-                                           r["log_delta"], r["ypy"])
-            rss1 = r["ypy"]
-            dof = n - q - 1
-            f = ((rss0 - rss1) * dof
-                 / jnp.maximum(rss1, jnp.finfo(Gt.dtype).tiny))
-            f = jnp.where(mask, jnp.maximum(f, 0.0), 0.0)
+            r = _emma_tile_stats(Gt_raw, U, X0_rot, y_rot, phi, ngrids,
+                                 llim, ulim, reml, refine_iters, n, q)
             m = e - s
             deltas[s:e] = np.asarray(r["delta"])[:m]
             lls[s:e] = np.asarray(r["ll"])[:m]
-            fstats[s:e] = np.asarray(f)[:m]
-            betas[s:e] = np.asarray(r["beta"])[:m, -1]
-            masks[s:e] = np.asarray(mask)[:m]
+            fstats[s:e] = np.asarray(r["f"])[:m]
+            betas[s:e] = np.asarray(r["beta"])[:m]
+            masks[s:e] = np.asarray(r["mask"])[:m]
 
     out = {"f_stats": fstats, "deltas": deltas, "betas": betas,
            "mask": masks, "lls": lls,

@@ -370,6 +370,83 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     return out
 
 
+import jax as _jax_mod
+
+
+@_jax_mod.jit
+def _anova_pair_f(A_tile, B_tile, rot):
+    """Joint F-test of the two whitened genotype-class indicator
+    columns (module-level so repeated emmax_anova calls share ONE
+    trace; also the shard_map mesh kernel's tile body)."""
+    dt = rot.sd.dtype
+    Wt = rot.W
+    Aw = jnp.dot(A_tile.astype(Wt.dtype), Wt, preferred_element_type=dt)
+    Bw = jnp.dot(B_tile.astype(Wt.dtype), Wt, preferred_element_type=dt)
+    Q0 = rot.Q0
+    Ar = Aw - (Aw @ Q0) @ Q0.T
+    Br = Bw - (Bw @ Q0) @ Q0.T
+    eps = 100.0 * jnp.finfo(dt).eps
+    tiny = jnp.finfo(dt).tiny
+    aa = jnp.sum(Ar * Ar, axis=1)
+    maska = aa > eps * jnp.maximum(jnp.sum(Aw * Aw, axis=1), tiny)
+    aa_s = jnp.where(maska, aa, 1.0)
+    ab = jnp.sum(Ar * Br, axis=1)
+    Br2 = Br - (ab / aa_s)[:, None] * Ar
+    bb = jnp.sum(Br2 * Br2, axis=1)
+    maskb = bb > eps * jnp.maximum(jnp.sum(Bw * Bw, axis=1), tiny)
+    bb_s = jnp.where(maskb, bb, 1.0)
+    ay = Ar @ rot.y_res
+    by = Br2 @ rot.y_res
+    expl = (jnp.where(maska, ay * ay / aa_s, 0.0)
+            + jnp.where(maskb, by * by / bb_s, 0.0))
+    d1 = maska.astype(dt) + maskb.astype(dt)
+    mask = d1 > 0
+    expl = jnp.minimum(expl, rot.rss0)
+    dof2 = jnp.asarray(rot.dof, dt) + 1.0 - d1  # n - q - d1
+    rss1 = jnp.maximum(rot.rss0 - expl, tiny)
+    f = jnp.where(mask, (expl / jnp.maximum(d1, 1.0))
+                  / (rss1 / jnp.maximum(dof2, 1.0)), 0.0)
+    return f, d1, dof2, mask
+
+
+#: jitted mesh programs for the diploid indicator scan, keyed on the
+#: trace shape (repeated calls share one trace)
+_ANOVA_MESH_CACHE: Dict = {}
+
+
+def _anova_pair_jit(mesh, tile: int):
+    """SNP-sharded diploid indicator scan: lax.map over (tile, n)
+    blocks inside each shard bounds the ~6 float intermediates
+    _anova_pair_f holds live (whole-shard at once would blow HBM at
+    campaign scale — review r5-cont #7)."""
+    from jax.sharding import PartitionSpec as P
+
+    import jax
+
+    key = (mesh, tile)
+    fn = _ANOVA_MESH_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from mixmogam_tpu.ops.scan import RotatedNull
+
+    def body(A_loc, B_loc, rot):
+        nt = A_loc.shape[0] // tile
+        At = A_loc.reshape(nt, tile, A_loc.shape[1])
+        Bt = B_loc.reshape(nt, tile, B_loc.shape[1])
+        f, d1, d2, mk = jax.lax.map(
+            lambda ab: _anova_pair_f(ab[0], ab[1], rot), (At, Bt))
+        return tuple(v.reshape(nt * tile) for v in (f, d1, d2, mk))
+
+    rot_spec = RotatedNull(W=P(), sd=P(), Q0=P(), y_res=P(), rss0=P(),
+                           dof=P(), w_scale=None)
+    row = P("snp", None)
+    fn = jax.jit(jax.shard_map(body, mesh=mesh,
+                               in_specs=(row, row, rot_spec),
+                               out_specs=(P("snp"),) * 4))
+    _ANOVA_MESH_CACHE[key] = fn
+    return fn
+
+
 def emmax_anova(G, y, K=None, X0=None, eig_k=None, ngrids: int = 100,
                 llim: float = -10.0, ulim: float = 10.0, esp: float = 1e-6,
                 host_eigh: bool = True, dtype=None,
@@ -432,56 +509,31 @@ def emmax_anova(G, y, K=None, X0=None, eig_k=None, ngrids: int = 100,
     I1 = (np.abs(Gf - 1.0) < 0.5).astype(np.dtype(dtype).name)
     I2 = (Gf >= 1.5).astype(np.dtype(dtype).name)
 
-    @jax.jit
-    def pair_f(A_tile, B_tile, rot):
-        dt = rot.sd.dtype
-        Wt = rot.W
-        Aw = jnp.dot(A_tile.astype(Wt.dtype), Wt, preferred_element_type=dt)
-        Bw = jnp.dot(B_tile.astype(Wt.dtype), Wt, preferred_element_type=dt)
-        Q0 = rot.Q0
-        Ar = Aw - (Aw @ Q0) @ Q0.T
-        Br = Bw - (Bw @ Q0) @ Q0.T
-        eps = 100.0 * jnp.finfo(dt).eps
-        tiny = jnp.finfo(dt).tiny
-        aa = jnp.sum(Ar * Ar, axis=1)
-        maska = aa > eps * jnp.maximum(jnp.sum(Aw * Aw, axis=1), tiny)
-        aa_s = jnp.where(maska, aa, 1.0)
-        ab = jnp.sum(Ar * Br, axis=1)
-        Br2 = Br - (ab / aa_s)[:, None] * Ar
-        bb = jnp.sum(Br2 * Br2, axis=1)
-        maskb = bb > eps * jnp.maximum(jnp.sum(Bw * Bw, axis=1), tiny)
-        bb_s = jnp.where(maskb, bb, 1.0)
-        ay = Ar @ rot.y_res
-        by = Br2 @ rot.y_res
-        expl = (jnp.where(maska, ay * ay / aa_s, 0.0)
-                + jnp.where(maskb, by * by / bb_s, 0.0))
-        d1 = maska.astype(dt) + maskb.astype(dt)
-        mask = d1 > 0
-        expl = jnp.minimum(expl, rot.rss0)
-        dof2 = jnp.asarray(rot.dof, dt) + 1.0 - d1  # n - q - d1
-        rss1 = jnp.maximum(rot.rss0 - expl, tiny)
-        f = jnp.where(mask, (expl / jnp.maximum(d1, 1.0))
-                      / (rss1 / jnp.maximum(dof2, 1.0)), 0.0)
-        return f, d1, dof2, mask
-
     M = Gf.shape[0]
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
+        from mixmogam_tpu.parallel.mesh import (gather_if_multiprocess,
                                                 put_global, replicated)
 
         rep = replicated(mesh)
         rot_d = jax.tree.map(lambda v: put_global(v, rep), rot)
         spec = NamedSharding(mesh, P("snp", None))
-        A, _ = pad_to_multiple(I1, mesh.shape["snp"], axis=0)
-        B, _ = pad_to_multiple(I2, mesh.shape["snp"], axis=0)
-        f, d1, d2, mk = pair_f(put_global(A, spec), put_global(B, spec),
-                               rot_d)
+        nshard = mesh.shape["snp"]
+        tile_m = min(tile, max(-(-M // nshard), 8))
+        mult = nshard * tile_m
+        target = -(-M // mult) * mult
+        A, B = I1, I2
+        if target != M:
+            A = np.vstack([A, np.zeros((target - M, n), A.dtype)])
+            B = np.vstack([B, np.zeros((target - M, n), B.dtype)])
+        fn = _anova_pair_jit(mesh, tile_m)
+        out = fn(put_global(A, spec), put_global(B, spec), rot_d)
+        f, d1, d2, mk = gather_if_multiprocess(out, mesh)
         fs = np.asarray(f, dtype=np.float64)[:M]
         d1s = np.asarray(d1, dtype=np.float64)[:M]
         d2s = np.asarray(d2, dtype=np.float64)[:M]
-        masks = np.asarray(mk)[:M]
+        masks = np.asarray(mk).astype(bool)[:M]
     else:
         fs = np.empty(M)
         d1s = np.empty(M)
@@ -496,7 +548,8 @@ def emmax_anova(G, y, K=None, X0=None, eig_k=None, ngrids: int = 100,
                                np.zeros((tile - (e - s), n), A.dtype)])
                 B = np.vstack([B,
                                np.zeros((tile - (e - s), n), B.dtype)])
-            f, d1, d2, mk = pair_f(jnp.asarray(A), jnp.asarray(B), rot)
+            f, d1, d2, mk = _anova_pair_f(jnp.asarray(A),
+                                          jnp.asarray(B), rot)
             m = e - s
             fs[s:e] = np.asarray(f)[:m]
             d1s[s:e] = np.asarray(d1)[:m]

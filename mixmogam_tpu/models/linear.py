@@ -64,6 +64,8 @@ def linear_model(G, y, X0: Optional[np.ndarray] = None, dtype=None,
         from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
                                                 put_global, replicated)
 
+        from mixmogam_tpu.parallel.mesh import gather_if_multiprocess
+
         rep = replicated(mesh)
         rot_d = jax.tree.map(lambda v: put_global(v, rep), rot)
         if isinstance(G, ResidentGenome):
@@ -74,7 +76,7 @@ def linear_model(G, y, X0: Optional[np.ndarray] = None, dtype=None,
             fn, _ = _resident_scan_jit(
                 mesh, G.n, G.tile, bool(G.has_missing),
                 mesh.shape["sample"], 2, True, pre_rotated=True)
-            d = fn(packed, rot_d)
+            d = gather_if_multiprocess(fn(packed, rot_d), mesh)
             d = {k: np.asarray(v)[:G.M] for k, v in d.items()}
         else:
             from mixmogam_tpu.parallel.distributed import _scan_sharded
@@ -82,7 +84,8 @@ def linear_model(G, y, X0: Optional[np.ndarray] = None, dtype=None,
             Gp, M0 = pad_to_multiple(np.asarray(_as_dosage(G, dtype)),
                                      mesh.shape["snp"], axis=0)
             Gd = put_global(Gp, NamedSharding(mesh, P("snp", None)))
-            d = _scan_sharded(Gd, rot_d, pre_rotated=True)
+            d = gather_if_multiprocess(
+                _scan_sharded(Gd, rot_d, pre_rotated=True), mesh)
             d = {k: np.asarray(v)[:M0] for k, v in d.items()}
     elif isinstance(G, ResidentGenome):
         # packed HBM source: identity whitening == pre-rotated scan
@@ -168,25 +171,36 @@ def _infer_ploidy(G: np.ndarray) -> int:
     return 2 if mx > 1 else 1
 
 
+#: jitted mesh programs for the class tests, keyed on the trace shape
+#: (review r5-cont #4: repeated calls must not re-trace)
+_CLASS_MESH_CACHE: Dict = {}
+
+
 def _sharded_class_sums_packed(rg, W, C: int, mesh):
     """_class_sums_packed over SNP-sharded packed rows (mesh= on the
     A.6 class tests): the weight columns replicate, each device runs
     the indicator matmuls over its shard."""
-    import jax as _jax
     from jax.sharding import PartitionSpec as P
 
     from mixmogam_tpu.parallel.distributed import shard_packed_rows
-    from mixmogam_tpu.parallel.mesh import put_global, replicated
+    from mixmogam_tpu.parallel.mesh import (gather_if_multiprocess,
+                                            put_global, replicated)
 
     if mesh.shape["sample"] != 1:
         raise ValueError("mesh-distributed packed class tests shard "
                          "'snp' only; use a ('snp', 1) mesh")
     tsub = _subdivide_tile(rg.tile)
     packed = shard_packed_rows(rg, mesh, tsub)
-    fn = _jax.shard_map(
-        lambda p, Wd: _class_sums_packed(p, Wd, rg.n, tsub, C),
-        mesh=mesh, in_specs=(P("snp", None), P()), out_specs=P("snp"))
-    return _jax.jit(fn)(packed, put_global(W, replicated(mesh)))
+    key = ("class_sums", mesh, rg.n, tsub, C)
+    fn = _CLASS_MESH_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(jax.shard_map(
+            lambda p, Wd: _class_sums_packed(p, Wd, rg.n, tsub, C),
+            mesh=mesh, in_specs=(P("snp", None), P()),
+            out_specs=P("snp")))
+        _CLASS_MESH_CACHE[key] = fn
+    out = fn(packed, put_global(W, replicated(mesh)))
+    return gather_if_multiprocess(out, mesh)
 
 
 def _shard_class_rows(G: np.ndarray, mesh):
@@ -256,6 +270,10 @@ def anova(G, y, ploidy: Optional[int] = None, dtype=None, mesh=None
             y2d = yd * yd
         cnt, s1 = _class_sums(Gd, yd, C)
         _, s2 = _class_sums(Gd, y2d, C)
+        if mesh is not None:
+            from mixmogam_tpu.parallel.mesh import gather_if_multiprocess
+
+            cnt, s1, s2 = gather_if_multiprocess((cnt, s1, s2), mesh)
         cnt = np.asarray(cnt, dtype=np.float64)[:M]
         s1 = np.asarray(s1, dtype=np.float64)[:M]
         s2 = np.asarray(s2, dtype=np.float64)[:M]
@@ -398,10 +416,10 @@ def kruskal_wallis(G, y, ploidy: Optional[int] = None, dtype=None,
         a_idx, b_idx = jnp.asarray(a), jnp.asarray(b)
         st_d, en_d = jnp.asarray(starts), jnp.asarray(ends)
         if mesh is not None:
-            import jax as _jax
-            from jax.sharding import PartitionSpec as P
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from mixmogam_tpu.parallel.mesh import put_global, replicated
+            from mixmogam_tpu.parallel.mesh import (
+                gather_if_multiprocess, put_global, replicated)
 
             rep = replicated(mesh)
             if rg is not None:
@@ -414,16 +432,20 @@ def kruskal_wallis(G, y, ploidy: Optional[int] = None, dtype=None,
 
                 tsub = _subdivide_tile(rg.tile)
                 packed = shard_packed_rows(rg, mesh, tsub)
-                fn = _jax.shard_map(
-                    lambda p, o, a1, b1, s1_, e1: _kw_missing_packed(
-                        p, o, a1, b1, s1_, e1, rg.n, tsub, C, fdt),
-                    mesh=mesh,
-                    in_specs=(P("snp", None),) + (P(),) * 5,
-                    out_specs=(P("snp"),) * 3)
-                h, k, v = _jax.jit(fn)(
+                key = ("kw_packed", mesh, rg.n, tsub, C, str(fdt))
+                fn = _CLASS_MESH_CACHE.get(key)
+                if fn is None:
+                    fn = jax.jit(jax.shard_map(
+                        lambda p, o, a1, b1, s1_, e1: _kw_missing_packed(
+                            p, o, a1, b1, s1_, e1, rg.n, tsub, C, fdt),
+                        mesh=mesh,
+                        in_specs=(P("snp", None),) + (P(),) * 5,
+                        out_specs=(P("snp"),) * 3))
+                    _CLASS_MESH_CACHE[key] = fn
+                h, k, v = gather_if_multiprocess(fn(
                     packed, put_global(jnp.asarray(order), rep),
                     put_global(a_idx, rep), put_global(b_idx, rep),
-                    put_global(st_d, rep), put_global(en_d, rep))
+                    put_global(st_d, rep), put_global(en_d, rep)), mesh)
                 M_out = rg.M
             else:
                 Gsrt = G[:, order]
@@ -437,26 +459,28 @@ def kruskal_wallis(G, y, ploidy: Optional[int] = None, dtype=None,
                 if target != M_out:
                     Gsrt = np.vstack([Gsrt, np.full(
                         (target - M_out, n), -1, np.int8)])
+                key = ("kw_rows", mesh, tile, C, str(fdt))
+                fn = _CLASS_MESH_CACHE.get(key)
+                if fn is None:
+                    def body(Gs_loc, a1, b1, s1_, e1):
+                        nt = Gs_loc.shape[0] // tile
+                        tls = Gs_loc.reshape(nt, tile, Gs_loc.shape[1])
+                        h, k, v = jax.lax.map(
+                            lambda t: _kw_missing_core(
+                                t, a1, b1, s1_, e1, C, fdt), tls)
+                        return (h.reshape(-1), k.reshape(-1),
+                                v.reshape(-1))
 
-                def body(Gs_loc, a1, b1, s1_, e1):
-                    nt = Gs_loc.shape[0] // tile
-                    tls = Gs_loc.reshape(nt, tile, Gs_loc.shape[1])
-                    h, k, v = jax.lax.map(
-                        lambda t: _kw_missing_core(t, a1, b1, s1_, e1,
-                                                   C, fdt), tls)
-                    return (h.reshape(-1), k.reshape(-1), v.reshape(-1))
-
-                fn = _jax.shard_map(
-                    body, mesh=mesh,
-                    in_specs=(P("snp", None),) + (P(),) * 4,
-                    out_specs=(P("snp"),) * 3)
-                from jax.sharding import NamedSharding
-
-                h, k, v = _jax.jit(fn)(
+                    fn = jax.jit(jax.shard_map(
+                        body, mesh=mesh,
+                        in_specs=(P("snp", None),) + (P(),) * 4,
+                        out_specs=(P("snp"),) * 3))
+                    _CLASS_MESH_CACHE[key] = fn
+                h, k, v = gather_if_multiprocess(fn(
                     put_global(Gsrt, NamedSharding(mesh,
                                                    P("snp", None))),
                     put_global(a_idx, rep), put_global(b_idx, rep),
-                    put_global(st_d, rep), put_global(en_d, rep))
+                    put_global(st_d, rep), put_global(en_d, rep)), mesh)
             hs = np.asarray(h, dtype=np.float64)[:M_out]
             ks = np.asarray(k, dtype=np.float64)[:M_out]
             vs = np.asarray(v)[:M_out]
@@ -511,6 +535,10 @@ def kruskal_wallis(G, y, ploidy: Optional[int] = None, dtype=None,
             Gd = jnp.asarray(G)
             rd = jnp.asarray(ranks, dtype=dtype)
         cnt, rsum = _class_sums(Gd, rd, C)
+        if mesh is not None:
+            from mixmogam_tpu.parallel.mesh import gather_if_multiprocess
+
+            cnt, rsum = gather_if_multiprocess((cnt, rsum), mesh)
         cnt = np.asarray(cnt, dtype=np.float64)[:M]
         rsum = np.asarray(rsum, dtype=np.float64)[:M]
     with np.errstate(divide="ignore", invalid="ignore"):

@@ -39,13 +39,27 @@ def _trait_nulls(Y_rot, X0_rot, phi, deltas):
     return sd, X0s, L, y_res, rss0
 
 
-def _mt_packed_kernel(n: int, tile: int, impute: bool, with_cols: bool):
-    """shard_map body for the SNP-sharded packed multi-trait scan
-    (mesh= on emmax_multi_trait): each device holds a block of packed
-    rows and the replicated trait nulls; per tile it unpacks, optionally
-    gathers a sample-column subset (missingness-pattern groups), imputes,
-    rotates ONCE (shared by all traits — the whole point of the batch)
-    and runs the per-trait epilogue. Outputs are (T, rows_local)."""
+#: jitted packed mesh programs keyed on everything that shapes the
+#: trace — pattern-group recursions and repeated campaigns trace once
+#: per shape, not per call (review r5-cont #4)
+_MT_MESH_CACHE: Dict = {}
+
+
+def _mt_packed_jit(mesh, n: int, tile: int, impute: bool,
+                   with_cols: bool, wscale_none: bool):
+    """Jitted shard_map program for the SNP-sharded packed multi-trait
+    scan (mesh= on emmax_multi_trait): each device holds a block of
+    packed rows and the replicated trait nulls; per tile it unpacks,
+    optionally gathers a sample-column subset (missingness-pattern
+    groups), imputes, rotates ONCE (shared by all traits — the whole
+    point of the batch) and runs the per-trait epilogue. Outputs are
+    (T, rows_local)."""
+    from jax.sharding import PartitionSpec as P
+
+    key = (mesh, n, tile, impute, with_cols, wscale_none)
+    fn = _MT_MESH_CACHE.get(key)
+    if fn is not None:
+        return fn
     from mixmogam_tpu.models.streaming import _impute_tile
     from mixmogam_tpu.ops.pack2 import unpack_2bit_device
     from mixmogam_tpu.ops.scan import apply_rotation
@@ -69,7 +83,12 @@ def _mt_packed_kernel(n: int, tile: int, impute: bool, with_cols: bool):
         return tuple(jnp.swapaxes(v, 0, 1).reshape(T, nt * tile)
                      for v in (f, b, mk))
 
-    return body
+    spec = (P(), None if wscale_none else P()) + (P(),) * 7
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P("snp", None),) + spec,
+        out_specs=(P(None, "snp"),) * 3))
+    _MT_MESH_CACHE[key] = fn
+    return fn
 
 
 @jax.jit
@@ -81,7 +100,7 @@ def _mt_scan_whole(Gd, RU, ru_scale, sd, X0s, L, y_res, rss0, dof):
     communication until readback (psum inside the rotation on TP)."""
     from mixmogam_tpu.ops.scan import apply_rotation
 
-    Xs = apply_rotation(Gd, RU, ru_scale, sd.dtype)
+    Xs = apply_rotation(Gd, RU, ru_scale, sd.dtype, n_out=sd.shape[1])
     return _scan_tile_multitrait(Xs, sd, X0s, L, y_res, rss0, dof)
 
 
@@ -195,26 +214,19 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
     streamed = (False if rg is not None
                 else should_stream(G_src, n, dtype, stream_budget_bytes))
     if mesh is not None:
+        if streamed:
+            from mixmogam_tpu.models.source import pack_for_mesh
+
+            rg = pack_for_mesh(G_src, n, "multi-trait")
+            streamed = False
+        # AFTER the auto-pack: a packed source (given or just created)
+        # is DP-only, and must refuse a 2-D mesh instead of silently
+        # duplicating shards across the 'sample' axis (review r5-cont)
         if rg is not None and mesh.shape["sample"] != 1:
             raise ValueError(
                 "mesh-distributed resident multi-trait shards 'snp' "
                 "only; use a ('snp', 1) mesh (in-core sources take 2-D "
                 "('snp', 'sample') meshes)")
-        if streamed:
-            # mirror models.emmax mesh routing: a big int8 source packs
-            # HOST-side (upload=False — the sharded path uploads
-            # per-chip shards, never the whole genome to one device)
-            from mixmogam_tpu.models.resident import RESIDENT_BUDGET_BYTES
-
-            if (np.dtype(G_src.dtype) == np.int8
-                    and M * ((n + 3) // 4) <= RESIDENT_BUDGET_BYTES):
-                rg = ResidentGenome.from_source(G_src, upload=False)
-                streamed = False
-            else:
-                raise ValueError(
-                    "the mesh multi-trait path shards in-core or "
-                    "packed sources; this source exceeds both the "
-                    "in-core and the 2-bit resident budgets")
     if streamed or rg is not None:
         Gf = None
     else:
@@ -342,16 +354,13 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
                 with_cols = keep_cols_dev is not None
                 cols = (keep_cols_dev if with_cols
                         else jnp.zeros(1, jnp.int32))
-                body = _mt_packed_kernel(rg.n, tile,
-                                         bool(rg.has_missing), with_cols)
+                fn = _mt_packed_jit(mesh, rg.n, tile,
+                                    bool(rg.has_missing), with_cols,
+                                    ru_scale is None)
                 args = (place(RU), place(ru_scale), place(sd),
                         place(X0s), place(L), place(y_res), place(rss0),
                         place(dof_d), place(cols))
-                spec = tuple(None if v is None else P() for v in args)
-                fn = jax.shard_map(body, mesh=mesh,
-                                   in_specs=(P("snp", None),) + spec,
-                                   out_specs=(P(None, "snp"),) * 3)
-                f, b, mk = jax.jit(fn)(packed, *args)
+                f, b, mk = fn(packed, *args)
             else:
                 Gp, _ = pad_to_multiple(np.asarray(Gf),
                                         mesh.shape["snp"], axis=0)
@@ -378,6 +387,9 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
                 f, b, mk = _mt_scan_whole(
                     Gd_sh, RU_sh, place(ru_scale), place(sd), place(X0s),
                     place(L), place(y_res), place(rss0), place(dof_d))
+        from mixmogam_tpu.parallel.mesh import gather_if_multiprocess
+
+        f, b, mk = gather_if_multiprocess((f, b, mk), mesh)
         fs = np.array(f, np.float64)[:, :M]
         betas = np.array(b, np.float64)[:, :M]
         masks = np.array(mk).astype(bool)[:, :M]

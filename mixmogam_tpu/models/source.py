@@ -28,6 +28,23 @@ def should_stream(G_src, n: int, dtype, budget_bytes: int) -> bool:
             > budget_bytes)
 
 
+def pack_for_mesh(G_src, n: int, what: str):
+    """Big-source routing for mesh= paths (mirrors models.emmax): an
+    int8 source within the 2-bit resident budget packs HOST-side
+    (upload=False — the sharded path uploads per-chip shards, never the
+    whole genome to one device); anything else is refused. Shared by
+    emmax_multi_trait and emma (review r5-cont #6)."""
+    from mixmogam_tpu.models.resident import (RESIDENT_BUDGET_BYTES,
+                                              ResidentGenome)
+
+    if (np.dtype(G_src.dtype) == np.int8
+            and G_src.shape[0] * ((n + 3) // 4) <= RESIDENT_BUDGET_BYTES):
+        return ResidentGenome.from_source(G_src, upload=False)
+    raise ValueError(
+        f"the mesh {what} path shards in-core or packed sources; this "
+        "source exceeds both the in-core and the 2-bit resident budgets")
+
+
 def prefetch_iter(keys, prep, lookahead: int = 2):
     """Yield (key, prep(key)) in order with prep running `lookahead`
     items ahead in ONE worker thread — host-side tile prep (memmap read,

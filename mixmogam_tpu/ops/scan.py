@@ -272,9 +272,15 @@ def quantize_rotation(W, rotate_dtype, sd_dtype=None):
     return W, None
 
 
-def apply_rotation(G_tile, W, w_scale, dt):
+def apply_rotation(G_tile, W, w_scale, dt, n_out=None):
     """Xs = G_tile @ W where W is a quantize_rotation representation;
-    dt is the accumulate/output dtype (the epilogue precision)."""
+    dt is the accumulate/output dtype (the epilogue precision).
+
+    n_out (optional): the eigenbasis width. Pass it whenever W's
+    CONTRACTION rows may be padded (TP sample-padding): the concat-tier
+    heuristic below reads k from W.shape[1] % W.shape[0], which a
+    row-padded (n_pad, k*n) concat W defeats — same pitfall
+    apply_rotation_psum disambiguates with its explicit n_out."""
     prec = (jax.lax.Precision.DEFAULT
             if W.dtype == jnp.bfloat16 else None)
     if W.dtype == jnp.int8:
@@ -300,14 +306,15 @@ def apply_rotation(G_tile, W, w_scale, dt):
             Xs = Xs + jnp.dot(Gb, W[i], preferred_element_type=dt,
                               precision=prec)
         return Xs
-    if W.shape[1] != W.shape[0] and W.shape[1] % W.shape[0] == 0:
+    base = W.shape[0] if n_out is None else n_out
+    if W.shape[1] != base and W.shape[1] % base == 0:
         # concat split-W tier ('bf16xKc'): one wide matmul, then sum
         # the K column blocks
-        k = W.shape[1] // W.shape[0]
+        k = W.shape[1] // base
         m = G_tile.shape[0]
         Xw = jnp.dot(G_tile.astype(W.dtype), W,
                      preferred_element_type=dt, precision=prec)
-        return jnp.sum(Xw.reshape(m, k, W.shape[0]), axis=1)
+        return jnp.sum(Xw.reshape(m, k, base), axis=1)
     return jnp.dot(G_tile.astype(W.dtype), W,
                    preferred_element_type=dt, precision=prec)
 
@@ -450,8 +457,10 @@ def emmax_scan_stats(G_tile: jnp.ndarray, rot: RotatedNull,
     else:
         # rot.W's dtype/shape selects the MXU tier for the rotation
         # matmul (see quantize_rotation/apply_rotation); epilogue stays
-        # in fp32+.
-        Xs = apply_rotation(G_tile, rot.W, rot.w_scale, dt)
+        # in fp32+. n_out disambiguates the concat tier when W's rows
+        # are TP-sample-padded.
+        Xs = apply_rotation(G_tile, rot.W, rot.w_scale, dt,
+                            n_out=rot.sd.shape[0])
     return scan_epilogue(Xs, rot)
 
 

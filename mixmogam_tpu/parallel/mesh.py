@@ -60,6 +60,16 @@ def put_global_tree(tree, sharding: NamedSharding):
     return jax.tree.map(lambda v: put_global(v, sharding), tree)
 
 
+def gather_if_multiprocess(tree, mesh: Mesh):
+    """Replicate sharded outputs when the mesh spans multiple processes
+    (sharded arrays are only partially addressable there — np.asarray
+    would raise); the run's single all_gather. No-op single-process."""
+    if jax.process_count() == 1:
+        return tree
+    return jax.jit(lambda t: t,
+                   out_shardings=replicated(mesh))(tree)
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0
                     ) -> Tuple[np.ndarray, int]:
     """Pad axis to a multiple (sharding needs even splits); returns

@@ -111,6 +111,12 @@ class TestDistributedEmmax:
         d8 = distributed_emmax(G, y, K=K, mesh=meshes["mix"],
                                dtype=np.float32, rotate_in_bf16="int8x3")
         assert np.argmin(d8["ps"]) == np.argmin(ref["ps"])
+        # concat bf16 tier: row-padding must not defeat apply_rotation's
+        # k-from-shape heuristic (n_out disambiguates — review fix)
+        dc = distributed_emmax(G, y, K=K, mesh=meshes["mix"],
+                               dtype=np.float32, rotate_in_bf16="x3c")
+        assert np.argmin(dc["ps"]) == np.argmin(ref["ps"])
+        assert np.max(np.abs(dc["ps"] - ref["ps"])) < 1e-4
 
 
 class TestTrainStep:
