@@ -91,7 +91,13 @@ def gblup(y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     y: (n,) phenotype; K: (n, n) kinship (scale_k'd) — or pass a
     precomputed eig_k=(phi, U). X0: (n, q) fixed effects (default
     intercept). REML for delta reuses ops/reml.fit_null_model (X-explicit
-    float64 host path — no second eigh)."""
+    float64 host path — no second eigh).
+
+    No mesh= here (justified N/A): gBLUP has no SNP scan to shard —
+    its cost is the one-time eigh(K) plus O(n^2) eigenbasis solves,
+    all single-chip; only the upstream KINSHIP build scales with M and
+    that already shards (parallel.distributed.distributed_kinship /
+    the resident fused gram)."""
     from mixmogam_tpu.ops.reml import fit_null_model
 
     y = np.asarray(y, dtype=np.float64)

@@ -46,46 +46,105 @@ _MT_MESH_CACHE: Dict = {}
 
 
 def _mt_packed_jit(mesh, n: int, tile: int, impute: bool,
-                   with_cols: bool, wscale_none: bool):
+                   with_cols: bool, wscale_none: bool,
+                   S: int = 1, w_ndim: int = 2):
     """Jitted shard_map program for the SNP-sharded packed multi-trait
     scan (mesh= on emmax_multi_trait): each device holds a block of
     packed rows and the replicated trait nulls; per tile it unpacks,
     optionally gathers a sample-column subset (missingness-pattern
     groups), imputes, rotates ONCE (shared by all traits — the whole
     point of the batch) and runs the per-trait epilogue. Outputs are
-    (T, rows_local)."""
+    (T, rows_local).
+
+    S > 1 additionally SAMPLE-SHARDS the packed byte axis (same TP
+    treatment as distributed_emmax_resident): the rotation operator RU
+    row-shards over its contraction axis with zero rows for the byte
+    padding, each tile's partial rotation reduces over 'sample'
+    (apply_rotation_psum — int8 planes reduce in int32, bit-identical),
+    and the per-trait epilogue runs on the full rotated rows,
+    replicated over 'sample'. Missing data imputes via psum'd
+    cross-shard moments. Column-gather groups (with_cols) need full
+    byte rows and stay DP-only."""
     from jax.sharding import PartitionSpec as P
 
-    key = (mesh, n, tile, impute, with_cols, wscale_none)
+    key = (mesh, n, tile, impute, with_cols, wscale_none, S, w_ndim)
     fn = _MT_MESH_CACHE.get(key)
     if fn is not None:
         return fn
     from mixmogam_tpu.models.streaming import _impute_tile
     from mixmogam_tpu.ops.pack2 import unpack_2bit_device
-    from mixmogam_tpu.ops.scan import apply_rotation
+    from mixmogam_tpu.ops.scan import apply_rotation, apply_rotation_psum
 
-    def body(p_loc, RU, ru_scale, sd, X0s, L, y_res, rss0, dof, cols):
-        nt = p_loc.shape[0] // tile
-        tiles = p_loc.reshape(nt, tile, p_loc.shape[1])
+    if S == 1:
+        def body(p_loc, RU, ru_scale, sd, X0s, L, y_res, rss0, dof,
+                 cols):
+            nt = p_loc.shape[0] // tile
+            tiles = p_loc.reshape(nt, tile, p_loc.shape[1])
 
-        def kern(pt):
-            Gt = unpack_2bit_device(pt, n)
-            if with_cols:
-                Gt = jnp.take(Gt, cols, axis=1)
-            if impute:
-                Gt = _impute_tile(Gt, sd.dtype)
-            Xs = apply_rotation(Gt, RU, ru_scale, sd.dtype)
-            return _scan_tile_multitrait(Xs, sd, X0s, L, y_res, rss0,
-                                         dof)
+            def kern(pt):
+                Gt = unpack_2bit_device(pt, n)
+                if with_cols:
+                    Gt = jnp.take(Gt, cols, axis=1)
+                if impute:
+                    Gt = _impute_tile(Gt, sd.dtype)
+                Xs = apply_rotation(Gt, RU, ru_scale, sd.dtype)
+                return _scan_tile_multitrait(Xs, sd, X0s, L, y_res,
+                                             rss0, dof)
 
-        f, b, mk = jax.lax.map(kern, tiles)          # (nt, T, tile)
-        T = f.shape[1]
-        return tuple(jnp.swapaxes(v, 0, 1).reshape(T, nt * tile)
-                     for v in (f, b, mk))
+            f, b, mk = jax.lax.map(kern, tiles)      # (nt, T, tile)
+            T = f.shape[1]
+            return tuple(jnp.swapaxes(v, 0, 1).reshape(T, nt * tile)
+                         for v in (f, b, mk))
 
-    spec = (P(), None if wscale_none else P()) + (P(),) * 7
+        row_spec = P("snp", None)
+        ru_spec = P()
+    else:
+        def body(p_loc, RU, ru_scale, sd, X0s, L, y_res, rss0, dof,
+                 cols):
+            dt = sd.dtype
+            rb_local = p_loc.shape[1]
+            n_local = 4 * rb_local
+            col0 = jax.lax.axis_index("sample") * n_local
+            nt = p_loc.shape[0] // tile
+            tiles = p_loc.reshape(nt, tile, rb_local)
+            n_out = sd.shape[1]
+
+            def kern(pt):
+                Gt = unpack_2bit_device(pt, n_local)
+                if impute:
+                    # cross-shard mean imputation (same moments psum as
+                    # the single-trait TP kernel, _tp_resident_kernel)
+                    valid = (col0 + jnp.arange(n_local)) < n
+                    miss = Gt < 0
+                    obs = jnp.where(miss | ~valid[None, :], 0.0,
+                                    Gt.astype(dt))
+                    cnt = jax.lax.psum(
+                        jnp.sum((~miss) & valid[None, :], axis=1),
+                        "sample")
+                    mu = (jax.lax.psum(jnp.sum(obs, axis=1), "sample")
+                          / jnp.maximum(cnt, 1).astype(dt))
+                    Gf_ = jnp.where(valid[None, :],
+                                    jnp.where(miss, mu[:, None],
+                                              Gt.astype(dt)), 0.0)
+                    Xs = apply_rotation_psum(Gf_, RU, ru_scale, dt,
+                                             "sample", n_out)
+                else:
+                    Xs = apply_rotation_psum(Gt, RU, ru_scale, dt,
+                                             "sample", n_out)
+                return _scan_tile_multitrait(Xs, sd, X0s, L, y_res,
+                                             rss0, dof)
+
+            f, b, mk = jax.lax.map(kern, tiles)
+            T = f.shape[1]
+            return tuple(jnp.swapaxes(v, 0, 1).reshape(T, nt * tile)
+                         for v in (f, b, mk))
+
+        row_spec = P("snp", "sample")
+        ru_spec = (P(None, "sample", None) if w_ndim == 3
+                   else P("sample", None))
+    spec = (ru_spec, None if wscale_none else P()) + (P(),) * 7
     fn = jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(P("snp", None),) + spec,
+        body, mesh=mesh, in_specs=(row_spec,) + spec,
         out_specs=(P(None, "snp"),) * 3))
     _MT_MESH_CACHE[key] = fn
     return fn
@@ -144,10 +203,12 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
     trait nulls replicate, genotypes shard row-wise (a ResidentGenome
     shards its PACKED rows via shard_map; a big int8 source auto-packs
     HOST-side), and each chip rotates + tests its shard for all traits
-    with one gather on readback. In-core sources also take 2-D
-    ('snp', 'sample') meshes (the rotation operator contraction-row-
-    shards, GSPMD psums the partials); the packed path shards 'snp'
-    only. Missing-Y pattern groups each run sharded. Parity-tested
+    with one gather on readback. 2-D ('snp', 'sample') meshes
+    additionally shard the rotation operator over its contraction rows
+    (in-core via GSPMD psum; packed via the byte-axis sample shards +
+    apply_rotation_psum — int8 planes reduce in int32, bit-identical).
+    Missing-Y pattern groups each run sharded; a packed pattern
+    SUBSET (column-gather) is DP-only. Parity-tested
     mesh-shape-invariant.
 
     precision (round 5): tier name for the SHARED rotation matmul —
@@ -219,14 +280,16 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
 
             rg = pack_for_mesh(G_src, n, "multi-trait")
             streamed = False
-        # AFTER the auto-pack: a packed source (given or just created)
-        # is DP-only, and must refuse a 2-D mesh instead of silently
-        # duplicating shards across the 'sample' axis (review r5-cont)
-        if rg is not None and mesh.shape["sample"] != 1:
+        # AFTER the auto-pack: column-gather groups need FULL byte rows
+        # per device, so a missing-Y pattern subset of a packed source
+        # is DP-only; fully-observed-Y packed sources take 2-D meshes
+        # (sample-TP, same treatment as distributed_emmax_resident)
+        if (rg is not None and _keep_cols is not None
+                and mesh.shape["sample"] != 1):
             raise ValueError(
-                "mesh-distributed resident multi-trait shards 'snp' "
-                "only; use a ('snp', 1) mesh (in-core sources take 2-D "
-                "('snp', 'sample') meshes)")
+                "a missing-Y pattern group over a packed container "
+                "gathers sample columns per tile and shards 'snp' "
+                "only; use a ('snp', 1) mesh")
     if streamed or rg is not None:
         Gf = None
     else:
@@ -347,17 +410,31 @@ def emmax_multi_trait(G, Y, K=None, X0: Optional[np.ndarray] = None,
 
         with mp_ctx:
             if rg is not None:
-                from mixmogam_tpu.parallel.distributed import \
-                    shard_packed_rows
+                from mixmogam_tpu.parallel.distributed import (
+                    _pad_w_rows, shard_packed_rows)
 
-                packed = shard_packed_rows(rg, mesh, tile)
+                S = mesh.shape["sample"]
+                packed = shard_packed_rows(rg, mesh, tile,
+                                           sample_axis=S > 1)
                 with_cols = keep_cols_dev is not None
                 cols = (keep_cols_dev if with_cols
                         else jnp.zeros(1, jnp.int32))
+                if S > 1:
+                    # TP: RU contraction rows pad to the byte-padded
+                    # sample count and row-shard over 'sample'
+                    RU_use = _pad_w_rows(RU, 4 * packed.shape[1])
+                    ru_spec = (P(None, "sample", None)
+                               if RU_use.ndim == 3
+                               else P("sample", None))
+                    RU_pl = put_global(
+                        RU_use, NamedSharding(mesh, ru_spec))
+                else:
+                    RU_pl = place(RU)
                 fn = _mt_packed_jit(mesh, rg.n, tile,
                                     bool(rg.has_missing), with_cols,
-                                    ru_scale is None)
-                args = (place(RU), place(ru_scale), place(sd),
+                                    ru_scale is None, S,
+                                    getattr(RU, "ndim", 2))
+                args = (RU_pl, place(ru_scale), place(sd),
                         place(X0s), place(L), place(y_res), place(rss0),
                         place(dof_d), place(cols))
                 f, b, mk = fn(packed, *args)

@@ -33,7 +33,7 @@ def emmax_two_snps(G, y, K=None, focal_idx: Optional[Sequence[int]] = None,
                    ngrids: int = 100, llim: float = -10.0, ulim: float = 10.0,
                    dtype=None, tile: int = 8192,
                    refit_delta_per_focal: bool = False,
-                   from_result=None, top_k: int = 32
+                   from_result=None, top_k: int = 32, mesh=None
                    ) -> Dict[str, np.ndarray]:
     """Pairwise scan of each focal SNP against all M partners.
 
@@ -43,6 +43,11 @@ def emmax_two_snps(G, y, K=None, focal_idx: Optional[Sequence[int]] = None,
     raises — silently scanning an arbitrary subset would misreport the
     epistasis surface (all-pairs is O(M^2); restrict A like the
     reference does, to top hits or a candidate region).
+
+    mesh: a device mesh shards the PARTNER axis ('snp'); the per-focal
+    null replicates, and both the conditional scan and the pairwise
+    interaction kernel are row-parallel (zero communication until the
+    per-focal readback). The focal loop stays on host (|A| is small).
 
     Returns dict with 'cond_ps' and 'inter_ps' of shape (|A|, M), plus
     'focal_idx'. delta is fit once on the global null (EMMAX convention);
@@ -100,7 +105,21 @@ def emmax_two_snps(G, y, K=None, focal_idx: Optional[Sequence[int]] = None,
                           ulim=ulim)
     y_rot = U.T @ jnp.asarray(y, dtype=dtype)
     X0_rot = U.T @ jnp.asarray(X0, dtype=dtype)
-    Gd = jnp.asarray(Gf)
+    if mesh is not None:
+        # partner axis sharded; the focal row gathers + the small
+        # per-focal null replicate (eager ops preserve shardings)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mixmogam_tpu.parallel.mesh import (pad_to_multiple,
+                                                put_global, replicated)
+
+        Gp, _ = pad_to_multiple(Gf, mesh.shape["snp"], axis=0)
+        Gd = put_global(Gp, NamedSharding(mesh, P("snp", None)))
+        U = put_global(U, replicated(mesh))
+        rep = replicated(mesh)
+    else:
+        Gd = jnp.asarray(Gf)
+        rep = None
     G_rot = Gd @ U
 
     A = len(focal_idx)
@@ -118,9 +137,20 @@ def emmax_two_snps(G, y, K=None, focal_idx: Optional[Sequence[int]] = None,
             delta = null.delta
         # conditional scan: partner SNPs against [X0, g_a]
         rot_a = _rot_null_from_delta(phi, delta, y_rot, Xa_rot, dtype)
-        d = emmax_scan_all(G_rot, rot_a, tile=tile, pre_rotated=True)
-        f = np.asarray(d["f_stats"], dtype=np.float64)
-        cond_ps[i] = np.where(np.asarray(d["mask"]),
+        if mesh is not None:
+            import jax as _jax
+
+            from mixmogam_tpu.parallel.distributed import _scan_sharded
+            from mixmogam_tpu.parallel.mesh import gather_if_multiprocess
+
+            rot_a = _jax.tree.map(lambda v: _jax.device_put(v, rep),
+                                  rot_a)
+            d = gather_if_multiprocess(
+                _scan_sharded(G_rot, rot_a, pre_rotated=True), mesh)
+        else:
+            d = emmax_scan_all(G_rot, rot_a, tile=tile, pre_rotated=True)
+        f = np.asarray(d["f_stats"], dtype=np.float64)[:M]
+        cond_ps[i] = np.where(np.asarray(d["mask"])[:M],
                               f_sf_host(f, 1.0, rot_a.dof), 1.0)
         # interaction: product columns, null = [X0, g_a, g_b] per pair.
         # The null design differs per PAIR; testing the product on top of
@@ -137,8 +167,12 @@ def emmax_two_snps(G, y, K=None, focal_idx: Optional[Sequence[int]] = None,
         # null, use the identity rss(pair null) = rss([X0,g_a]) - expl(g_b),
         # and test the product's residual against BOTH bases:
         dpair = _pairwise_interaction(G_rot, prod_rot, rot_a)
-        inter_f = np.asarray(dpair["f_stats"], dtype=np.float64)
-        inter_ps[i] = np.where(np.asarray(dpair["mask"]),
+        if mesh is not None:
+            from mixmogam_tpu.parallel.mesh import gather_if_multiprocess
+
+            dpair = gather_if_multiprocess(dpair, mesh)
+        inter_f = np.asarray(dpair["f_stats"], dtype=np.float64)[:M]
+        inter_ps[i] = np.where(np.asarray(dpair["mask"])[:M],
                                f_sf_host(inter_f, 1.0,
                                          float(rot_a.dof) - 1.0), 1.0)
     return {"cond_ps": cond_ps, "inter_ps": inter_ps,

@@ -102,6 +102,30 @@ def main() -> None:
     ref_i = emmax(G, y, K=K, stream=False, precision="int8x3")
     np.testing.assert_allclose(dt2i["ps"], ref_i["ps"], atol=1e-9)
 
+    # ---- 7) round-5 continuation: the NEW mesh entry points gather
+    # their sharded outputs across processes (multitrait incl. a
+    # missing-Y pattern group, EMMA exact, and the A.6 class tests) ----
+    from mixmogam_tpu.models.emma import emma
+    from mixmogam_tpu.models.linear import (anova, kruskal_wallis,
+                                            linear_model)
+    from mixmogam_tpu.models.multitrait import emmax_multi_trait
+
+    Ym = np.stack([y, np.roll(y, 5)])
+    Ym[1, :7] = np.nan
+    mt = emmax_multi_trait(Gf, Ym, K=K, mesh=mesh)
+    mt_ref = emmax_multi_trait(Gf, Ym, K=K)
+    np.testing.assert_allclose(mt["ps"], mt_ref["ps"], atol=1e-9)
+    em = emma(Gf, y, K=K, tile=32, mesh=mesh)
+    em_ref = emma(Gf, y, K=K, tile=32)
+    np.testing.assert_allclose(em["ps"], em_ref["ps"], atol=1e-9)
+    Gm = G.copy()
+    Gm[::7, ::5] = -1
+    for fn in (linear_model, anova, kruskal_wallis):
+        r = fn(Gm, y, mesh=mesh)
+        r_ref = fn(Gm, y)
+        np.testing.assert_allclose(r["ps"], r_ref["ps"], atol=1e-9,
+                                   err_msg=fn.__name__)
+
     print(f"WORKER_OK {pid}", flush=True)
 
 

@@ -413,10 +413,25 @@ class TestDistributedCampaign:
         ref_m = emmax_multi_trait(rg, Ym, K=K)
         d_m = emmax_multi_trait(rg, Ym, K=K, mesh=mesh)
         np.testing.assert_allclose(d_m["ps"], ref_m["ps"], atol=1e-10)
+        # SAMPLE-TP packed multi-trait: byte-axis shards, RU rows psum
+        mesh42 = make_mesh((4, 2), devices=jax.devices()[:8])
+        d_tp = emmax_multi_trait(rg, Y, K=K, mesh=mesh42)
+        np.testing.assert_allclose(d_tp["ps"], ref["ps"], atol=1e-10)
+        d_tp8 = emmax_multi_trait(rg, Y, K=K, precision="int8x3",
+                                  mesh=mesh42)
+        np.testing.assert_array_equal(d_tp8["f_stats"],
+                                      ref_i8["f_stats"])
+        # a packed missing-Y pattern SUBSET stays DP-only (column
+        # gathers need full byte rows)
         with pytest.raises(ValueError, match="snp"):
-            emmax_multi_trait(
-                rg, Y, K=K,
-                mesh=make_mesh((4, 2), devices=jax.devices()[:8]))
+            emmax_multi_trait(rg, Ym, K=K, mesh=mesh42)
+        # missing GENOTYPES on the TP mesh: cross-shard moment psum
+        Gm = G.copy()
+        Gm[::9, ::7] = -1
+        rgm = ResidentGenome.from_source(Gm, tile=50)
+        ref_gm = emmax_multi_trait(rgm, Y, K=K)
+        d_gm = emmax_multi_trait(rgm, Y, K=K, mesh=mesh42)
+        np.testing.assert_allclose(d_gm["ps"], ref_gm["ps"], atol=1e-10)
 
     def test_emma_mesh_parity(self, small_dataset, kinship_small):
         """emma(mesh=): the batched per-SNP REML scan shards 'snp'
@@ -501,3 +516,20 @@ class TestDistributedCampaign:
                             mesh=make_mesh(shape, devices=devs[:8]))
             np.testing.assert_allclose(d["ps"], ref["ps"], atol=1e-10,
                                        err_msg=f"mesh {shape}")
+
+    def test_twosnp_mesh_parity(self, small_dataset, kinship_small):
+        """emmax_two_snps(mesh=): the partner axis shards; conditional
+        and pairwise-interaction kernels are row-parallel."""
+        from mixmogam_tpu.models.twosnp import emmax_two_snps
+
+        G, y, K = small_dataset["G"], small_dataset["y"], kinship_small
+        focal = [3, 41, 100]
+        ref = emmax_two_snps(G, y, K=K, focal_idx=focal)
+        devs = jax.devices()
+        for shape in ((8, 1), (4, 2)):
+            d = emmax_two_snps(G, y, K=K, focal_idx=focal,
+                               mesh=make_mesh(shape, devices=devs[:8]))
+            np.testing.assert_allclose(d["cond_ps"], ref["cond_ps"],
+                                       atol=1e-10, err_msg=f"{shape}")
+            np.testing.assert_allclose(d["inter_ps"], ref["inter_ps"],
+                                       atol=1e-10, err_msg=f"{shape}")
