@@ -133,10 +133,18 @@ class LinearMixedModel(LinearModel):
 
     def _get_eigen_L_(self, K=None):
         """eigh(K), cached (reference: _get_eigen_L_). Returns
-        {'values': phi, 'vectors': U^T} in the reference's layout."""
+        {'values': phi, 'vectors': U^T} in the reference's layout.
+
+        Passing the SAME K again (the reference's call pattern re-passes
+        it before every scan) keeps the cached eigh — resetting it would
+        re-pay the O(n^3) host decomposition per call (review finding)."""
         from mixmogam_tpu.ops.eigen import eigen_k
 
-        if K is not None:
+        if K is not None and not (
+                self.K is not None
+                and (K is self.K
+                     or (np.shape(K) == np.shape(self.K)
+                         and np.array_equal(K, self.K)))):
             self.add_random_effect(K)
         if self.K is None:
             raise ValueError("call add_random_effect(K) first")

@@ -78,15 +78,23 @@ class PhenotypeData:
             p = self.phen_dict[pid]
             p.ecotypes = ecos
             p.values = [float(np.mean(d[e])) for e in ecos]
+            # the averaged values are the new transform base: the old
+            # replicate-level raw array no longer aligns with ecotypes
+            # (a later transform() rebuilding from it would silently
+            # pair values with the WRONG samples — review finding)
+            p.raw_values = (list(p.values) if p.transformation == "none"
+                            else None)
 
     # ---- filtering (reference: filter_ecotypes) ----
     def filter_ecotypes(self, pid: int, keep: Sequence[str]) -> None:
         keep_set = {str(k) for k in keep}
         p = self.phen_dict[pid]
-        pairs = [(e, v) for e, v in zip(p.ecotypes, p.values)
-                 if e in keep_set]
-        p.ecotypes = [e for e, _ in pairs]
-        p.values = [v for _, v in pairs]
+        idx = [i for i, e in enumerate(p.ecotypes) if e in keep_set]
+        p.ecotypes = [p.ecotypes[i] for i in idx]
+        p.values = [p.values[i] for i in idx]
+        if p.raw_values is not None:
+            # keep the transform base aligned with the filtered samples
+            p.raw_values = [p.raw_values[i] for i in idx]
 
     # ---- transformations (reference: transform / most_normal_transformation) ----
     def transform(self, pid: int, trans_type: str) -> bool:
@@ -95,7 +103,10 @@ class PhenotypeData:
         log/sqrt shifted by min when nonpositive values exist)."""
         p = self.phen_dict[pid]
         vals = np.asarray(p.values, dtype=np.float64)
-        if p.raw_values is None:
+        if p.raw_values is None or len(p.raw_values) != len(p.values):
+            # (re)base on the current values; a length mismatch means
+            # the sample set changed since the base was captured
+            # (defense in depth vs positional misalignment)
             p.raw_values = list(map(float, vals))
         raw = np.asarray(p.raw_values, dtype=np.float64)
         new = _apply_transform(raw, trans_type)
@@ -140,12 +151,14 @@ class PhenotypeData:
         per (possibly replicated) sample; 'NA'/'' = missing."""
         pd = PhenotypeData()
         with open(path) as f:
-            header = f.readline().rstrip("\n").split(delimiter)
-            names = header[1:]
+            # rstrip \r too: a CRLF file must not leave 'name\r' on the
+            # last header column (review finding)
+            header = f.readline().rstrip("\r\n").split(delimiter)
+            names = [h.strip() for h in header[1:]]
             ecos: List[str] = []
             cols: List[List[float]] = [[] for _ in names]
             for line in f:
-                line = line.rstrip("\n")
+                line = line.rstrip("\r\n")
                 if not line:
                     continue
                 parts = line.split(delimiter)
@@ -212,10 +225,9 @@ class PhenotypeData:
         return pd
 
     def plot_histogram(self, pid: int, path: str, bins: int = 20) -> None:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+        from mixmogam_tpu.plotting.plots import _plt
 
+        plt = _plt()
         vals = self.get_values(pid)
         vals = vals[~np.isnan(vals)]
         fig, ax = plt.subplots(figsize=(6, 4))

@@ -171,6 +171,14 @@ def gblup_cv(gd_or_G, y, n_folds: int = 5, seed: int = 0,
     out-of-fold predictions in sample order}."""
     y = np.asarray(y, dtype=np.float64)
     n = y.shape[0]
+    if n_folds < 2:
+        raise ValueError(
+            f"gblup_cv needs n_folds >= 2 (got {n_folds}); a 1-fold "
+            "split leaves an empty training set — use gblup() for a "
+            "no-CV fit (CLI: --folds 0)")
+    if n_folds > n:
+        raise ValueError(f"n_folds={n_folds} exceeds the {n} phenotyped "
+                         "samples (some folds would be empty)")
     if K_all is None:
         K_all = _joint_kinship(gd_or_G, kinship_method)
     rng = np.random.default_rng(seed)

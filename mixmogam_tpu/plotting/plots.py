@@ -10,9 +10,16 @@ import numpy as np
 
 
 def _plt():
+    """Headless-safe pyplot: select Agg only when pyplot has not been
+    imported yet — force-switching the process-wide backend would break
+    an interactive (Jupyter) session's later figures (review finding).
+    Everything here saves via fig.savefig, which works on any backend."""
+    import sys
+
     import matplotlib
 
-    matplotlib.use("Agg")
+    if "matplotlib.pyplot" not in sys.modules:
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     return plt
@@ -78,6 +85,10 @@ def qq_plot(pvals_or_result, path: str, title: str = "",
         p = np.asarray(pvals_or_result, dtype=np.float64)
     p = np.sort(p[np.isfinite(p)])
     m = len(p)
+    if m == 0:
+        raise ValueError(
+            "qq_plot got no finite p-values (empty scan or all-NaN "
+            "input) — nothing to plot")
     exp = (np.arange(1, m + 1) - 0.5) / m
     obs_l = -np.log10(np.maximum(p, 1e-323))
     exp_l = -np.log10(exp)

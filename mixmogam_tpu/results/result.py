@@ -169,6 +169,20 @@ class Result:
 
     # ---- output (reference: write_to_file) ----
     def write_to_file(self, path: str, only_pickled: bool = False) -> None:
+        """Ranked CSV; only_pickled=True writes a pickle of the ranked
+        column arrays instead (reference: Result.write_to_file's
+        only_pickled mode — previously accepted-and-ignored, review
+        finding). Load back with Result.from_pickle."""
+        if only_pickled:
+            import pickle
+
+            arrs = self._all_arrays()
+            order = self._order()
+            payload = {k: np.asarray(v)[order] for k, v in arrs.items()}
+            payload["score_type"] = self.score_type
+            with open(path, "wb") as f:
+                pickle.dump(payload, f)
+            return
         cols = ["chromosomes", "positions", "scores"]
         arrs = self._all_arrays()
         extra = [k for k in ("mafs", "macs") if k in arrs]
@@ -187,6 +201,21 @@ class Result:
             f.write("\n".join(",".join(t) for t in zip(*str_cols)))
             if str_cols and str_cols[0]:
                 f.write("\n")
+
+    @staticmethod
+    def from_pickle(path: str) -> "Result":
+        """Load a write_to_file(only_pickled=True) artifact."""
+        import pickle
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        score_type = payload.pop("score_type", "pvals")
+        known = ("scores", "chromosomes", "positions", "mafs", "macs")
+        add = {k: v for k, v in payload.items() if k not in known}
+        return Result(payload["scores"], payload["chromosomes"],
+                      payload["positions"], mafs=payload.get("mafs"),
+                      macs=payload.get("macs"), additional=add,
+                      score_type=score_type)
 
     @staticmethod
     def from_scan(scan: Dict[str, np.ndarray], chromosomes, positions,

@@ -18,6 +18,9 @@ if not logger.handlers:
         "%(asctime)s %(name)s %(levelname)s %(message)s"))
     logger.addHandler(_h)
     logger.setLevel(os.environ.get("MIXMOGAM_LOGLEVEL", "INFO"))
+    # we attached our own handler; propagating to root would print
+    # every line twice under logging.basicConfig()/pytest capture
+    logger.propagate = False
 
 
 class RunMetrics:

@@ -1,0 +1,160 @@
+"""Regression tests for the round-5 continuation review findings
+(results/plotting/utils/cli/compat/phenotype pass)."""
+
+import numpy as np
+import pytest
+
+
+class TestPhenotypeRawAlignment:
+    """transform() rebuilds values from raw_values; filter/averaging
+    must keep that base aligned or values silently land on the WRONG
+    ecotypes (the verified review repro)."""
+
+    def _pd(self):
+        from mixmogam_tpu.data.phenotype import PhenotypeData
+
+        return PhenotypeData.from_arrays(
+            1, "t", ["a", "b", "c", "d"], [1.0, 2.0, 3.0, 4.0])
+
+    def test_transform_after_filter_stays_aligned(self):
+        pd = self._pd()
+        assert pd.transform(1, "log")
+        pd.filter_ecotypes(1, ["b", "d"])
+        assert pd.transform(1, "sqrt")
+        d = pd.value_dict(1)
+        assert set(d) == {"b", "d"}
+        np.testing.assert_allclose(d["b"], [np.sqrt(2.0)])
+        np.testing.assert_allclose(d["d"], [np.sqrt(4.0)])
+
+    def test_most_normal_after_filter(self):
+        pd = self._pd()
+        pd.filter_ecotypes(1, ["a", "c", "d"])
+        pd.most_normal_transformation(1)
+        assert len(pd.get_values(1)) == 3
+        assert pd.get_ecotypes(1) == ["a", "c", "d"]
+
+    def test_transform_after_averaging_uses_averaged_base(self):
+        from mixmogam_tpu.data.phenotype import PhenotypeData
+
+        pd = PhenotypeData.from_arrays(
+            1, "t", ["a", "a", "b"], [1.0, 3.0, 9.0])
+        pd.convert_to_averages()
+        assert pd.transform(1, "sqrt")
+        d = pd.value_dict(1)
+        np.testing.assert_allclose(d["a"], [np.sqrt(2.0)])
+        np.testing.assert_allclose(d["b"], [3.0])
+
+    def test_filter_before_any_transform(self):
+        pd = self._pd()
+        pd.filter_ecotypes(1, ["a", "b"])
+        assert pd.transform(1, "sqrt")
+        np.testing.assert_allclose(pd.get_values(1),
+                                   np.sqrt([1.0, 2.0]))
+
+
+class TestCRLFHeader:
+    def test_crlf_phenotype_file(self, tmp_path):
+        from mixmogam_tpu.data.phenotype import PhenotypeData
+
+        p = tmp_path / "phen.csv"
+        p.write_bytes(b"ecotype_id,trait_a,trait_b\r\n"
+                      b"s1,1.0,2.0\r\ns2,3.0,4.0\r\n")
+        pd = PhenotypeData.parse_phenotype_file(str(p))
+        assert pd.get_name(1) == "trait_a"
+        assert pd.get_name(2) == "trait_b"       # no trailing \r
+        np.testing.assert_allclose(pd.get_values(2), [2.0, 4.0])
+
+
+class TestPlottingGuards:
+    def test_qq_plot_no_finite_pvalues(self, tmp_path):
+        from mixmogam_tpu.plotting.plots import qq_plot
+
+        with pytest.raises(ValueError, match="finite"):
+            qq_plot(np.array([np.nan, np.inf]),
+                    str(tmp_path / "qq.png"))
+
+    def test_agg_not_forced_over_loaded_backend(self):
+        import sys
+
+        import matplotlib
+
+        from mixmogam_tpu.plotting.plots import _plt
+
+        plt = _plt()  # pyplot now definitely loaded
+        assert "matplotlib.pyplot" in sys.modules
+        before = matplotlib.get_backend()
+        _plt()  # second call must not force-switch the backend
+        assert matplotlib.get_backend() == before
+        assert plt is not None
+
+
+class TestResultPickle:
+    def test_only_pickled_roundtrip(self, tmp_path):
+        from mixmogam_tpu.results.result import Result
+
+        r = Result([0.5, 1e-8, 0.02], [1, 1, 2], [10, 20, 30],
+                   mafs=[0.1, 0.2, 0.3],
+                   additional={"betas": [0.0, 1.5, -0.4]})
+        path = str(tmp_path / "res.pkl")
+        r.write_to_file(path, only_pickled=True)
+        r2 = Result.from_pickle(path)
+        # ranked (best p first) like the CSV writer
+        np.testing.assert_allclose(r2.scores, [1e-8, 0.02, 0.5])
+        np.testing.assert_array_equal(r2.positions, [20, 30, 10])
+        np.testing.assert_allclose(r2.additional["betas"],
+                                   [1.5, -0.4, 0.0])
+        assert r2.score_type == "pvals"
+
+
+class TestGblupCvValidation:
+    def test_folds_one_rejected(self):
+        from mixmogam_tpu.models.gblup import gblup_cv
+
+        rng = np.random.default_rng(0)
+        G = (rng.random((40, 30)) < 0.5).astype(np.int8)
+        y = rng.normal(size=30)
+        with pytest.raises(ValueError, match="n_folds >= 2"):
+            gblup_cv(G.astype(np.float64), y, n_folds=1)
+        with pytest.raises(ValueError, match="exceeds"):
+            gblup_cv(G.astype(np.float64), y, n_folds=31)
+
+
+class TestCompatEigenCache:
+    def test_same_k_keeps_cached_eigh(self, monkeypatch):
+        from mixmogam_tpu import compat
+        from mixmogam_tpu.ops import eigen
+
+        rng = np.random.default_rng(1)
+        n = 24
+        A = rng.normal(size=(n, n))
+        K = A @ A.T / n + np.eye(n)
+        y = rng.normal(size=n)
+        lmm = compat.LinearMixedModel(y)
+        calls = {"n": 0}
+        real = eigen.eigen_k
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(eigen, "eigen_k", counting)
+        e1 = lmm._get_eigen_L_(K)
+        e2 = lmm._get_eigen_L_(K)              # same object
+        e3 = lmm._get_eigen_L_(K.copy())       # same content
+        assert calls["n"] == 1
+        np.testing.assert_allclose(e2["values"], e1["values"])
+        np.testing.assert_allclose(e3["vectors"], e1["vectors"])
+        # a DIFFERENT K must invalidate
+        lmm._get_eigen_L_(K + np.eye(n) * 0.5)
+        assert calls["n"] == 2
+
+
+class TestLoggerPropagation:
+    def test_no_double_logging(self):
+        import logging
+
+        from mixmogam_tpu.utils import profiling
+
+        assert profiling.logger.propagate is False
+        assert isinstance(profiling.logger.handlers[0],
+                          logging.StreamHandler)
