@@ -519,6 +519,20 @@ def example_mesh_campaign():
     pm = emmax_perm_test(G, y, K=K, num_perm=16, seed=2, mesh=mesh)
     print(f"GxE min interaction p {np.min(gx['inter_ps']):.2e}; "
           f"permutation threshold {pm['threshold']:.2e}")
+    # round-5 continuation: multi-trait (with a missing-Y pattern),
+    # EMMA exact and the class tests shard through the same kwarg
+    from mixmogam_tpu.models.emma import emma
+    from mixmogam_tpu.models.linear import kruskal_wallis
+    from mixmogam_tpu.models.multitrait import emmax_multi_trait
+
+    Y = np.stack([y, y * 0.5 + rng.normal(size=96)])
+    Y[1, :9] = np.nan
+    mt = emmax_multi_trait(G, Y, K=K, mesh=mesh)
+    em = emma(G, y, K=K, tile=64, mesh=mesh)
+    kw = kruskal_wallis(G, y, mesh=mesh)
+    print(f"multi-trait min p {np.min(mt['ps']):.2e} (T=2, one trait "
+          f"9 samples missing); EMMA exact min p {np.min(em['ps']):.2e}; "
+          f"KW min p {np.min(kw['ps']):.2e} — all mesh-sharded")
 
 
 EXAMPLES = {
