@@ -323,51 +323,20 @@ def emmax(G, y, K=None, X0=None, eig_k: Optional[Tuple] = None,
     with ctx:
         d = emmax_scan_all(jnp.asarray(Gf), rot, tile=tile)
     # np.array (not asarray): jax outputs are zero-copy READ-ONLY views
-    # on CPU and the rescore path below mutates these in place
-    f_stats = np.array(d["f_stats"], dtype=np.float64)
-    dof = int(rot.dof)
-    ps = f_sf_host(f_stats, 1.0, dof)
-    ps = np.where(np.asarray(d["mask"]), ps, 1.0)
-    mask_arr = np.array(d["mask"])
-    betas_arr = (np.array(d["betas"], dtype=np.float64)
-                 if with_betas else None)
-    var_arr = (np.array(d["var_perc"], dtype=np.float64)
-               if with_betas else None)
-    rescored = np.zeros(0, dtype=np.int64)
-    if rescore_top and (rd is not None or matmul_precision):
-        from mixmogam_tpu.models.streaming import _exact_rescore
-        from mixmogam_tpu.ops.scan import (select_rescore_idx,
-                                           tier_drift_name)
+    # on CPU and finalize_scan's rescore pass mutates these in place
+    from mixmogam_tpu.models.streaming import finalize_scan
 
-        # threshold-complete contract (VERDICT r4 #2): every reported
-        # p below the Bonferroni threshold is exact-tier, uncapped
-        idx = select_rescore_idx(ps, rescore_top,
-                                 tier_drift_name(rd, matmul_precision))
-        idx, d_ex = _exact_rescore(Gf, idx, null, dtype)
-        f_stats[idx] = np.asarray(d_ex["f_stats"], dtype=np.float64)
-        mask_arr[idx] = np.asarray(d_ex["mask"])
-        ps[idx] = np.where(mask_arr[idx],
-                           f_sf_host(f_stats[idx], 1.0, dof), 1.0)
-        if with_betas:
-            betas_arr[idx] = np.asarray(d_ex["betas"], dtype=np.float64)
-            var_arr[idx] = np.asarray(d_ex["var_perc"], dtype=np.float64)
-        rescored = idx
-    out = {
-        "ps": ps, "f_stats": f_stats, "mask": mask_arr,
-        "rescored_idx": rescored,
-        "pseudo_heritability": float(null.pseudo_heritability),
-        "delta": float(null.delta), "sigma_g2": float(null.sigma_g2),
-        "sigma_e2": float(null.sigma_e2), "dof": dof,
-        "ll_null": float(null.ll),
-        "precision_tier": tier_name if tier_name is not None else (
-            matmul_precision or (rd if isinstance(rd, str)
-                                 else ("bf16" if rd is not None
-                                       else "exact"))),
-    }
-    if with_betas:
-        out["betas"] = betas_arr
-        out["var_perc"] = var_arr
-    return out
+    return finalize_scan(
+        Gf, null, dtype,
+        np.array(d["f_stats"], dtype=np.float64),
+        np.array(d["mask"]),
+        betas=(np.array(d["betas"], dtype=np.float64)
+               if with_betas else None),
+        var_perc=(np.array(d["var_perc"], dtype=np.float64)
+                  if with_betas else None),
+        with_betas=with_betas, rescore_top=rescore_top, rd=rd,
+        matmul_precision=matmul_precision, tier_name=tier_name,
+        dof=int(rot.dof))
 
 
 import jax as _jax_mod

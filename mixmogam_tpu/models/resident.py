@@ -244,6 +244,13 @@ class ResidentGenome:
                     f"request (meta={meta}, tile={tile}, "
                     f"ploidy={ploidy}) and no source was given to "
                     "repack from")
+        if mat is None:
+            # cache files absent (or the .json sidecar missing) with no
+            # source: fail with the reason, not an AttributeError at
+            # mat.shape below (review finding)
+            raise ValueError(
+                f"packed cache at {cache_path!r} is missing or has no "
+                ".json sidecar, and no source was given to repack from")
 
         if ploidy is None:
             ploidy = getattr(G, "ploidy", None)
@@ -334,7 +341,6 @@ def emmax_resident(rg: ResidentGenome, y, K=None, X0=None, eig_k=None,
     from mixmogam_tpu.ops.scan import (build_rotated_null,
                                        normalize_rotate_tier,
                                        resolve_precision)
-    from mixmogam_tpu.ops.stats import f_sf_host
 
     y = np.asarray(y, dtype=np.float64).ravel()
     n = y.shape[0]
@@ -389,48 +395,19 @@ def emmax_resident(rg: ResidentGenome, y, K=None, X0=None, eig_k=None,
         d = emmax_scan_packed(rg.packed, rot, rg.n, scan_tile,
                               impute=rg.has_missing)
     M = rg.M
-    f_stats = np.array(d["f_stats"], dtype=np.float64)[:M]
-    mask_arr = np.array(d["mask"])[:M]
-    dof = int(rot.dof)
-    ps = np.where(mask_arr, f_sf_host(f_stats, 1.0, dof), 1.0)
-    betas_arr = (np.array(d["betas"], dtype=np.float64)[:M]
-                 if with_betas else None)
-    var_arr = (np.array(d["var_perc"], dtype=np.float64)[:M]
-               if with_betas else None)
-    rescored = np.zeros(0, dtype=np.int64)
-    if rescore_top and (rd is not None or matmul_precision):
-        from mixmogam_tpu.ops.scan import (select_rescore_idx,
-                                           tier_drift_name)
+    from mixmogam_tpu.models.streaming import finalize_scan
 
-        # threshold-complete contract (VERDICT r4 #2): every reported
-        # p below the Bonferroni threshold is exact-tier, uncapped
-        idx = select_rescore_idx(ps, rescore_top,
-                                 tier_drift_name(rd, matmul_precision))
-        idx, d_ex = _exact_rescore(rg, idx, null, dtype)
-        f_stats[idx] = np.asarray(d_ex["f_stats"], dtype=np.float64)
-        mask_arr[idx] = np.asarray(d_ex["mask"])
-        ps[idx] = np.where(mask_arr[idx],
-                           f_sf_host(f_stats[idx], 1.0, dof), 1.0)
-        if with_betas:
-            betas_arr[idx] = np.asarray(d_ex["betas"], dtype=np.float64)
-            var_arr[idx] = np.asarray(d_ex["var_perc"], dtype=np.float64)
-        rescored = idx
-    out = {
-        "ps": ps, "f_stats": f_stats, "mask": mask_arr,
-        "rescored_idx": rescored,
-        "pseudo_heritability": float(null.pseudo_heritability),
-        "delta": float(null.delta), "sigma_g2": float(null.sigma_g2),
-        "sigma_e2": float(null.sigma_e2), "dof": dof,
-        "ll_null": float(null.ll),
-        "precision_tier": tier_name if tier_name is not None else (
-            matmul_precision or (rd if isinstance(rd, str)
-                                 else ("bf16" if rd is not None
-                                       else "exact"))),
-    }
-    if with_betas:
-        out["betas"] = betas_arr
-        out["var_perc"] = var_arr
-    return out
+    return finalize_scan(
+        rg, null, dtype,
+        np.array(d["f_stats"], dtype=np.float64)[:M],
+        np.array(d["mask"])[:M],
+        betas=(np.array(d["betas"], dtype=np.float64)[:M]
+               if with_betas else None),
+        var_perc=(np.array(d["var_perc"], dtype=np.float64)[:M]
+                  if with_betas else None),
+        with_betas=with_betas, rescore_top=rescore_top, rd=rd,
+        matmul_precision=matmul_precision, tier_name=tier_name,
+        dof=int(rot.dof))
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,6 @@ from mixmogam_tpu.models.emmax import _as_design
 
 from mixmogam_tpu.ops.reml import fit_null_model
 from mixmogam_tpu.ops.scan import build_rotated_null, emmax_scan_stats
-from mixmogam_tpu.ops.stats import f_sf_host
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
@@ -103,8 +102,13 @@ def rotate_streamed_to_device(G_src, U, dtype=None,
 
 def _host_float_tile(chunk: np.ndarray, dtype) -> np.ndarray:
     """Float-source tile: NaN = missing, per-SNP mean imputed on host
-    (tiles hold COMPLETE SNP rows, so per-SNP imputation is tile-local)."""
-    C = np.asarray(chunk, dtype=np.float64)
+    (tiles hold COMPLETE SNP rows, so per-SNP imputation is tile-local).
+
+    np.array COPY, not asarray: a float64 source slice arrives as a
+    no-copy VIEW, and imputing in place would silently overwrite the
+    CALLER's NaNs with means (or crash on a read-only memmap) —
+    review finding."""
+    C = np.array(chunk, dtype=np.float64)
     miss = np.isnan(C)
     if miss.any():
         mu = np.nanmean(C, axis=1)
@@ -112,6 +116,57 @@ def _host_float_tile(chunk: np.ndarray, dtype) -> np.ndarray:
         idx = np.where(miss)
         C[idx] = mu[idx[0]]
     return C.astype(dtype)
+
+
+def finalize_scan(matrix_source, null, dtype, f_stats, mask,
+                  betas=None, var_perc=None, with_betas: bool = True,
+                  rescore_top: int = 0, rd=None, matmul_precision=None,
+                  tier_name=None, dof: int = 0):
+    """p-value finalize + threshold-complete exact rescore + output
+    dict — the ONE definition shared by the in-core, resident and
+    streamed EMMAX paths (review r5-cont: three drifting copies).
+
+    f_stats/mask (and betas/var_perc when given) are float64/bool host
+    arrays, PATCHED IN PLACE by the rescore pass. rescore_top only
+    engages on an approximate tier (rd/matmul_precision set), where
+    every returned p below the drift-widened Bonferroni cut is
+    re-tested at the exact tier, uncapped (VERDICT r4 #2 contract)."""
+    from mixmogam_tpu.ops.stats import f_sf_host as _fsf
+
+    dof = int(dof)
+    ps = np.where(mask, _fsf(f_stats, 1.0, dof), 1.0)
+    rescored = np.zeros(0, dtype=np.int64)
+    if rescore_top and (rd is not None or matmul_precision):
+        from mixmogam_tpu.ops.scan import (select_rescore_idx,
+                                           tier_drift_name)
+
+        idx = select_rescore_idx(ps, rescore_top,
+                                 tier_drift_name(rd, matmul_precision))
+        idx, d_ex = _exact_rescore(matrix_source, idx, null, dtype)
+        f_stats[idx] = np.asarray(d_ex["f_stats"], dtype=np.float64)
+        mask[idx] = np.asarray(d_ex["mask"])
+        ps[idx] = np.where(mask[idx], _fsf(f_stats[idx], 1.0, dof), 1.0)
+        if betas is not None:
+            betas[idx] = np.asarray(d_ex["betas"], dtype=np.float64)
+            var_perc[idx] = np.asarray(d_ex["var_perc"],
+                                       dtype=np.float64)
+        rescored = idx
+    out = {
+        "ps": ps, "f_stats": f_stats, "mask": mask,
+        "rescored_idx": rescored,
+        "pseudo_heritability": float(null.pseudo_heritability),
+        "delta": float(null.delta), "sigma_g2": float(null.sigma_g2),
+        "sigma_e2": float(null.sigma_e2), "dof": dof,
+        "ll_null": float(null.ll),
+        "precision_tier": tier_name if tier_name is not None else (
+            matmul_precision or (rd if isinstance(rd, str)
+                                 else ("bf16" if rd is not None
+                                       else "exact"))),
+    }
+    if with_betas and betas is not None:
+        out["betas"] = betas
+        out["var_perc"] = var_perc
+    return out
 
 
 def _exact_rescore(matrix_source, idx, null, dtype, tile: int = 16_384):
@@ -285,8 +340,14 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
         os.makedirs(checkpoint_dir, exist_ok=True)
         mpath = os.path.join(checkpoint_dir, f"manifest_{run_key}.json")
         if os.path.exists(mpath):
-            with open(mpath) as f:
-                done = set(json.load(f)["done"])
+            # tolerate a manifest truncated by a mid-write kill (the
+            # exact event checkpointing exists for): restart from the
+            # tile files alone rather than crash (review finding)
+            try:
+                with open(mpath) as f:
+                    done = set(json.load(f)["done"])
+            except (json.JSONDecodeError, KeyError, ValueError):
+                done = set()
 
     n_tiles = -(-M // tile)
     f_stats = np.zeros(M, dtype=np.float64)
@@ -305,12 +366,19 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
         var_perc[s:e] = np.asarray(out["var_perc"], dtype=np.float64)[:m]
         mask[s:e] = np.asarray(out["mask"])[:m]
         if checkpoint_dir:
-            np.savez(tile_path(t), f_stats=f_stats[s:e], betas=betas[s:e],
-                     var_perc=var_perc[s:e], mask=mask[s:e])
+            # atomic writes (tmp + os.replace): a SIGKILL mid-dump must
+            # not leave a truncated manifest/tile that poisons the very
+            # resume this checkpointing provides (review finding)
+            tpath = tile_path(t)
+            np.savez(tpath + ".tmp.npz", f_stats=f_stats[s:e],
+                     betas=betas[s:e], var_perc=var_perc[s:e],
+                     mask=mask[s:e])
+            os.replace(tpath + ".tmp.npz", tpath)
             done.add(t)
-            with open(mpath, "w") as f:
+            with open(mpath + ".tmp", "w") as f:
                 json.dump({"done": sorted(done), "n_tiles": n_tiles,
                            "delta": float(null.delta)}, f)
+            os.replace(mpath + ".tmp", mpath)
 
     # restore completed tiles
     todo = []
@@ -388,35 +456,8 @@ def emmax_streamed(matrix_source, y, K=None, X0: Optional[np.ndarray] = None,
     for t0, o0 in pending:
         store(t0, jax.device_get(o0))
 
-    ps = np.where(mask, f_sf_host(f_stats, 1.0, dof), 1.0)
-    rescored = np.zeros(0, dtype=np.int64)
-    if rescore_top and (rd is not None or matmul_precision):
-        from mixmogam_tpu.ops.scan import (select_rescore_idx,
-                                           tier_drift_name)
-
-        # threshold-complete contract (VERDICT r4 #2): top-k is only a
-        # FLOOR; everything below the drift-widened Bonferroni cut is
-        # re-tested exactly, uncapped
-        idx = select_rescore_idx(ps, rescore_top,
-                                 tier_drift_name(rd, matmul_precision))
-        idx, d_ex = _exact_rescore(matrix_source, idx, null, dtype)
-        f_stats[idx] = np.asarray(d_ex["f_stats"], dtype=np.float64)
-        betas[idx] = np.asarray(d_ex["betas"], dtype=np.float64)
-        var_perc[idx] = np.asarray(d_ex["var_perc"], dtype=np.float64)
-        mask[idx] = np.asarray(d_ex["mask"])
-        ps[idx] = np.where(mask[idx],
-                           f_sf_host(f_stats[idx], 1.0, dof), 1.0)
-        rescored = idx
-    out = {"ps": ps, "f_stats": f_stats, "mask": mask, "dof": dof,
-           "rescored_idx": rescored,
-           "pseudo_heritability": float(null.pseudo_heritability),
-           "delta": float(null.delta),
-           "sigma_g2": float(null.sigma_g2),
-           "sigma_e2": float(null.sigma_e2), "ll_null": float(null.ll),
-           "precision_tier": tier_name if tier_name is not None else (
-               rd if isinstance(rd, str)
-               else ("bf16" if rd is not None else "exact"))}
-    if with_betas:
-        out["betas"] = betas
-        out["var_perc"] = var_perc
-    return out
+    return finalize_scan(matrix_source, null, dtype, f_stats, mask,
+                         betas=betas, var_perc=var_perc,
+                         with_betas=with_betas, rescore_top=rescore_top,
+                         rd=rd, matmul_precision=matmul_precision,
+                         tier_name=tier_name, dof=dof)

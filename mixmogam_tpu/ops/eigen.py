@@ -66,7 +66,12 @@ def projected_spectrum(K, X, host: bool = True
     matrix positive definite on range(S) so the nonzero/null split is clean.
     """
     if host:
-        dt = jnp.asarray(K).dtype if hasattr(K, "dtype") else None
+        # dtype WITHOUT a device round-trip (same fix as eigen_k: the
+        # jnp.asarray probe uploaded the full n^2 K to read .dtype)
+        import jax
+
+        dt = (jax.dtypes.canonicalize_dtype(K.dtype)
+              if hasattr(K, "dtype") else None)
         Kh = np.asarray(K, dtype=np.float64)
         Xh = np.atleast_2d(np.asarray(X, dtype=np.float64))
         n, q = Xh.shape

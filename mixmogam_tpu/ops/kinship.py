@@ -272,8 +272,14 @@ def kinship(data, method: str = "ibs", ploidy: Optional[int] = None,
         return oracle.ibs_kinship(Z, ploidy=ploidy)
 
     # int8 MXU fast paths: fully-observed integer coding -> integer-exact
-    # sharing counts (see _ibs_int8_update / ops.pallas_kinship)
-    if mat.dtype == np.int8 and not (mat < 0).any():
+    # sharing counts (see _ibs_int8_update / ops.pallas_kinship).
+    # missing-check runs CHUNKED: one (M, n) bool temp is 10.7 GB at the
+    # flagship scale, as large as the source itself (review finding)
+    def _any_negative(m_):
+        return any((np.asarray(m_[s:s + chunk]) < 0).any()
+                   for s in range(0, m_.shape[0], chunk))
+
+    if mat.dtype == np.int8 and not _any_negative(mat):
         if ploidy == 1:
             return _ibs_int8_streamed(mat, chunk, pack_transfer)
         if ploidy == 2:

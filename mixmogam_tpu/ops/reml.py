@@ -275,7 +275,12 @@ def fit_null_model(y, X0, K=None, eig_k: Optional[Tuple] = None,
     else:
         raise ValueError(f"unknown method {method!r} "
                          "(expected 'auto', 'explicit' or 'spectrum')")
-    return NullModel(phi=phi, U=U, y=y, X0=X0, **r)
+    null = NullModel(phi=phi, U=U, y=y, X0=X0, **r)
+    # record the objective so h2_profile_ci can profile the SAME
+    # likelihood (an ML fit profiled with the REML curve would invert
+    # the LRT around the wrong optimum — review finding)
+    null._ml = ml
+    return null
 
 
 def h2_profile_ci(null: NullModel, level: float = 0.95,
@@ -298,10 +303,14 @@ def h2_profile_ci(null: NullModel, level: float = 0.95,
     from scipy.stats import chi2
 
     U = np.asarray(null.U, np.float64)
+    # profile the SAME objective the null was fitted with (a NullModel
+    # from fit_null_model(ml=True) records _ml; profiling the REML
+    # curve around an ML optimum would invert the LRT off-center)
     ll_at, _, _, _ = _explicit_ll_host(
         np.asarray(null.phi, np.float64),
         U.T @ np.asarray(null.y, np.float64),
-        U.T @ np.asarray(null.X0, np.float64))
+        U.T @ np.asarray(null.X0, np.float64),
+        ml=bool(getattr(null, "_ml", False)))
     cut = float(ll_at(float(null.log_delta))) \
         - 0.5 * float(chi2.ppf(level, 1))
     ld_hat = float(null.log_delta)

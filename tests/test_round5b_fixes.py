@@ -158,3 +158,91 @@ class TestLoggerPropagation:
         assert profiling.logger.propagate is False
         assert isinstance(profiling.logger.handlers[0],
                           logging.StreamHandler)
+
+
+class TestOpsReviewFixes:
+    """Second review pass over ops/ + resident/streaming (round-5
+    continuation)."""
+
+    def test_float_source_not_mutated_by_streaming_impute(self):
+        """_host_float_tile must copy: imputing in place would silently
+        overwrite the CALLER's NaNs (or crash on read-only memmaps)."""
+        from mixmogam_tpu.models.streaming import _host_float_tile
+
+        G = np.array([[1.0, np.nan, 3.0], [np.nan, 2.0, 2.0]])
+        G_orig = G.copy()
+        out = _host_float_tile(G[0:2], np.float64)
+        assert np.isfinite(out).all()
+        np.testing.assert_array_equal(np.isnan(G), np.isnan(G_orig))
+
+    def test_readonly_float_memmap_streams(self, tmp_path):
+        from mixmogam_tpu.models.source import fetch_tile
+        from mixmogam_tpu.ops.pack2 import default_pack_transfer
+
+        rng = np.random.default_rng(2)
+        G = rng.random((8, 12))
+        G[1, 3] = np.nan
+        path = tmp_path / "g.npy"
+        np.save(path, G)
+        mm = np.load(path, mmap_mode="r")     # read-only view
+        t = fetch_tile(mm, 0, 8, 8, 12, np.float64,
+                       default_pack_transfer())
+        assert np.isfinite(np.asarray(t)).all()
+
+    def test_truncated_manifest_restarts_instead_of_crashing(
+            self, tmp_path, small_dataset, kinship_small):
+        from mixmogam_tpu.models.streaming import emmax_streamed
+
+        G = small_dataset["G_int"][:64]
+        y, K = small_dataset["y"], kinship_small
+        ck = str(tmp_path / "ck")
+        ref = emmax_streamed(G, y, K=K, tile=32, checkpoint_dir=ck)
+        # corrupt the manifest the way a mid-write SIGKILL would
+        import glob
+
+        mpath = glob.glob(f"{ck}/manifest_*.json")[0]
+        with open(mpath, "w") as f:
+            f.write('{"done": [0, 1')       # truncated JSON
+        d = emmax_streamed(G, y, K=K, tile=32, checkpoint_dir=ck)
+        np.testing.assert_allclose(d["ps"], ref["ps"], atol=1e-12)
+
+    def test_from_source_missing_cache_clear_error(self, tmp_path):
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        with pytest.raises(ValueError, match="missing"):
+            ResidentGenome.from_source(
+                None, cache_path=str(tmp_path / "nope.bin"))
+
+    def test_h2_ci_profiles_the_fitted_objective(self, small_dataset,
+                                                 kinship_small):
+        """An ML-fitted null must profile the ML curve (its own optimum
+        sits ON the profiled likelihood)."""
+        from mixmogam_tpu.ops.reml import fit_null_model, h2_profile_ci
+
+        y, K = small_dataset["y"], kinship_small
+        X0 = np.ones((len(y), 1))
+        null_ml = fit_null_model(y, X0, K=K, ml=True)
+        lo, hi = h2_profile_ci(null_ml)
+        h2 = float(null_ml.pseudo_heritability)
+        assert lo - 1e-9 <= h2 <= hi + 1e-9, (lo, h2, hi)
+        null_reml = fit_null_model(y, X0, K=K)
+        lo_r, hi_r = h2_profile_ci(null_reml)
+        assert lo_r - 1e-9 <= float(null_reml.pseudo_heritability) \
+            <= hi_r + 1e-9
+
+    def test_finalize_scan_shared_output_contract(self, small_dataset,
+                                                  kinship_small):
+        """The three EMMAX paths now share ONE finalize/rescore
+        epilogue: identical keys and identical rescored values."""
+        from mixmogam_tpu.models import emmax
+        from mixmogam_tpu.models.resident import ResidentGenome
+
+        G, y, K = (small_dataset["G_int"][:128], small_dataset["y"],
+                   kinship_small)
+        d_in = emmax(G.astype(np.float64), y, K=K, stream=False)
+        d_st = emmax(G, y, K=K, stream=True)
+        rg = ResidentGenome.from_source(G, tile=32)
+        d_rg = emmax(rg, y, K=K)
+        assert set(d_in) == set(d_st) == set(d_rg)
+        np.testing.assert_allclose(d_st["ps"], d_in["ps"], atol=1e-10)
+        np.testing.assert_allclose(d_rg["ps"], d_in["ps"], atol=1e-10)
