@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -196,18 +197,23 @@ class GenotypeData:
         """Binary/dosage CSV: header 'Chromosome,Position,acc1,...';
         one row per SNP (reference: SNPsDataSet.writeToFile shape)."""
         # vectorized formatting (a per-cell str() loop costs minutes at
-        # 1M SNPs x thousands of samples)
-        S = self.matrix.astype("U4")
-        S[self.matrix == MISSING] = "NA"
-        ch = self.chromosomes.astype("U12").tolist()
-        po = self.positions.astype("U20").tolist()
-        rows = S.tolist()
+        # 1M SNPs x thousands of samples), in ROW CHUNKS: a whole-matrix
+        # U4 copy + str list is ~65 GB at that scale (review finding)
         with open(path, "w") as f:
-            f.write("Chromosome,Position," + ",".join(self.accessions) + "\n")
-            f.write("\n".join(f"{c},{p}," + ",".join(r)
-                              for c, p, r in zip(ch, po, rows)))
-            if rows:
-                f.write("\n")
+            f.write("Chromosome,Position," + ",".join(self.accessions)
+                    + "\n")
+            step = max(1, (64 << 20) // max(self.num_samples, 1))
+            for s in range(0, self.num_snps, step):
+                m = self.matrix[s:s + step]
+                S = m.astype("U4")
+                S[m == MISSING] = "NA"
+                ch = self.chromosomes[s:s + step].astype("U12").tolist()
+                po = self.positions[s:s + step].astype("U20").tolist()
+                rows = S.tolist()
+                f.write("\n".join(f"{c},{p}," + ",".join(r)
+                                  for c, p, r in zip(ch, po, rows)))
+                if rows:
+                    f.write("\n")
 
     def write_hdf5(self, path: str) -> None:
         import h5py
@@ -243,6 +249,11 @@ class GenotypeData:
     def read_packed(path: str) -> "GenotypeData":
         from mixmogam_tpu import native
 
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            # np.savez_compressed appends '.npz' to suffix-less names,
+            # so write_packed('x.packed') created 'x.packed.npz' —
+            # accept the same name back (review finding)
+            path = path + ".npz"
         with np.load(path, allow_pickle=False) as z:
             n = int(z["n_samples"])
             return GenotypeData(
@@ -257,6 +268,11 @@ class GenotypeData:
         import h5py
 
         with h5py.File(path, "r") as f:
+            if f.attrs.get("dosage", False):
+                # a DosageData container: dispatch instead of casting
+                # the float matrix to int8 (0.7 -> 0, NaN -> undefined
+                # — silent corruption; review finding)
+                return DosageData.read_hdf5(path)
             return GenotypeData(
                 matrix=f["matrix"][:],
                 chromosomes=f["chromosomes"][:],
@@ -313,14 +329,8 @@ class DosageData(GenotypeData):
             Z[idx] = mu[idx[0]]
         return Z
 
-    def content_hash(self) -> str:
-        h = hashlib.sha256()
-        h.update(self.matrix.tobytes())
-        h.update(self.chromosomes.tobytes())
-        h.update(self.positions.tobytes())
-        h.update("|".join(self.accessions).encode())
-        h.update(str(self.ploidy).encode())
-        return h.hexdigest()[:16]
+    # content_hash: inherited from GenotypeData (a byte-identical copy
+    # lived here and invited cache-key drift — review finding)
 
     def write_csv(self, path: str) -> None:
         raise NotImplementedError(

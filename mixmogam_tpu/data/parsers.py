@@ -128,7 +128,14 @@ def _parse_dosage_csv(path: str, delimiter: str,
             for i, tok in enumerate(parts[2:2 + n]):
                 tok = tok.strip()
                 if tok not in _MISSING_TOKENS:
-                    row[i] = int(tok)
+                    v = int(tok)
+                    # any negative token = missing sentinel — the SAME
+                    # rule as the C++ fast path (fast_parse.cpp maps
+                    # v<0 to -1); storing e.g. -5 verbatim would count
+                    # it as an OBSERVED dosage downstream (review
+                    # finding: the two documented-identical parsers
+                    # disagreed on malformed negatives)
+                    row[i] = v if v >= 0 else MISSING
             rows.append(row)
     matrix = np.vstack(rows) if rows else np.zeros((0, n), dtype=np.int8)
     if ploidy is None:

@@ -67,6 +67,7 @@ def read_bim(path: str) -> Tuple[np.ndarray, np.ndarray, List[str],
     conv = {"X": 23, "Y": 24, "XY": 25, "MT": 26, "M": 26}
     extra: dict = {}
     with open(path) as f:
+        pending = []                # (row index, label) for extras
         for line in f:
             p = line.split()
             if len(p) < 6:
@@ -79,12 +80,26 @@ def read_bim(path: str) -> Tuple[np.ndarray, np.ndarray, List[str],
             elif lab.upper() in conv:
                 code = conv[lab.upper()]
             else:
-                code = extra.setdefault(lab, 27 + len(extra))
+                code = None         # assigned after the numeric max is
+                pending.append((len(chroms), lab))  # known (see below)
             chroms.append(code)
             ids.append(p[1])
             poss.append(int(p[3]))
             a1s.append(p[4])
             a2s.append(p[5])
+    if pending:
+        # non-standard contigs get codes ABOVE every numeric/PAR code
+        # in the file (same rule as the VCF reader's
+        # _resolve_chrom_map) — a hard-coded start at 27 collided with
+        # numeric chromosomes >= 27 (review finding: wheat/polyploid
+        # .bims merge distinct contigs)
+        base = max([c for c in chroms if c is not None], default=26)
+        base = max(base, 26)
+        for row, lab in pending:
+            if lab not in extra:
+                base += 1
+                extra[lab] = base
+            chroms[row] = extra[lab]
     return (np.asarray(chroms, np.int32), np.asarray(poss, np.int64),
             ids, a1s, a2s)
 

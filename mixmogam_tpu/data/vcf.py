@@ -92,7 +92,11 @@ def _vcf_header_samples(path: str):
                 if line.startswith("##"):
                     continue
                 if line.startswith("#CHROM"):
-                    parts = line.rstrip("\n").split("\t")
+                    # rstrip \r too: a CRLF VCF must not leave a
+                    # trailing \r on the last sample ID (review finding
+                    # — coordinate_with_phenotype would silently drop
+                    # that sample)
+                    parts = line.rstrip("\r\n").split("\t")
                     if len(parts) < 10 or parts[8] != "FORMAT":
                         return None
                     return parts[9:]
@@ -119,29 +123,18 @@ def _read_vcf_native(path: str):
     if out is None:
         return None
     mat, poss, codes, names, alleles, arity = out
-    # resolve chromosome codes with the Python reader's exact
-    # semantics: numeric names keep their value; non-numeric names get
-    # sequential codes above the largest numeric code, in
-    # first-appearance order of the ORIGINAL name
+    # chromosome codes come from _resolve_chrom_map — the SAME
+    # implementation the Python reader uses (review finding: a local
+    # re-derivation here had drifted on edge-case names like ' 7')
     name_strs = [bytes(r).rstrip(b"\0").decode() for r in names] \
         if len(names) else []
-    mapping: Dict[str, int] = {}
-    numeric_max = int(codes[codes >= 0].max()) if (codes >= 0).any() else 0
-    chrom_out = np.asarray(codes, dtype=np.int32).copy()
-    pending = []
-    for i, nm in enumerate(name_strs):
-        if nm not in mapping:
-            mapping[nm] = int(codes[i])
-            if codes[i] < 0:
-                pending.append(nm)
-    next_code = numeric_max
-    for nm in pending:
-        next_code += 1
-        mapping[nm] = next_code
-    if pending:
-        lut = np.asarray([mapping[nm] for nm in name_strs],
-                         dtype=np.int32)
-        chrom_out = lut
+    if name_strs:
+        mapping = _resolve_chrom_map(name_strs)
+        chrom_out = np.asarray([mapping[nm] for nm in name_strs],
+                               dtype=np.int32)
+    else:
+        mapping = {}
+        chrom_out = np.asarray(codes, dtype=np.int32).copy()
     gd = GenotypeData(
         matrix=mat, chromosomes=chrom_out, positions=poss,
         accessions=samples, ploidy=int(arity),
@@ -258,7 +251,7 @@ def _iter_vcf_python(path: str, chunk_rows: int = 65_536,
     yielded = False
     with _open_text(path) as f:
         for line in f:
-            line = line.rstrip("\n")
+            line = line.rstrip("\r\n")
             if not line:
                 continue
             if line.startswith("##"):

@@ -43,43 +43,61 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
+            _bind(lib)
         except OSError:
             return None
-        lib.count_csv.restype = ctypes.c_int
-        lib.count_csv.argtypes = [ctypes.c_char_p,
-                                  ctypes.POINTER(ctypes.c_int64),
-                                  ctypes.POINTER(ctypes.c_int64)]
-        lib.parse_dosage_csv.restype = ctypes.c_int64
-        lib.parse_dosage_csv.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
-        lib.packed_row_bytes.restype = ctypes.c_int64
-        lib.packed_row_bytes.argtypes = [ctypes.c_int64]
-        lib.pack_2bit.restype = None
-        lib.pack_2bit.argtypes = [ctypes.POINTER(ctypes.c_int8),
-                                  ctypes.c_int64, ctypes.c_int64,
-                                  ctypes.POINTER(ctypes.c_uint8)]
-        lib.unpack_2bit.restype = None
-        lib.unpack_2bit.argtypes = [ctypes.POINTER(ctypes.c_uint8),
-                                    ctypes.c_int64, ctypes.c_int64,
-                                    ctypes.POINTER(ctypes.c_int8)]
-        lib.vcf_open.restype = ctypes.c_void_p
-        lib.vcf_open.argtypes = [ctypes.c_char_p,
-                                 ctypes.POINTER(ctypes.c_int64)]
-        lib.vcf_close.restype = None
-        lib.vcf_close.argtypes = [ctypes.c_void_p]
-        lib.vcf_next.restype = ctypes.c_int64
-        lib.vcf_next.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int8),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
-            ctypes.c_char_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        except AttributeError:
+            # a stale .so built before the current ABI (e.g. pre-VCF):
+            # rebuild once, else degrade to the Python paths instead of
+            # crashing callers with a missing-symbol AttributeError
+            # (review finding)
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+                _bind(lib)
+            except (OSError, AttributeError):
+                return None
         _lib = lib
         return _lib
+
+
+def _bind(lib) -> None:
+    """Declare every exported symbol's signature; raises AttributeError
+    when the .so predates a symbol (stale build)."""
+    lib.count_csv.restype = ctypes.c_int
+    lib.count_csv.argtypes = [ctypes.c_char_p,
+                              ctypes.POINTER(ctypes.c_int64),
+                              ctypes.POINTER(ctypes.c_int64)]
+    lib.parse_dosage_csv.restype = ctypes.c_int64
+    lib.parse_dosage_csv.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+    lib.packed_row_bytes.restype = ctypes.c_int64
+    lib.packed_row_bytes.argtypes = [ctypes.c_int64]
+    lib.pack_2bit.restype = None
+    lib.pack_2bit.argtypes = [ctypes.POINTER(ctypes.c_int8),
+                              ctypes.c_int64, ctypes.c_int64,
+                              ctypes.POINTER(ctypes.c_uint8)]
+    lib.unpack_2bit.restype = None
+    lib.unpack_2bit.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                ctypes.c_int64, ctypes.c_int64,
+                                ctypes.POINTER(ctypes.c_int8)]
+    lib.vcf_open.restype = ctypes.c_void_p
+    lib.vcf_open.argtypes = [ctypes.c_char_p,
+                             ctypes.POINTER(ctypes.c_int64)]
+    lib.vcf_close.restype = None
+    lib.vcf_close.argtypes = [ctypes.c_void_p]
+    lib.vcf_next.restype = ctypes.c_int64
+    lib.vcf_next.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
 
 
 def available() -> bool:
@@ -220,6 +238,18 @@ def parse_vcf(path: str, n_samples: int, n_threads: int = 0,
 def pack_2bit(mat: np.ndarray) -> np.ndarray:
     """int8 (M, n) dosages (0..2, -1 missing) -> (M, ceil(n/4)) uint8.
     Falls back to a numpy implementation without the native lib."""
+    src = np.asarray(mat)
+    if np.issubdtype(src.dtype, np.floating):
+        # validate BEFORE the lossy int8 cast: fractional dosages would
+        # silently truncate (0.7 -> 0) and NaN casts to an undefined
+        # int8 (review finding)
+        if src.size and (np.isnan(src).any()
+                         or not np.array_equal(src, np.rint(src))):
+            raise ValueError(
+                "pack_2bit needs integer hard calls (0..2, -1 = "
+                "missing); this float matrix has fractional or NaN "
+                "dosages — 2-bit packing would silently fabricate hard "
+                "calls. Use the HDF5 container for imputed dosages.")
     mat = np.ascontiguousarray(mat, dtype=np.int8)
     if mat.size and (mat.min() < -1 or mat.max() > 2):
         raise ValueError(

@@ -246,3 +246,87 @@ class TestOpsReviewFixes:
         assert set(d_in) == set(d_st) == set(d_rg)
         np.testing.assert_allclose(d_st["ps"], d_in["ps"], atol=1e-10)
         np.testing.assert_allclose(d_rg["ps"], d_in["ps"], atol=1e-10)
+
+
+class TestDataPlaneReviewFixes:
+    """Third review pass (data/ + native/)."""
+
+    def test_crlf_vcf_last_sample_clean(self, tmp_path):
+        from mixmogam_tpu.data.vcf import read_vcf
+
+        body = ("##fileformat=VCFv4.2\r\n"
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                "\tS1\tS2\r\n"
+                "1\t100\t.\tA\tT\t.\tPASS\t.\tGT\t0/1\t1/1\r\n"
+                "1\t200\t.\tG\tC\t.\tPASS\t.\tGT\t0/0\t0/1\r\n")
+        p = tmp_path / "crlf.vcf"
+        p.write_bytes(body.encode())
+        gd = read_vcf(str(p))
+        assert gd.accessions == ["S1", "S2"]     # no trailing \r
+        np.testing.assert_array_equal(gd.matrix,
+                                      [[1, 2], [0, 1]])
+
+    def test_hdf5_dosage_dispatch(self, tmp_path):
+        from mixmogam_tpu.data.genotype import DosageData, GenotypeData
+
+        D = np.array([[0.25, np.nan, 1.75], [2.0, 0.0, 1.0]])
+        dd = DosageData(D, [1, 1], [10, 20], ["a", "b", "c"], ploidy=2)
+        h5 = str(tmp_path / "dos.h5")
+        dd.write_hdf5(h5)
+        back = GenotypeData.read_hdf5(h5)
+        assert isinstance(back, DosageData)
+        np.testing.assert_allclose(back.matrix, D)  # NaN preserved
+
+    def test_pack_2bit_rejects_fractional_floats(self):
+        from mixmogam_tpu import native
+
+        with pytest.raises(ValueError, match="fractional|NaN"):
+            native.pack_2bit(np.array([[0.7, 1.0], [np.nan, 2.0]]))
+        # integral floats still pack (round-trips as hard calls)
+        out = native.pack_2bit(np.array([[0.0, 1.0, 2.0, -1.0]]))
+        np.testing.assert_array_equal(
+            native.unpack_2bit(out, 4), [[0, 1, 2, -1]])
+
+    def test_negative_dosage_token_is_missing(self, tmp_path):
+        """Python parser matches the C++ rule: negative tokens are the
+        missing sentinel, never observed dosages."""
+        from mixmogam_tpu.data.parsers import parse_snp_data
+
+        p = tmp_path / "g.csv"
+        p.write_text("Chromosome,Position,a,b,c\n"
+                     "1,100,0,-5,1\n1,200,1,1,-1\n")
+        gd = parse_snp_data(str(p), data_format="binary")
+        np.testing.assert_array_equal(gd.matrix,
+                                      [[0, -1, 1], [1, 1, -1]])
+
+    def test_bim_extra_contig_codes_above_numeric_max(self, tmp_path):
+        from mixmogam_tpu.data.plink import read_bim
+
+        p = tmp_path / "x.bim"
+        p.write_text("27\ts1\t0\t100\tA\tT\n"
+                     "Un\ts2\t0\t200\tG\tC\n"
+                     "42\ts3\t0\t300\tA\tC\n"
+                     "Un2\ts4\t0\t400\tT\tG\n")
+        chroms, poss, ids, a1, a2 = read_bim(str(p))
+        # 'Un'/'Un2' must NOT collide with numeric chromosomes 27/42
+        assert chroms[0] == 27 and chroms[2] == 42
+        assert chroms[1] > 42 and chroms[3] > 42
+        assert chroms[1] != chroms[3]
+
+    def test_write_packed_suffixless_roundtrip(self, tmp_path):
+        from mixmogam_tpu.data.genotype import GenotypeData
+
+        gd = GenotypeData(np.array([[0, 1, 2, -1]], np.int8), [1], [5],
+                          ["a", "b", "c", "d"], ploidy=2)
+        path = str(tmp_path / "genome.packed")   # no .npz suffix
+        gd.write_packed(path)
+        back = GenotypeData.read_packed(path)
+        np.testing.assert_array_equal(back.matrix, gd.matrix)
+
+    def test_dosage_content_hash_inherited(self):
+        from mixmogam_tpu.data.genotype import DosageData, GenotypeData
+
+        dd = DosageData(np.array([[0.5, 1.0]]), [1], [10], ["a", "b"],
+                        ploidy=2)
+        assert DosageData.content_hash is GenotypeData.content_hash
+        assert len(dd.content_hash()) == 16
