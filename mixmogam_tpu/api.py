@@ -179,11 +179,25 @@ def run_gwas(genotype_file: str, phenotype_file: str, pid: int = 1,
                     model_kw["X0"] = np.asarray(model_kw["X0"])[keep]
                 sample_ids = [sample_ids[i] for i in keep]
         if cov_maps:
-            X0 = np.hstack(
-                [np.ones((len(sample_ids), 1))]
-                + [np.array([np.mean(m[a]) for a in sample_ids])[:, None]
-                   for m in cov_maps])
-            model_kw.setdefault("X0", X0)
+            cov_cols = [np.array([np.mean(m[a])
+                                  for a in sample_ids])[:, None]
+                        for m in cov_maps]
+            if "X0" in model_kw:
+                # a user design + covariate_pids COMPOSE: append the
+                # covariate columns (review r5-cont: setdefault let the
+                # user X0 win and silently dropped the requested
+                # covariates — an unadjusted scan with no warning)
+                X0u = np.asarray(model_kw["X0"], dtype=np.float64)
+                if X0u.ndim == 1:
+                    X0u = X0u[:, None]
+                if X0u.shape[0] != len(sample_ids):
+                    raise ValueError(
+                        f"model_kw['X0'] has {X0u.shape[0]} rows but "
+                        f"{len(sample_ids)} coordinated samples remain")
+                model_kw["X0"] = np.hstack([X0u] + cov_cols)
+            else:
+                model_kw["X0"] = np.hstack(
+                    [np.ones((len(sample_ids), 1))] + cov_cols)
         env = None
         if env_map is not None:
             env = np.array([np.mean(env_map[a]) for a in sample_ids])

@@ -327,7 +327,10 @@ def emmax_gxe(G, y, env, K=None, X0: Optional[np.ndarray] = None,
                     p, *a, n=rg.n, tile=tile, impute=rg.has_missing),
                 mesh=mesh, in_specs=(P("snp", None),) + spec,
                 out_specs=(P(None, "snp"),) * 5)
-            out5 = jax.jit(fn)(packed, *args)
+            from mixmogam_tpu.parallel.mesh import gather_if_multiprocess
+
+            out5 = gather_if_multiprocess(jax.jit(fn)(packed, *args),
+                                          mesh)
             out5 = tuple(np.array(v, np.float64)[:, :rg.M]
                          for v in out5)
         elif rg is not None:
@@ -353,11 +356,13 @@ def emmax_gxe(G, y, env, K=None, X0: Optional[np.ndarray] = None,
             def place(v):
                 return None if v is None else put_global(v, rep)
 
-            out5 = _gxe_envs_incore(
+            from mixmogam_tpu.parallel.mesh import gather_if_multiprocess
+
+            out5 = gather_if_multiprocess(_gxe_envs_incore(
                 put_global(Gp, snp_sharding(mesh)), place(RU),
                 place(ru_scale), place(RUes), place(rue_scales),
                 place(sds), place(Q0s), place(y_ress), place(rss0s),
-                place(dof_d))
+                place(dof_d)), mesh)
             out5 = tuple(np.array(v, np.float64)[:, :M0] for v in out5)
         else:
             out5 = _gxe_envs_incore(jnp.asarray(Gf), RU, ru_scale, RUes,

@@ -401,6 +401,20 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
                              else ex.submit(_eigh_k_cached,
                                             kinships[c_i]))
 
+        # host-source slices pad to ONE fixed row count so all 22
+        # per-chromosome scans share a single compile (CLAUDE.md
+        # shared-compile rule; review r5-cont: distinct (e-s, n) shapes
+        # recompiled the scan per chromosome). Zero pad rows are
+        # monomorphic -> masked, and the assembly below slices [:e-s].
+        m_fix = max((e_ - s_ for _, s_, e_ in ranges), default=0)
+
+        def _rows_fixed(s_, e_):
+            R = _rows(G, s_, e_)
+            if R.shape[0] < m_fix:
+                R = np.vstack([R, np.zeros((m_fix - R.shape[0],
+                                            R.shape[1]), R.dtype)])
+            return R
+
         submit(0)
         for i, (c, s, e) in enumerate(ranges):
             submit(i + 1)  # c+1's eigh runs under c's fit + scan
@@ -425,11 +439,11 @@ def emmax_loco(G, y, chromosomes=None, method: str = "ibs",
                         dtype=dtype)
                 else:
                     res = distributed_emmax(
-                        _rows(G, s, e), y, K=K_c, eig_k=eig, X0=X0,
+                        _rows_fixed(s, e), y, K=K_c, eig_k=eig, X0=X0,
                         mesh=mesh, ngrids=ngrids, llim=llim, ulim=ulim,
                         esp=esp, dtype=dtype)
             else:
-                src = rg if rg is not None else _rows(G, s, e)
+                src = rg if rg is not None else _rows_fixed(s, e)
                 res = emmax(src, y, K=K_c, eig_k=eig, X0=X0,
                             ngrids=ngrids, llim=llim, ulim=ulim, esp=esp,
                             with_betas=with_betas, precision=precision,

@@ -104,6 +104,12 @@ def emmax_step_wise(G, y, K=None, max_steps: int = 10,
     from mixmogam_tpu.models.resident import ResidentGenome
 
     rg = G if isinstance(G, ResidentGenome) else None
+    if rg is not None and rg.n != n:
+        # the packed scan decodes n columns per row — a mismatched
+        # container would silently scan a truncated sample subset
+        # before failing later with an unrelated shape error (review)
+        raise ValueError(f"y has {n} samples but the resident genome "
+                         f"holds {rg.n}")
     M = (rg.M if rg is not None
          else np.asarray(G.matrix if hasattr(G, "matrix") else G).shape[0])
     itemsize = np.dtype(np.dtype(dtype).name).itemsize

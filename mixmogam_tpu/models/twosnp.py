@@ -187,7 +187,13 @@ def _pairwise_interaction(G_rot, prod_rot, rot_a):
     product). Gram-Schmidt the pair against the shared orthonormal Q0a,
     then against each other — all elementwise over the partner axis.
     rot_a is passed as a pytree ARGUMENT (closing over it would bake its
-    arrays into the executable and recompile per focal SNP)."""
+    arrays into the executable and recompile per focal SNP); the kernel
+    lives at module scope so all |A| focal iterations share ONE trace
+    (review r5-cont: a per-call inner @jit re-traced per focal SNP)."""
+    return _pairwise_run(G_rot, prod_rot, rot_a)
+
+
+def _make_pairwise_run():
     import jax
 
     @jax.jit
@@ -228,4 +234,7 @@ def _pairwise_interaction(G_rot, prod_rot, rot_a):
         mask = maskb & maskp
         return {"f_stats": jnp.where(mask, f, 0.0), "mask": mask}
 
-    return run(G_rot, prod_rot, rot_a)
+    return run
+
+
+_pairwise_run = _make_pairwise_run()

@@ -125,6 +125,16 @@ def main() -> None:
         r_ref = fn(Gm, y)
         np.testing.assert_allclose(r["ps"], r_ref["ps"], atol=1e-9,
                                    err_msg=fn.__name__)
+    # GxE gathers its sharded outputs across processes too (review
+    # r5-cont: the one sharded scan that never gathered)
+    from mixmogam_tpu.models.gxe import emmax_gxe
+
+    rng2 = np.random.default_rng(44)
+    env = (rng2.random(n) < 0.5).astype(np.float64)
+    gx = emmax_gxe(Gf, y, env, K=K, mesh=mesh)
+    gx_ref = emmax_gxe(Gf, y, env, K=K)
+    np.testing.assert_allclose(gx["inter_ps"], gx_ref["inter_ps"],
+                               atol=1e-9)
 
     print(f"WORKER_OK {pid}", flush=True)
 

@@ -330,3 +330,78 @@ class TestDataPlaneReviewFixes:
                         ploidy=2)
         assert DosageData.content_hash is GenotypeData.content_hash
         assert len(dd.content_hash()) == 16
+
+
+class TestModelsReviewFixes:
+    """Fourth review pass (campaign models + api + caching)."""
+
+    def test_covariates_compose_with_user_x0(self, tmp_path):
+        """run_gwas(covariate_pids=..., X0=...) must fit BOTH designs
+        (setdefault used to silently drop the covariates)."""
+        from mixmogam_tpu.api import run_gwas
+        from mixmogam_tpu.data.genotype import GenotypeData
+        from mixmogam_tpu.data.phenotype import PhenotypeData
+        from mixmogam_tpu.data.simulate import (simulate_genotypes,
+                                                simulate_phenotype)
+        from mixmogam_tpu.models import emmax
+        from mixmogam_tpu.oracle import ibs_kinship, scale_k
+
+        rng = np.random.default_rng(51)
+        G, ch, po = simulate_genotypes(80, 300, seed=51)
+        y, _ = simulate_phenotype(G, h2=0.5, n_causal=3, seed=51)
+        cov = rng.normal(size=80)
+        acc = [f"a{i}" for i in range(80)]
+        gd = GenotypeData(G, ch, po, acc)
+        gfile = str(tmp_path / "g.csv")
+        pfile = str(tmp_path / "p.csv")
+        gd.write_csv(gfile)
+        pd = PhenotypeData()
+        pd.add_phenotype(1, "trait", acc, y)
+        pd.add_phenotype(2, "cov", acc, cov)
+        pd.write_to_file(pfile)
+        extra = rng.normal(size=(80, 1))     # user column (e.g. a PC)
+        out = run_gwas(gfile, pfile, pid=1, covariate_pids=[2],
+                       min_mac=1, plots=False,
+                       X0=np.hstack([np.ones((80, 1)), extra]))
+        gd2 = out["genotype"]
+        keep = [acc.index(a) for a in gd2.accessions]
+        X_full = np.hstack([np.ones((len(keep), 1)), extra[keep],
+                            cov[keep][:, None]])
+        K = scale_k(ibs_kinship(gd2.dosage_f64()))
+        ref = emmax(gd2.dosage_f64(), out["y"], K=K, X0=X_full)
+        # kinship differs (run_gwas caches its own) — compare via the
+        # design's effect: same dof means the covariate really entered
+        assert out["scan"]["dof"] == ref["dof"] == len(keep) - 3 - 1
+
+    def test_stepwise_resident_sample_mismatch(self, small_dataset,
+                                               kinship_small):
+        from mixmogam_tpu.models.resident import ResidentGenome
+        from mixmogam_tpu.models.stepwise import emmax_step_wise
+
+        rg = ResidentGenome.from_source(small_dataset["G_int"], tile=50)
+        y = small_dataset["y"][:150]         # wrong sample count
+        with pytest.raises(ValueError, match="resident genome"):
+            emmax_step_wise(rg, y, K=kinship_small[:150, :150],
+                            max_steps=1)
+
+    def test_cached_kinship_tolerates_corrupt_entry(self, tmp_path,
+                                                    small_dataset):
+        from mixmogam_tpu.data.genotype import GenotypeData
+        from mixmogam_tpu.utils.caching import cached_kinship
+
+        G = small_dataset["G_int"][:60]
+        gd = GenotypeData(G, small_dataset["chromosomes"][:60],
+                          small_dataset["positions"][:60],
+                          [f"a{i}" for i in range(G.shape[1])])
+        cd = str(tmp_path)
+        K1 = cached_kinship(gd, cache_dir=cd, use_device=False)
+        import glob
+
+        p = glob.glob(f"{cd}/kinship_*.npz")[0]
+        with open(p, "wb") as f:
+            f.write(b"PK\x03\x04truncated")  # corrupt zip
+        K2 = cached_kinship(gd, cache_dir=cd, use_device=False)
+        np.testing.assert_allclose(K2, K1, atol=1e-12)
+        # and the rewrite healed the entry
+        K3 = cached_kinship(gd, cache_dir=cd, use_device=False)
+        np.testing.assert_allclose(K3, K1, atol=1e-12)
